@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics core (SURVEY.md §2.2 A1–A13): the batch query engine the
+  * reference's flattened table feeds (transform-service/main.py writes
+  * into a warehouse table precisely so queries like these can run).
+  *
+  * Scale notes (100 TB contract, SURVEY.md §5):
+  *  - dim joins (region/nation/supplier) are explicit `broadcast` —
+  *    no shuffle of the fact side's join keys;
+  *  - fact⋈fact joins shuffle on the join key once and aggregate
+  *    partially map-side (Catalyst does both for declarative plans);
+  *  - every filter/projection is declarative → parquet pushdown;
+  *  - top-N is agg → TakeOrderedAndProject, never a full sort.
+  */
+object Analytics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1 — filtered scan + projection; filter reaches parquet PushedFilters.
+    QueryDef(
+      "date_filter",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_quantity AS DOUBLE) AS quantity,
+        |       CAST(l_extendedprice AS DOUBLE) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-03-01'
+        |  AND l_quantity >= 45""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-03-01").cast("timestamp")
+          && col("l_quantity") >= 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("price"))
+    },
+
+    // A2 — multi-measure hash aggregation (TPC-H Q1 shape); exact decimal sums.
+    QueryDef(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          countAll.as("count_order"))
+    },
+
+    // A3 — star join: fact against broadcast dim chain supplier→nation→region.
+    QueryDef(
+      "join_star",
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin) { (spark, dir) =>
+      val dims = Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"), col("r_name"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          countAll.as("n_items"))
+    },
+
+    // A4 — fact⋈fact shuffle join on the order key; AQE re-plans at runtime.
+    QueryDef(
+      "join_orders",
+      """SELECT o_orderpriority,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    },
+
+    // A5 — top-N by aggregate → TakeOrderedAndProject, tie-broken by key.
+    QueryDef(
+      "topn_revenue",
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // A6 — window rank-per-group: top-3 parts per brand by price.
+    QueryDef(
+      "window_rank",
+      """SELECT p_brand, p_name, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, rn
+        |FROM (SELECT p_brand, p_name, p_partkey, p_retailprice,
+        |             ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |      FROM part) t
+        |WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("p_brand"), col("p_name"), col("p_partkey"),
+          col("p_retailprice").cast("double").as("price"), col("rn"))
+    },
+
+    // A7 — running total per customer (exact decimal window sum).
+    QueryDef(
+      "window_running",
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 200""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, dir)
+        .filter(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          fmtDay(col("o_orderdate")).as("order_day"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+    },
+
+    // A8 — anti join: customers with no recent order, by segment.
+    QueryDef(
+      "join_anti",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1997-06-01')
+        |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val recent = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+      Tables.customer(spark, dir)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(countAll.as("n_customers"))
+    },
+
+    // A9 — rollup with subtotal rows (null keys coalesced to 'ALL').
+    QueryDef(
+      "rollup_agg",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), countAll.as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+    },
+
+    // A10 — exact distinct aggregation (expand + two-phase agg in Spark).
+    QueryDef(
+      "distinct_agg",
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countAll.as("n"))
+    },
+
+    // A11 — conditional aggregation (pivot-style wide counts per status).
+    QueryDef(
+      "pivot_status",
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      def flag(s: String) = sum(when(col("o_orderstatus") === s, 1).otherwise(0)).cast("long")
+      Tables.orders(spark, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          flag("F").as("n_f"), flag("O").as("n_o"), flag("P").as("n_p"),
+          dsum(col("o_totalprice")).as("total"))
+    },
+
+    // A13 — time-bucketed aggregation over the event stream table.
+    QueryDef(
+      "events_hourly",
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(
+          fmtTs(date_trunc("hour", col("ts"))).as("hour"),
+          col("event_type"))
+        .agg(countAll.as("n"), dsum(col("value")).as("total_value"))
+    })
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (SURVEY.md §2.2 A12, §2.1 R6/R10).
+  *
+  * R6 mirrors transform-service/main.py:86-89 (`max(blobs, key=name)`,
+  * i.e. "process only the newest snapshot"): at cluster scale the max-ts
+  * subquery prunes to the latest date partition instead of scanning
+  * history. R10 mirrors extract-service/main.py:159-174 (response
+  * validation) as a declarative malformed-record filter.
+  *
+  * A12 is gap-based sessionization — the batch twin of the
+  * flatMapGroupsWithState streaming version (graft.streaming). Both
+  * shuffle once on user_id; state never touches the driver.
+  */
+object Events {
+
+  private val SessionGapUs = 1800L * 1000 * 1000 // 30 min in microseconds
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A12 — sessionize: lag-gap flags, cumulative-sum session ids.
+    QueryDef(
+      "sessionize",
+      s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+         |g AS (SELECT user_id, event_id, ts, value,
+         |             CASE WHEN lag(ts) OVER w IS NULL
+         |                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+         |                  THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         |      FROM g)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_id,
+         |       COUNT(*) AS n_events,
+         |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+         |FROM s GROUP BY user_id, session_seq""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > SessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          countAll.as("n_events"),
+          fmtTs(min(col("ts"))).as("session_start"),
+          fmtTs(max(col("ts"))).as("session_end"),
+          dsum(col("value")).as("session_value"))
+        .select(col("user_id"), col("session_seq").cast("long").as("session_id"),
+          col("n_events"), col("session_start"), col("session_end"), col("session_value"))
+    },
+
+    // R6 — latest-snapshot selection: only rows from the newest day.
+    QueryDef(
+      "latest_snapshot",
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |m AS (SELECT date_trunc('day', MAX(ts)) AS latest_day FROM e)
+        |SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM e, m WHERE e.ts >= m.latest_day
+        |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val latest = ev.agg(date_trunc("day", max(col("ts"))).as("latest_day"))
+      ev.crossJoin(broadcast(latest))
+        .filter(col("ts") >= col("latest_day"))
+        .groupBy("event_type")
+        .agg(
+          countAll.as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value"))
+    },
+
+    // R10 — response validation: malformed-record detection on props JSON.
+    QueryDef(
+      "validate_events",
+      """SELECT event_type,
+        |       CAST(SUM(CASE WHEN regexp_matches(props, '^\{"k": [0-9]+\}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |       CAST(SUM(CASE WHEN regexp_matches(props, '^\{"k": [0-9]+\}$') THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+        |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val valid = col("props").rlike("^\\{\"k\": [0-9]+\\}$")
+      Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          sum(when(valid, 1).otherwise(0)).cast("long").as("n_valid"),
+          sum(when(valid, 0).otherwise(1)).cast("long").as("n_invalid"))
+    })
+}
