@@ -8,11 +8,15 @@ object SparkEntry {
   /** All implemented operators, each with its DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
     operators.Analytics.defs ++
-      operators.Events.defs
+      operators.Events.defs ++
+      operators.CourseFlatten.defs ++
+      operators.TextOps.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("flatten_courses")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -131,7 +131,8 @@ object Analytics {
     // A6 — window rank-per-group: top-3 parts per brand by price.
     QueryDef(
       "window_rank",
-      """SELECT p_brand, p_name, p_partkey, CAST(p_retailprice AS DOUBLE) AS price, rn
+      """SELECT p_brand, p_name, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+        |       CAST(rn AS BIGINT) AS rn
         |FROM (SELECT p_brand, p_name, p_partkey, p_retailprice,
         |             ROW_NUMBER() OVER (PARTITION BY p_brand
         |                                ORDER BY p_retailprice DESC, p_partkey) AS rn
@@ -143,7 +144,7 @@ object Analytics {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("p_brand"), col("p_name"), col("p_partkey"),
-          col("p_retailprice").cast("double").as("price"), col("rn"))
+          col("p_retailprice").cast("double").as("price"), col("rn").cast("long").as("rn"))
     },
 
     // A7 — running total per customer (exact decimal window sum).

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flagship operator (SURVEY.md §2.1 R1–R5): the reference's core
+  * transform — nested API response → flat 15-column course table
+  * (transform-service/main.py:102-136) — re-expressed as a declarative
+  * Spark plan.
+  *
+  * The reference walks `queryCollections[] → entities[] → partners[]`
+  * in row-at-a-time Python. Here the same semantics are:
+  *   - R2 explode of the entities array        (main.py:102-106)
+  *   - R3 `array_join(transform(partners, …))` (main.py:107-110)
+  *   - R4 dotted-path struct projection        (main.py:129-135)
+  *   - R5 `coalesce(…, 'N/A')` defaults        (main.py:123-128)
+  * All codegen'd builtins — no UDFs, no driver-side loops — so at
+  * 100 TB the flatten is one narrow pipeline stage after the scan.
+  *
+  * Since /root/testdata has no JSON fixture, the nested document is
+  * built from the star schema (brand = collection, part = entity,
+  * suppliers seen in lineitem = partners) and then flattened by the
+  * same operator. `graft.sources.CourseraJson` reads the real JSON
+  * shape with an explicit schema; CourseraJsonSpec exercises it.
+  */
+object CourseFlatten {
+
+  /** Nested "API response": one row per collection, entities packed as
+    * an array of structs, partners nested one level deeper. */
+  def nestedCollections(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // partners of a part = suppliers it ships with in lineitem.
+    // Dedup on the (part, supplier) pair BEFORE the dim join: at scale
+    // this is one shuffle of two int columns, then a broadcast join.
+    val partSupp = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_list(struct(col("s_name"), col("s_suppkey")))).as("partner_structs"))
+
+    val entities = Tables.part(spark, dir)
+      .join(partSupp, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_brand"),
+        struct(
+          col("p_name").as("name"),
+          col("p_partkey").as("id"),
+          lower(regexp_replace(col("p_name"), " ", "-")).as("slug"),
+          concat(lit("/learn/"), lower(regexp_replace(col("p_name"), " ", "-"))).as("url"),
+          concat(lit("/img/"), col("p_partkey").cast("string"), lit(".jpg")).as("imageUrl"),
+          coalesce(col("partner_structs"), array().cast("array<struct<s_name:string,s_suppkey:bigint>>")).as("partners"),
+          when(col("p_size") < 10, lit("Beginner"))
+            .when(col("p_size") < 20, lit("Intermediate"))
+            .when(col("p_size") < 35, lit("Advanced")).as("difficultyLevel"),
+          (col("p_retailprice") >= 950).as("isPartOfCourseraPlus"),
+          when(col("p_type") === "STANDARD", col("p_size").cast("string")).as("courseCount"),
+          when(col("p_retailprice") < 920, lit("true"))
+            .when(col("p_retailprice") > 990, lit("false")).as("isCostFree"),
+          struct(
+            col("p_type").as("marketingProductType"),
+            struct((col("p_size") > 25).as("isPathwayContent")).as("productTypeAttributes")
+          ).as("productCard")
+        ).as("entity"))
+
+    entities.groupBy(col("p_brand"))
+      .agg(collect_list(col("entity")).as("entities"))
+      .select(
+        col("p_brand").as("label"),
+        concat(lit("col-"), col("p_brand")).as("id"),
+        col("entities"))
+  }
+
+  /** The flatten itself — works on ANY DataFrame with the
+    * collections(label, id, entities[...]) shape, including one read
+    * straight from the reference's JSON (sources.CourseraJson). */
+  def flatten(nested: DataFrame): DataFrame = {
+    val e: Column = col("e")
+    nested
+      .select(col("label").as("collection_label"), col("id").as("collection_id"),
+        explode(col("entities")).as("e")) // R2
+      .select(
+        col("collection_label"),
+        col("collection_id"),
+        e.getField("name").as("course_name"),
+        e.getField("id").as("course_id"),
+        e.getField("slug").as("slug"),
+        e.getField("url").as("url"),
+        e.getField("imageUrl").as("image_url"),
+        // R3 — array-of-struct → ", "-joined strings, parallel order
+        array_join(transform(e.getField("partners"), p => p.getField("s_name")), ", ").as("partners"),
+        array_join(transform(e.getField("partners"), p => p.getField("s_suppkey").cast("string")), ", ").as("partner_ids"),
+        // R5 — .get(..., "N/A") defaults
+        coalesce(e.getField("difficultyLevel"), lit("N/A")).as("difficulty_level"),
+        e.getField("isPartOfCourseraPlus").as("is_part_of_coursera_plus"),
+        coalesce(e.getField("courseCount"), lit("N/A")).as("course_count"),
+        coalesce(e.getField("isCostFree"), lit("N/A")).as("is_cost_free"),
+        // R4 — nested struct projection
+        e.getField("productCard").getField("marketingProductType").as("marketing_product_type"),
+        e.getField("productCard").getField("productTypeAttributes").getField("isPathwayContent").as("is_pathway_content"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "flatten_courses",
+      """WITH pp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |pa AS (SELECT l_partkey,
+        |              string_agg(s_name, ', ' ORDER BY s_name, s_suppkey) AS partners,
+        |              string_agg(CAST(s_suppkey AS VARCHAR), ', ' ORDER BY s_name, s_suppkey) AS partner_ids
+        |       FROM pp JOIN supplier ON l_suppkey = s_suppkey
+        |       GROUP BY l_partkey)
+        |SELECT p_brand AS collection_label,
+        |       'col-' || p_brand AS collection_id,
+        |       p_name AS course_name,
+        |       p_partkey AS course_id,
+        |       lower(replace(p_name, ' ', '-')) AS slug,
+        |       '/learn/' || lower(replace(p_name, ' ', '-')) AS url,
+        |       '/img/' || CAST(p_partkey AS VARCHAR) || '.jpg' AS image_url,
+        |       COALESCE(partners, '') AS partners,
+        |       COALESCE(partner_ids, '') AS partner_ids,
+        |       CASE WHEN p_size < 10 THEN 'Beginner'
+        |            WHEN p_size < 20 THEN 'Intermediate'
+        |            WHEN p_size < 35 THEN 'Advanced'
+        |            ELSE 'N/A' END AS difficulty_level,
+        |       p_retailprice >= 950 AS is_part_of_coursera_plus,
+        |       CASE WHEN p_type = 'STANDARD' THEN CAST(p_size AS VARCHAR) ELSE 'N/A' END AS course_count,
+        |       CASE WHEN p_retailprice < 920 THEN 'true'
+        |            WHEN p_retailprice > 990 THEN 'false'
+        |            ELSE 'N/A' END AS is_cost_free,
+        |       p_type AS marketing_product_type,
+        |       p_size > 25 AS is_pathway_content
+        |FROM part LEFT JOIN pa ON p_partkey = l_partkey""".stripMargin) { (spark, dir) =>
+      flatten(nestedCollections(spark, dir))
+    })
+}

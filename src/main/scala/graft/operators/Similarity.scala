@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.VectorOps._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space operators over `embeddings` (SURVEY.md §2.3 L5–L7):
+  * cosine near-duplicate pairs and approximate-nearest-neighbor top-k.
+  *
+  * Scale shapes (100 TB contract):
+  *  - `ann_bruteforce`: the query set is tiny and broadcast; the big
+  *    side is scanned once, top-k kept per query — one narrow stage
+  *    plus a k-row-per-query shuffle. This is the exact baseline and
+  *    is itself scalable when |queries| is small.
+  *  - `ann_lsh` / `dedup_embed`: random-hyperplane sign buckets (2
+  *    tables × 4 planes) generate candidates via a shuffle on the
+  *    bucket key; cosine runs only within buckets. No CartesianProduct
+  *    in any plan.
+  *
+  * Hyperplanes are md5-derived constants (VectorOps.hyperplane) so the
+  * DuckDB oracle rebuilds them bit-identically (SURVEY.md §4).
+  */
+object Similarity {
+
+  private val NumTables = 2
+  private val NumPlanes = 4
+  private val Dims = 64
+  private val CosThreshold = 0.4 // driver data is random vectors; ~top-dozen pairs
+  private val TopK = 5
+
+  /** DuckDB CTEs rebuilding the same sign-buckets: planes from md5,
+    * per-element dots, bucket = packed sign bits. */
+  private val bucketCtes: String =
+    s"""pl AS (SELECT t.t, p.p, i.i,
+       |             CAST('0x' || substr(md5('plane_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 6) AS BIGINT) / 16777216.0 - 0.5 AS w
+       |      FROM generate_series(0, ${NumTables - 1}) t(t),
+       |           generate_series(0, ${NumPlanes - 1}) p(p),
+       |           generate_series(0, ${Dims - 1}) i(i)),
+       |ed AS (SELECT vec_id, i.i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
+       |       FROM embeddings, generate_series(0, ${Dims - 1}) i(i)),
+       |dots AS (SELECT ed.vec_id, pl.t, pl.p, SUM(ed.x * pl.w) AS dot
+       |         FROM ed JOIN pl ON ed.i = pl.i GROUP BY ed.vec_id, pl.t, pl.p),
+       |bkt AS (SELECT vec_id, t,
+       |               CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2.0, p) AS INT) ELSE 0 END) AS INT) AS bucket
+       |        FROM dots GROUP BY vec_id, t)""".stripMargin
+
+  private val cosSql =
+    "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+
+  /** (vec_id, t, bucket) rows — NumTables rows per vector. */
+  private def buckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    (0 until NumTables).map { t =>
+      emb.select(col("vec_id"), col("emb"), lit(t).as("t"),
+        signBucket(col("emb"), t, NumPlanes, Dims).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // L5 — embedding-cosine near-dup pairs, LSH-bucketed.
+    QueryDef(
+      "dedup_embed",
+      s"""WITH $bucketCtes,
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |         FROM bkt a JOIN bkt b
+         |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT c.va AS vec_a, c.vb AS vec_b, round($cosSql, 6) AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.va
+         |JOIN embeddings eb ON eb.vec_id = c.vb
+         |WHERE $cosSql >= $CosThreshold""".stripMargin) { (spark, dir) =>
+      val bk = buckets(spark, dir)
+      // distinct on the id pair only — never shuffle the vectors twice
+      val cand = bk.as("a")
+        .join(bk.as("b"),
+          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cos = cosine(col("ea"), col("eb"))
+      cand
+        .join(emb.select(col("vec_id").as("va"), col("emb").as("ea")), "va")
+        .join(emb.select(col("vec_id").as("vb"), col("emb").as("eb")), "vb")
+        .filter(cos >= CosThreshold)
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+          round(cos, 6).as("cosine"))
+    },
+
+    // L6 — exact brute-force cosine top-k for a broadcast query set.
+    QueryDef(
+      "ann_bruteforce",
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT q.qid, e.vec_id AS nid,
+         |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+         |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, nid, score,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |      FROM c)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+         |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          round(cosine(col("emb"), col("qe")), 6).as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rn").cast("long").as("rank"), col("score"))
+    },
+
+    // L7 — LSH-bucketed ANN: candidates share a sign-bucket with the
+    // query in at least one table; top-k within candidates.
+    QueryDef(
+      "ann_lsh",
+      s"""WITH $bucketCtes,
+         |cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
+         |         FROM bkt qb JOIN bkt vb
+         |           ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
+         |         WHERE qb.vec_id % 100 = 0),
+         |sc AS (SELECT c.qid, c.nid, round($cosSql, 6) AS score
+         |       FROM cand c
+         |       JOIN embeddings ea ON ea.vec_id = c.qid
+         |       JOIN embeddings eb ON eb.vec_id = c.nid),
+         |r AS (SELECT qid, nid, score,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+         |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      val bk = buckets(spark, dir)
+      val qb = bk.filter(col("vec_id") % 100 === 0)
+      val cand = qb.as("a")
+        .join(bk.as("b"),
+          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+        .distinct()
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val scored = cand
+        .join(emb.select(col("vec_id").as("qid"), col("emb").as("qe")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("emb").as("ne")), "nid")
+        .select(col("qid"), col("nid"),
+          round(cosine(col("ne"), col("qe")), 6).as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rn").cast("long").as("rank"), col("score"))
+    })
+}

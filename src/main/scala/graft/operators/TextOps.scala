@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.3 L1,
+  * L8–L11) — the per-document stage of an LLM training-data pipeline.
+  *
+  * Everything is built from codegen'd array/string builtins (`split`,
+  * `filter`, `transform`, `md5`) — no UDFs — so each query is a single
+  * narrow map stage over the scan: embarrassingly parallel at 100 TB,
+  * no shuffle except the final keyed aggregation where one exists.
+  * Hashes are md5-derived only, for bit-parity with the DuckDB oracle
+  * (SURVEY.md §4).
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** size(filter(tokens, t -> t IN markers)) as a portable hit count. */
+  private def hits(markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  private def hitsSql(markers: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map("'" + _ + "'").mkString(", ")})))"
+
+  // Tiny per-language marker lists (n-gram-heuristic language ID).
+  private val enM = Seq("the", "a", "of", "and")
+  private val frM = Seq("le", "la", "et", "les")
+  private val esM = Seq("el", "los", "una", "que")
+  private val deM = Seq("der", "und", "das", "ist")
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // L10 — token counting: whitespace tokens, uniques, BPE-ish estimate.
+    QueryDef(
+      "text_tokens",
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        length(col("text")).cast("long").as("n_chars"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"))
+    },
+
+    // L8 — language ID: marker-hit argmax with deterministic tie-break.
+    QueryDef(
+      "text_langid",
+      s"""SELECT doc_id, lang,
+         |       CAST(h_en AS BIGINT) AS h_en, CAST(h_fr AS BIGINT) AS h_fr,
+         |       CAST(h_es AS BIGINT) AS h_es, CAST(h_de AS BIGINT) AS h_de,
+         |       CASE WHEN h_en >= greatest(h_fr, h_es, h_de) AND h_en > 0 THEN 'en'
+         |            WHEN h_fr >= greatest(h_es, h_de) AND h_fr > 0 THEN 'fr'
+         |            WHEN h_es >= h_de AND h_es > 0 THEN 'es'
+         |            WHEN h_de > 0 THEN 'de'
+         |            ELSE 'unknown' END AS predicted
+         |FROM (SELECT doc_id, lang,
+         |             ${hitsSql(enM)} AS h_en, ${hitsSql(frM)} AS h_fr,
+         |             ${hitsSql(esM)} AS h_es, ${hitsSql(deM)} AS h_de
+         |      FROM documents) t""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          hits(enM).cast("long").as("h_en"), hits(frM).cast("long").as("h_fr"),
+          hits(esM).cast("long").as("h_es"), hits(deM).cast("long").as("h_de"))
+        .withColumn("predicted",
+          when(col("h_en") >= greatest(col("h_fr"), col("h_es"), col("h_de")) && col("h_en") > 0, "en")
+            .when(col("h_fr") >= greatest(col("h_es"), col("h_de")) && col("h_fr") > 0, "fr")
+            .when(col("h_es") >= col("h_de") && col("h_es") > 0, "es")
+            .when(col("h_de") > 0, "de")
+            .otherwise("unknown"))
+    },
+
+    // L9 — quality scoring: length/stopword/avg-token-length ratios.
+    QueryDef(
+      "text_quality",
+      s"""SELECT doc_id,
+         |       CAST(n_tok AS BIGINT) AS n_tokens,
+         |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok, 6) AS avg_tok_len,
+         |       round(CAST(h_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+         |       round(0.4 * least(n_tok / 100.0, 1.0)
+         |             + 0.4 * (1.0 - CAST(h_stop AS DOUBLE) / n_tok)
+         |             + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok) / 8.0, 1.0), 6) AS quality
+         |FROM (SELECT doc_id, text,
+         |             len(string_split(text, ' ')) AS n_tok,
+         |             ${hitsSql(stopwords)} AS h_stop
+         |      FROM documents) t""".stripMargin) { (spark, dir) =>
+      val nTok = size(toks)
+      val hStop = hits(stopwords)
+      val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+      val stopRatio = hStop.cast("double") / nTok
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        round(avgTokLen, 6).as("avg_tok_len"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(lit(0.4) * least(nTok / 100.0, lit(1.0))
+          + lit(0.4) * (lit(1.0) - stopRatio)
+          + lit(0.2) * least(avgTokLen / 8.0, lit(1.0)), 6).as("quality"))
+    },
+
+    // L11 — document fingerprinting: content hash + prefix rolling hash.
+    QueryDef(
+      "text_fingerprint",
+      """SELECT doc_id,
+        |       md5(text) AS content_hash,
+        |       md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp,
+        |       substr(md5(lower(text)), 1, 16) AS short_fp
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        md5(array_join(slice(toks, 1, 8), " ")).as("prefix_fp"),
+        substring(md5(lower(col("text"))), 1, 16).as("short_fp"))
+    },
+
+    // L1 — exact dedup: normalize → hash → keep-first per group.
+    // At scale: one shuffle on the 128-bit text hash, never on raw text.
+    QueryDef(
+      "dedup_exact",
+      """WITH r AS (SELECT doc_id, source,
+        |                  ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+        |                                     ORDER BY doc_id) AS rn
+        |           FROM documents)
+        |SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY source""".stripMargin) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(col("rn") === 1, 0).otherwise(1)).cast("long").as("n_dropped"))
+    })
+}
