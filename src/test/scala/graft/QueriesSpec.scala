@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + golden checks for every SparkEntry query at sf0.001. The
+  * full value-level gate is the driver's DuckDB oracle replay
+  * (dev/check.sh locally); these keep `sbt test` meaningful offline. */
+class QueriesSpec extends SparkSuite {
+
+  test("every query runs at sf0.001 and has deterministic schema") {
+    SparkEntry.allDefs.foreach { d =>
+      val df = d.run(spark, sf0001)
+      assert(df.columns.nonEmpty, s"${d.name}: no columns")
+      assert(df.count() >= 0, s"${d.name}: count failed")
+    }
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry returns flagship rows") {
+    assert(SparkEntry.entry(spark).count() === 200)
+  }
+
+  test("q1_agg golden cell (A,F)") {
+    val row = SparkEntry.queries("q1_agg")(spark, sf0001)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .collect()(0)
+    assert(row.getAs[Double]("sum_qty") === 13096.0)
+    assert(row.getAs[Long]("count_order") === 510L)
+  }
+
+  test("sessionize session count golden") {
+    assert(SparkEntry.queries("sessionize")(spark, sf0001).count() === 946)
+  }
+
+  test("dedup_exact keeps every unique text") {
+    val out = SparkEntry.queries("dedup_exact")(spark, sf0001)
+      .agg(sum(col("n_docs")).as("n"), sum(col("n_kept")).as("k")).collect()(0)
+    assert(out.getAs[Long]("n") === 500L)
+    assert(out.getAs[Long]("k") === 500L) // sf0.001 has no exact dups
+  }
+
+  test("ann_bruteforce returns k neighbors per query, self excluded") {
+    val df = SparkEntry.queries("ann_bruteforce")(spark, sf0001)
+    val perQ = df.groupBy("query_id").count().collect()
+    assert(perQ.nonEmpty)
+    assert(perQ.forall(_.getAs[Long]("count") === 5L))
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
+  test("minhash pairs are ordered and above threshold") {
+    val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
+      .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
+    assert(bad.count() === 0)
+  }
+}

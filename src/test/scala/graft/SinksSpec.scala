@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.CourseFlatten
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+/** R7 (CSV header sink), R8 (append load), R9 (timestamped snapshots),
+  * R6 (latest pick over listing metadata). */
+class SinksSpec extends SparkSuite {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_sink").toString
+
+  test("R7: course CSV has header row and pinned column order") {
+    val dir = tmp()
+    val df = CourseFlatten.flatten(CourseFlatten.nestedCollections(spark, sf0001))
+    Sinks.writeCourseCsv(df, s"$dir/csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.columns.toSeq === Sinks.courseColumns)
+    assert(back.count() === df.count())
+  }
+
+  test("R7: schema drift is refused") {
+    val df = spark.range(3).toDF("not_a_course_column")
+    intercept[IllegalArgumentException] {
+      Sinks.writeCourseCsv(df, s"${tmp()}/csv")
+    }
+  }
+
+  test("R8: append load accumulates like WRITE_APPEND") {
+    val dir = s"${tmp()}/warehouse"
+    val df = spark.range(10).toDF("id")
+    Sinks.appendParquet(df, dir)
+    Sinks.appendParquet(df, dir)
+    assert(spark.read.parquet(dir).count() === 20)
+  }
+
+  test("R9+R6: timestamped snapshots; latest pick matches max name") {
+    val base = tmp()
+    val df1 = spark.range(5).toDF("id")
+    val df2 = spark.range(7).toDF("id")
+    Sinks.writeSnapshot(df1, base, "20250101_000000")
+    Sinks.writeSnapshot(df2, base, "20250202_000000")
+    val latest = Sinks.readLatestSnapshot(spark, base)
+    assert(latest.isDefined)
+    assert(latest.get.count() === 7)
+    assert(Sinks.latestSnapshotPath(spark, base).get.endsWith("snapshot=20250202_000000"))
+    assert(Sinks.readLatestSnapshot(spark, s"$base/does_not_exist").isEmpty)
+  }
+}

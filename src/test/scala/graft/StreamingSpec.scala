@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** L13: Structured Streaming twins driven synchronously through
+  * MemoryStream + processAllAvailable. */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("hourlyCounts aggregates windows with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    val q = EventsStreaming.hourlyCounts(input.toDF())
+      .writeStream.outputMode("update").format("memory").queryName("hourly").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("hourly").select(col("event_type"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("click") === 2L)
+    assert(out("view") === 1L)
+  }
+
+  test("sessionize splits on the 30-minute gap and carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+
+    // batch 1: two events 10 min apart (same session, still open)
+    input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() === 0) // nothing closed yet
+
+    // batch 2: 50 min later → closes session 1, opens session 2
+    input.addData(Event(3, ts(60), 7, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[EventsStreaming.Session].collect()
+    assert(sessions.length === 1)
+    val s = sessions(0)
+    assert(s.user_id === 7L)
+    assert(s.n_events === 2L)
+    assert(s.session_value === 3.0)
+    assert(s.session_start === ts(0) && s.session_end === ts(10))
+  }
+}
