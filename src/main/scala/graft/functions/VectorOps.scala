@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
+  /** Reference fold forms (interpreted HigherOrderFunctions). Kept for
+    * spec-level cross-checks against the codegen'd expressions. */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def foldCosine(a: Column, b: Column): Column =
+    foldDot(a, b) / (sqrt(foldDot(a, a)) * sqrt(foldDot(b, b)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd fast paths (VecDot/VecCosine); the caller must have run
+    * VecExpressions.register(spark) once per session. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
 
   /** Deterministic pseudo-random hyperplane: component d of plane
     * (table t, plane p) = md5("plane_t_p_d")[0:6] / 16^6 - 0.5.
@@ -36,4 +43,7 @@ object VectorOps {
       val w = typedlit(hyperplane(t, p, dims))
       when(dot(emb, w) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    VecExpressions.register(spark)
 }

@@ -8,22 +8,30 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection (SURVEY.md §2.3 L2–L4): MinHash+LSH and
   * SimHash, both bucketed — candidate pairs come from a shuffle on a
   * band/bucket key, NEVER from an all-pairs cross join. That is the
-  * 100 TB contract: work is O(docs × bands) + O(pairs-in-bucket),
+  * 100 TB contract: work is O(docs × shingles) + O(pairs-in-bucket),
   * and every stage is a keyed shuffle Spark can partition freely.
   *
-  * All hashing is md5-derived so the DuckDB oracle reproduces the
-  * signatures bit-for-bit (SURVEY.md §4): Spark xxhash64 and DuckDB
-  * hash() are different algorithms, md5 is the shared one.
+  * Hashing scheme (portable AND cheap): ONE md5 per shingle, split
+  * into two 32-bit words h1,h2; the k-th minhash permutation is
+  * g_k = (h1 + k*h2) mod 2^32 (Kirsch–Mitzenmacher double hashing).
+  * Signatures are then plain MIN/SUM aggregate expressions — no
+  * row-per-seed/bit explosion. The first version exploded 12 seeds
+  * (resp. 32 bits) into rows and recomputed md5 per row: 30s/20s at
+  * sf0.1; this form cuts that to one md5 per shingle and one shuffle.
+  * md5 is the one hash DuckDB reproduces bit-for-bit (SURVEY.md §4);
+  * Spark xxhash64 / DuckDB hash() are different algorithms.
   */
 object Dedup {
 
   private val ShingleLen = 5 // tokens per shingle
   private val NumHashes = 12 // minhash signature length
   private val NumBands = 4 // LSH bands (3 rows per band)
+  private val RowsPerBand = NumHashes / NumBands
   private val JaccardThreshold = 0.7
+  private val Mod = 4294967296L // 2^32
 
   /** doc_id + distinct token-shingles; short docs yield one shingle. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(
@@ -31,121 +39,127 @@ object Dedup {
             s"i -> array_join(slice(split(text, ' '), i + 1, $ShingleLen), ' '))")).as("shingle"))
       .distinct()
 
+  /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
+  private val shingleCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + $ShingleLen], ' ') AS shingle
+       |       FROM t, generate_series(0, 4095) i(i)
+       |       WHERE i.i <= greatest(len(tk) - $ShingleLen, 0)),
+       |hs AS (SELECT doc_id,
+       |              CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+       |              CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+       |       FROM sh)""".stripMargin
+
+  /** Spark twin of the oracle's `hs` CTE: (doc_id, h1, h2). */
+  private def hashWords(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+
+  private def gk(k: Int): Column = (col("h1") + lit(k.toLong) * col("h2")) % Mod
+
   val defs: Seq[QueryDef] = Seq(
 
     // L2+L4 — MinHash signatures → banded LSH buckets → exact-Jaccard
     // verification of in-bucket candidate pairs only.
     QueryDef(
-      "dedup_minhash",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + $ShingleLen], ' ') AS shingle
-         |       FROM t, generate_series(0, 4095) i(i)
-         |       WHERE i.i <= greatest(len(tk) - $ShingleLen, 0)),
-         |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |mh AS (SELECT doc_id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS mh
-         |       FROM sh, generate_series(0, ${NumHashes - 1}) s(seed)
-         |       GROUP BY doc_id, s.seed),
-         |bk AS (SELECT doc_id, band,
-         |              md5(CAST(band AS VARCHAR) || ':' || string_agg(mh, '|' ORDER BY seed)) AS band_key
-         |       FROM (SELECT doc_id, seed, mh, CAST(floor(seed / ${NumHashes / NumBands}.0) AS INT) AS band FROM mh) z
-         |       GROUP BY doc_id, band),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.da, c.db, COUNT(*) AS n_common
-         |          FROM cand c
-         |          JOIN sh sa ON sa.doc_id = c.da
-         |          JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
-         |          GROUP BY c.da, c.db)
-         |SELECT i.da AS doc_a, i.db AS doc_b,
-         |       CAST(i.n_common AS BIGINT) AS n_common,
-         |       round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6) AS jaccard
-         |FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
-         |WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold""".stripMargin) {
-      (spark, dir) =>
-        val sh = shingles(spark, dir).cache()
-        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      "dedup_minhash", {
+        val mins = (0 until NumHashes)
+          .map(k => s"MIN((h1 + $k * h2) % $Mod) AS mh$k").mkString(", ")
+        val bandSelects = (0 until NumBands).map { b =>
+          val parts = (0 until RowsPerBand)
+            .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, md5('$b:' || $parts) AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleCtes,
+           |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           |bk AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |         FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |inter AS (SELECT c.da, c.db, COUNT(*) AS n_common
+           |          FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.da
+           |          JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+           |          GROUP BY c.da, c.db)
+           |SELECT i.da AS doc_a, i.db AS doc_b,
+           |       CAST(i.n_common AS BIGINT) AS n_common,
+           |       round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6) AS jaccard
+           |FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+           |WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold""".stripMargin
+      }) { (spark, dir) =>
+      val sh = shingles(spark, dir).cache()
+      val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
-        val mh = sh
-          .select(col("doc_id"), col("shingle"),
-            explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-          .groupBy(col("doc_id"), col("seed"))
-          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("mh"))
+      val sig = hashWords(sh)
+        .groupBy(col("doc_id"))
+        .agg(min(gk(0)).as("mh0"), (1 until NumHashes).map(k => min(gk(k)).as(s"mh$k")): _*)
 
-        val rowsPerBand = NumHashes / NumBands
-        val bk = mh
-          .withColumn("band", floor(col("seed") / lit(rowsPerBand.toDouble)).cast("int"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(md5(concat(
-            col("band").cast("string"), lit(":"),
-            concat_ws("|", transform(
-              array_sort(collect_list(struct(col("seed"), col("mh")))),
-              s => s.getField("mh"))))).as("band_key"))
+      val bandKeys = (0 until NumBands).map { b =>
+        val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
+        md5(concat(lit(s"$b:"), concat_ws("|", parts: _*)))
+      }
+      val bk = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
 
-        val cand = bk.as("a")
-          .join(bk.as("b"),
-            col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
+      val cand = bk.as("a")
+        .join(bk.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
 
-        val inter = cand
-          .join(sh.as("sa"), col("sa.doc_id") === col("da"))
-          .join(sh.as("sb"),
-            col("sb.doc_id") === col("db") && col("sb.shingle") === col("sa.shingle"))
-          .groupBy(col("da"), col("db"))
-          .agg(count(lit(1)).as("n_common"))
+      val inter = cand
+        .join(sh.as("sa"), col("sa.doc_id") === col("da"))
+        .join(sh.as("sb"),
+          col("sb.doc_id") === col("db") && col("sb.shingle") === col("sa.shingle"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_common"))
 
-        val jac = col("n_common").cast("double") /
-          (col("na.n") + col("nb.n") - col("n_common"))
-        inter
-          .join(ns.as("na"), col("na.doc_id") === col("da"))
-          .join(ns.as("nb"), col("nb.doc_id") === col("db"))
-          .filter(jac >= JaccardThreshold)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            col("n_common").cast("long").as("n_common"),
-            round(jac, 6).as("jaccard"))
+      val jac = col("n_common").cast("double") /
+        (col("na.n") + col("nb.n") - col("n_common"))
+      inter
+        .join(ns.as("na"), col("na.doc_id") === col("da"))
+        .join(ns.as("nb"), col("nb.doc_id") === col("db"))
+        .filter(jac >= JaccardThreshold)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_common").cast("long").as("n_common"),
+          round(jac, 6).as("jaccard"))
     },
 
-    // L3 — 32-bit md5 SimHash over 5-gram shingle features; pairs
-    // within hamming<=3 found by exact match on one of 4 byte blocks
+    // L3 — 32-bit SimHash over 5-gram shingle features; pairs within
+    // hamming<=3 found by exact match on one of 4 byte blocks
     // (pigeonhole: <=3 flipped bits leave a byte intact), verified
     // with bit_count. Shingles, not tokens: on a small shared vocab,
-    // token-level simhash collapses (token features gave ~15k bogus
-    // pairs on 500 docs; 16-bit gave 37k).
+    // token-level simhash collapses (~15k bogus pairs on 500 docs).
     QueryDef(
-      "dedup_simhash",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |tok AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + $ShingleLen], ' ') AS tok
-        |        FROM t, generate_series(0, 4095) i(i)
-        |        WHERE i.i <= greatest(len(tk) - $ShingleLen, 0)),
-        |bits AS (SELECT doc_id, b.b,
-        |                strpos('0123456789abcdef',
-        |                       substr(md5(tok), CAST(floor(b.b / 4.0) AS INT) + 1, 1)) - 1 AS d
-        |         FROM tok, generate_series(0, 31) b(b)),
-        |bitv AS (SELECT doc_id, b, CAST(floor(d / pow(2.0, 3 - (b % 4))) AS BIGINT) % 2 AS bit FROM bits),
-        |s AS (SELECT doc_id, b, SUM(2 * bit - 1) AS sc FROM bitv GROUP BY doc_id, b),
-        |fp AS (SELECT doc_id, CAST(SUM(CASE WHEN sc > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |       FROM s GROUP BY doc_id),
-        |nib AS (SELECT doc_id, simhash, k.k, CAST(floor(simhash / pow(256.0, k.k)) AS BIGINT) % 256 AS nv
-        |        FROM fp, generate_series(0, 3) k(k)),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.simhash AS sa, b.simhash AS sb
-        |         FROM nib a JOIN nib b ON a.k = b.k AND a.nv = b.nv AND a.doc_id < b.doc_id)
-        |SELECT da AS doc_a, db AS doc_b,
-        |       CAST(sa AS BIGINT) AS simhash_a, CAST(sb AS BIGINT) AS simhash_b,
-        |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin) { (spark, dir) =>
-      val tok = shingles(spark, dir).withColumnRenamed("shingle", "tok")
-      val bits = tok
-        .select(col("doc_id"), col("tok"), explode(sequence(lit(0), lit(31))).as("b"))
-        .withColumn("hexc",
-          substring(md5(col("tok")), (floor(col("b") / 4.0) + 1).cast("int"), lit(1)))
-        .withColumn("d", expr("instr('0123456789abcdef', hexc) - 1"))
-      val bitv = bits.withColumn("bit",
-        floor(col("d") / pow(lit(2.0), lit(3) - col("b") % 4)).cast("long") % 2)
-      val s = bitv.groupBy(col("doc_id"), col("b"))
-        .agg(sum(lit(2) * col("bit") - 1).as("sc"))
-      val fp = s.groupBy(col("doc_id"))
-        .agg(sum(when(col("sc") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
-          .cast("long").as("simhash"))
+      "dedup_simhash", {
+        val sums = (0 until 32)
+          .map(b => s"SUM(2 * (CAST(floor(h1 / ${1L << b}.0) AS BIGINT) % 2) - 1) AS s$b")
+          .mkString(", ")
+        val fpExpr = (0 until 32)
+          .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $shingleCtes,
+           |s AS (SELECT doc_id, $sums FROM hs GROUP BY doc_id),
+           |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM s),
+           |nib AS (SELECT doc_id, simhash, k.k, CAST(floor(simhash / pow(256.0, k.k)) AS BIGINT) % 256 AS nv
+           |        FROM fp, generate_series(0, 3) k(k)),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.simhash AS sa, b.simhash AS sb
+           |         FROM nib a JOIN nib b ON a.k = b.k AND a.nv = b.nv AND a.doc_id < b.doc_id)
+           |SELECT da AS doc_a, db AS doc_b,
+           |       CAST(sa AS BIGINT) AS simhash_a, CAST(sb AS BIGINT) AS simhash_b,
+           |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+      }) { (spark, dir) =>
+      def bitSum(b: Int): Column =
+        sum(lit(2) * (floor(col("h1") / lit((1L << b).toDouble)).cast("long") % 2) - 1).as(s"s$b")
+      val s = hashWords(shingles(spark, dir))
+        .groupBy(col("doc_id"))
+        .agg(bitSum(0), (1 until 32).map(bitSum): _*)
+      val fpExpr = (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val fp = s.select(col("doc_id"), fpExpr.cast("long").as("simhash"))
       val nib = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("k"))
         .withColumn("nv", floor(col("simhash") / pow(lit(256.0), col("k"))).cast("long") % 256)

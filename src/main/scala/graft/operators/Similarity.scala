@@ -52,6 +52,7 @@ object Similarity {
 
   /** (vec_id, t, bucket) rows — NumTables rows per vector. */
   private def buckets(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     (0 until NumTables).map { t =>
@@ -106,6 +107,7 @@ object Similarity {
          |      FROM c)
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
          |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      ensureRegistered(spark)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = emb.filter(col("vec_id") % 100 === 0)
