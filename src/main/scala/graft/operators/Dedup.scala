@@ -30,15 +30,6 @@ object Dedup {
   private val JaccardThreshold = 0.7
   private val Mod = 4294967296L // 2^32
 
-  /** doc_id + distinct token-shingles; short docs yield one shingle. */
-  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, greatest(size(split(text, ' ')) - $ShingleLen, 0)), " +
-            s"i -> array_join(slice(split(text, ' '), i + 1, $ShingleLen), ' '))")).as("shingle"))
-      .distinct()
-
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -50,11 +41,21 @@ object Dedup {
        |              CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
        |       FROM sh)""".stripMargin
 
-  /** Spark twin of the oracle's `hs` CTE: (doc_id, h1, h2). */
-  private def hashWords(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h1"),
-      conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long").as("h2"))
+  /** Spark twin of the oracle's `hs` CTE: (doc_id, h1, h2), distinct.
+    * Shingles are deduped and joined BY THEIR 64-bit hash words, not
+    * the strings: shuffling two longs beats shuffling 5-token strings,
+    * and a collision needs ~2^32 shingles (oracle joins strings — the
+    * results agree unless md5's 64-bit prefix collides). */
+  private def hashWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(size(split(text, ' ')) - $ShingleLen, 0)), " +
+            s"i -> md5(array_join(slice(split(text, ' '), i + 1, $ShingleLen), ' ')))")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      .distinct()
 
   private def gk(k: Int): Column = (col("h1") + lit(k.toLong) * col("h2")) % Mod
 
@@ -89,10 +90,10 @@ object Dedup {
            |FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
            |WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold""".stripMargin
       }) { (spark, dir) =>
-      val sh = shingles(spark, dir).cache()
+      val sh = hashWords(spark, dir).cache()
       val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
-      val sig = hashWords(sh)
+      val sig = sh
         .groupBy(col("doc_id"))
         .agg(min(gk(0)).as("mh0"), (1 until NumHashes).map(k => min(gk(k)).as(s"mh$k")): _*)
 
@@ -111,7 +112,8 @@ object Dedup {
       val inter = cand
         .join(sh.as("sa"), col("sa.doc_id") === col("da"))
         .join(sh.as("sb"),
-          col("sb.doc_id") === col("db") && col("sb.shingle") === col("sa.shingle"))
+          col("sb.doc_id") === col("db")
+            && col("sb.h1") === col("sa.h1") && col("sb.h2") === col("sa.h2"))
         .groupBy(col("da"), col("db"))
         .agg(count(lit(1)).as("n_common"))
 
@@ -153,7 +155,7 @@ object Dedup {
       }) { (spark, dir) =>
       def bitSum(b: Int): Column =
         sum(lit(2) * (floor(col("h1") / lit((1L << b).toDouble)).cast("long") % 2) - 1).as(s"s$b")
-      val s = hashWords(shingles(spark, dir))
+      val s = hashWords(spark, dir)
         .groupBy(col("doc_id"))
         .agg(bitSum(0), (1 until 32).map(bitSum): _*)
       val fpExpr = (0 until 32)

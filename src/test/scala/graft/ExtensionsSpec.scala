@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.VecExpressions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the native expressions (SURVEY.md §2.3 L6) and
+  * the cluster-deployment extension point. */
+class ExtensionsSpec extends SparkSuite {
+
+  test("vec_cosine / vec_dot are callable from plain SQL") {
+    VecExpressions.register(spark)
+    val row = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_cosine(array(1.0d, 0.0d), array(0.5d, 0.5d)) AS c").collect()(0)
+    assert(row.getDouble(0) === 11.0)
+    assert(math.abs(row.getDouble(1) - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("vec_dot rejects non-array<double> inputs with a clear error") {
+    VecExpressions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("vec_dot"))
+  }
+
+  test("GraftExtensions applies its injections cleanly") {
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+
+  test("A14: approx_count_distinct tracks exact distinct within 5%") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}
