@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.{Tables, Warehouse}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern components (SURVEY.md §5): bucketed co-located joins
+  * and salted aggregation. */
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    Warehouse.writeBucketed(Tables.orders(spark, sf0001),
+      "orders_b", s"$dir/orders_b", "o_custkey", 8)
+    Warehouse.writeBucketed(Tables.customer(spark, sf0001),
+      "customer_b", s"$dir/customer_b", "c_custkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Warehouse.table(spark, "orders_b")
+        .join(Warehouse.table(spark, "customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join keys must come straight off the bucketed scans — only
+      // the final groupBy on mktsegment (a different key) may shuffle
+      assert(plan.contains("Bucketed: true"))
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey")
+        && !plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join shuffled its join keys:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation matches the plain aggregation exactly") {
+    val ev = Tables.events(spark, sf0001)
+    val salted = Skew.saltedSum(ev, col("user_id"), col("event_id"),
+      graft.functions.Portable.dec(col("value")), nSalts = 16)
+      .select(col("k"), col("n"), col("total").cast("double").as("total"))
+      .orderBy("k").collect()
+    val plain = ev.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Portable.dec(col("value"))).cast("double").as("total"))
+      .orderBy("k").collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s, p) => assert(s === p) }
+  }
+}
