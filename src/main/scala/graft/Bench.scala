@@ -27,15 +27,17 @@ object Bench {
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { once(); true } // warm-up: codegen/JIT compile off the clock
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed ::= name
             false
         }
+      val t0 = System.nanoTime()
+      if (ok) once()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -50,7 +50,9 @@ object Similarity {
   private val cosSql =
     "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
 
-  /** (vec_id, t, bucket) rows — NumTables rows per vector. */
+  /** (vec_id, t, bucket) rows — NumTables rows per vector. Cached:
+    * both sides of the candidate self-join consume it, and the 8
+    * hyperplane dots per vector shouldn't run twice. */
   private def buckets(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
@@ -58,7 +60,7 @@ object Similarity {
     (0 until NumTables).map { t =>
       emb.select(col("vec_id"), col("emb"), lit(t).as("t"),
         signBucket(col("emb"), t, NumPlanes, Dims).as("bucket"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).cache()
   }
 
   val defs: Seq[QueryDef] = Seq(
