@@ -12,7 +12,8 @@ object SparkEntry {
       operators.CourseFlatten.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.SetQuantile.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

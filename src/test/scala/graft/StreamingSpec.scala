@@ -31,6 +31,40 @@ class StreamingSpec extends SparkSuite {
     assert(out("view") === 1L)
   }
 
+  test("streaming sessionize agrees with the batch sessionize query on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sessions_eq").start()
+
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    input.addData(events.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // streaming emits only CLOSED sessions; each user's final session
+    // stays open in state — compare against batch minus last-per-user.
+    val batch = SparkEntry.queries("sessionize")(spark, sf0001)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max(col("session_id")).as("last_id"))
+    val closedBatch = batch.join(lastPerUser, "user_id")
+      .filter(col("session_id") =!= col("last_id"))
+    val got = spark.table("sessions_eq")
+      .select(col("user_id"),
+        graft.functions.Portable.fmtTs(col("session_start")).as("session_start"),
+        graft.functions.Portable.fmtTs(col("session_end")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start").collect()
+    val want = closedBatch
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("sessionize splits on the 30-minute gap and carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
