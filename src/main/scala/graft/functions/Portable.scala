@@ -38,6 +38,16 @@ object Portable {
 
   def countAll: Column = count(lit(1))
 
+  /** Quantize a double to 6dp with floor(x*1e6)/1e6 — pure double
+    * arithmetic, bit-identical across engines. round() is NOT: Spark
+    * rounds the exact decimal expansion (BigDecimal HALF_UP) while
+    * DuckDB rounds via multiply, and the two disagree near …5
+    * boundaries (observed at sf0.1). SQL twin:
+    * floor(x * 1000000.0) / 1000000.0. */
+  def quant6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
+
+  val Quant6Sql: String => String = x => s"floor(($x) * 1000000.0) / 1000000.0"
+
   /** JVM-side md5 hex — identical to Spark's md5() and DuckDB's md5(),
     * used to precompute deterministic constants (LSH hyperplanes). */
   def md5Hex(s: String): String = {

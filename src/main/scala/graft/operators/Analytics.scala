@@ -242,10 +242,11 @@ object Analytics {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      // shuffle on the 8-byte truncated timestamp; format after agg
       Tables.events(spark, dir)
-        .groupBy(
-          fmtTs(date_trunc("hour", col("ts"))).as("hour"),
-          col("event_type"))
+        .groupBy(date_trunc("hour", col("ts")).as("ts_hour"), col("event_type"))
         .agg(countAll.as("n"), dsum(col("value")).as("total_value"))
+        .select(fmtTs(col("ts_hour")).as("hour"), col("event_type"),
+          col("n"), col("total_value"))
     })
 }

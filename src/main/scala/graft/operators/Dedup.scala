@@ -86,7 +86,7 @@ object Dedup {
            |          GROUP BY c.da, c.db)
            |SELECT i.da AS doc_a, i.db AS doc_b,
            |       CAST(i.n_common AS BIGINT) AS n_common,
-           |       round(CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common), 6) AS jaccard
+           |       floor((CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common)) * 1000000.0) / 1000000.0 AS jaccard
            |FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
            |WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold""".stripMargin
       }) { (spark, dir) =>
@@ -125,7 +125,7 @@ object Dedup {
         .filter(jac >= JaccardThreshold)
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("n_common").cast("long").as("n_common"),
-          round(jac, 6).as("jaccard"))
+          graft.functions.Portable.quant6(jac).as("jaccard"))
     },
 
     // L3 — 32-bit SimHash over 5-gram shingle features; pairs within

@@ -20,15 +20,15 @@ object SetQuantile {
     QueryDef(
       "events_quantiles",
       """SELECT event_type,
-        |       round(quantile_cont(value, 0.5), 6) AS p50,
-        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       floor(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0 AS p50,
+        |       floor(quantile_cont(value, 0.9) * 1000000.0) / 1000000.0 AS p90,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
       Tables.events(spark, dir)
         .groupBy("event_type")
         .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          quant6(expr("percentile(value, 0.5)")).as("p50"),
+          quant6(expr("percentile(value, 0.9)")).as("p90"),
           countAll.as("n"))
     },
 

@@ -72,7 +72,7 @@ object Similarity {
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          |         FROM bkt a JOIN bkt b
          |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT c.va AS vec_a, c.vb AS vec_b, round($cosSql, 6) AS cosine
+         |SELECT c.va AS vec_a, c.vb AS vec_b, floor(($cosSql) * 1000000.0) / 1000000.0 AS cosine
          |FROM cand c
          |JOIN embeddings ea ON ea.vec_id = c.va
          |JOIN embeddings eb ON eb.vec_id = c.vb
@@ -93,7 +93,7 @@ object Similarity {
         .join(emb.select(col("vec_id").as("vb"), col("emb").as("eb")), "vb")
         .filter(cos >= CosThreshold)
         .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-          round(cos, 6).as("cosine"))
+          graft.functions.Portable.quant6(cos).as("cosine"))
     },
 
     // L6 — exact brute-force cosine top-k for a broadcast query set.
@@ -102,7 +102,7 @@ object Similarity {
       s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
          |           FROM embeddings WHERE vec_id % 100 = 0),
          |c AS (SELECT q.qid, e.vec_id AS nid,
-         |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+         |             floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000.0) / 1000000.0 AS score
          |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
          |r AS (SELECT qid, nid, score,
          |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
@@ -117,7 +117,7 @@ object Similarity {
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
-          round(cosine(col("emb"), col("qe")), 6).as("score"))
+          graft.functions.Portable.quant6(cosine(col("emb"), col("qe"))).as("score"))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TopK)
@@ -134,7 +134,7 @@ object Similarity {
          |         FROM bkt qb JOIN bkt vb
          |           ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
          |         WHERE qb.vec_id % 100 = 0),
-         |sc AS (SELECT c.qid, c.nid, round($cosSql, 6) AS score
+         |sc AS (SELECT c.qid, c.nid, floor(($cosSql) * 1000000.0) / 1000000.0 AS score
          |       FROM cand c
          |       JOIN embeddings ea ON ea.vec_id = c.qid
          |       JOIN embeddings eb ON eb.vec_id = c.nid),
@@ -157,7 +157,7 @@ object Similarity {
         .join(emb.select(col("vec_id").as("qid"), col("emb").as("qe")), "qid")
         .join(emb.select(col("vec_id").as("nid"), col("emb").as("ne")), "nid")
         .select(col("qid"), col("nid"),
-          round(cosine(col("ne"), col("qe")), 6).as("score"))
+          graft.functions.Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TopK)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Portable.quant6
 import graft.sources.Tables
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -86,11 +87,11 @@ object TextOps {
       "text_quality",
       s"""SELECT doc_id,
          |       CAST(n_tok AS BIGINT) AS n_tokens,
-         |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok, 6) AS avg_tok_len,
-         |       round(CAST(h_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
-         |       round(0.4 * least(n_tok / 100.0, 1.0)
+         |       floor((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok) * 1000000.0) / 1000000.0 AS avg_tok_len,
+         |       floor((CAST(h_stop AS DOUBLE) / n_tok) * 1000000.0) / 1000000.0 AS stop_ratio,
+         |       floor((0.4 * least(n_tok / 100.0, 1.0)
          |             + 0.4 * (1.0 - CAST(h_stop AS DOUBLE) / n_tok)
-         |             + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok) / 8.0, 1.0), 6) AS quality
+         |             + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok) / 8.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
          |FROM (SELECT doc_id, text,
          |             len(string_split(text, ' ')) AS n_tok,
          |             ${hitsSql(stopwords)} AS h_stop
@@ -102,11 +103,11 @@ object TextOps {
       Tables.documents(spark, dir).select(
         col("doc_id"),
         nTok.cast("long").as("n_tokens"),
-        round(avgTokLen, 6).as("avg_tok_len"),
-        round(stopRatio, 6).as("stop_ratio"),
-        round(lit(0.4) * least(nTok / 100.0, lit(1.0))
+        quant6(avgTokLen).as("avg_tok_len"),
+        quant6(stopRatio).as("stop_ratio"),
+        quant6(lit(0.4) * least(nTok / 100.0, lit(1.0))
           + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.2) * least(avgTokLen / 8.0, lit(1.0)), 6).as("quality"))
+          + lit(0.2) * least(avgTokLen / 8.0, lit(1.0))).as("quality"))
     },
 
     // L11 — document fingerprinting: content hash + prefix rolling hash.
