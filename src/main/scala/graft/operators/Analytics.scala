@@ -98,13 +98,20 @@ object Analytics {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         |GROUP BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      // pre-aggregate the fact per order key: the join then carries one
+      // row per order (no Expand for the distinct count) and shuffles
+      // |orders| rows instead of |lineitem|. Decimal sums keep the
+      // two-level aggregation exactly equal to the oracle's flat one.
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(Dec) - dec(col("l_discount")))).as("rev"))
       Tables.orders(spark, dir)
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
-        .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          countAll.as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
     },
 
     // A5 — top-N by aggregate → TakeOrderedAndProject, tie-broken by key.
@@ -119,11 +126,19 @@ object Analytics {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 10""".stripMargin) { (spark, dir) =>
-      Tables.customer(spark, dir)
-        .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
-        .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      // same pre-aggregation trick: lineitem collapses to one row per
+      // order before touching orders/customer, so the widest shuffle
+      // is |orders|, and the top-N is TakeOrderedAndProject on the
+      // already-aggregated per-customer rows.
+      val perOrder = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(Dec) - dec(col("l_discount")))).as("rev"))
+      Tables.orders(spark, dir)
+        .join(perOrder, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).as("crev"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("crev").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     },

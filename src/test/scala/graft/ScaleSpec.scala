@@ -34,6 +34,19 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("partitioned writes are pruned at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf0001)
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$dir/events_p")
+    val df = spark.read.parquet(s"$dir/events_p")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("event_type"),
+      s"partition filter should prune directories:\n$plan")
+  }
+
   test("salted aggregation matches the plain aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSum(ev, col("user_id"), col("event_id"),
