@@ -125,6 +125,49 @@ object TextOps {
         substring(md5(lower(col("text"))), 1, 16).as("short_fp"))
     },
 
+    // L4 — n-gram Jaccard with SOURCE-blocked candidates: the blocking
+    // key is a data attribute instead of an LSH bucket (the other
+    // candidate-generation strategy a pipeline mixes in). Pairs are
+    // only ever formed within a block — no cross join.
+    QueryDef(
+      "text_ngram_jaccard",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(tk[i.i + 1:i.i + 5], ' ') AS shingle
+        |       FROM t, generate_series(0, 4095) i(i)
+        |       WHERE i.i <= greatest(len(tk) - 5, 0)),
+        |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |j AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+        |                         AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT j.da AS doc_a, j.db AS doc_b, CAST(j.n_common AS BIGINT) AS n_common,
+        |       floor((CAST(j.n_common AS DOUBLE) / (na.n + nb.n - j.n_common)) * 1000000.0) / 1000000.0 AS jaccard
+        |FROM j JOIN ns na ON na.doc_id = j.da JOIN ns nb ON nb.doc_id = j.db
+        |WHERE CAST(j.n_common AS DOUBLE) / (na.n + nb.n - j.n_common) >= 0.5""".stripMargin) {
+      (spark, dir) =>
+        val sh = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            explode(expr(
+              "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)), " +
+                "i -> md5(array_join(slice(split(text, ' '), i + 1, 5), ' ')))")).as("m"))
+          .distinct()
+        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val j = sh.as("a")
+          .join(sh.as("b"),
+            col("a.m") === col("b.m") && col("a.source") === col("b.source")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("n_common"))
+        val jac = col("n_common").cast("double") /
+          (col("na.n") + col("nb.n") - col("n_common"))
+        j.join(ns.as("na"), col("na.doc_id") === col("da"))
+          .join(ns.as("nb"), col("nb.doc_id") === col("db"))
+          .filter(jac >= 0.5)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            col("n_common").cast("long").as("n_common"),
+            quant6(jac).as("jaccard"))
+    },
+
     // L1 — exact dedup: normalize → hash → keep-first per group.
     // At scale: one shuffle on the 128-bit text hash, never on raw text.
     QueryDef(
