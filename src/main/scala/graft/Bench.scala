@@ -37,8 +37,13 @@ object Bench {
             false
         }
       val t0 = System.nanoTime()
-      if (ok) once()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val ok2 = ok && (try { once(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (timed run): ${e.getMessage}")
+          failed ::= name
+          false
+      })
+      name -> (if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

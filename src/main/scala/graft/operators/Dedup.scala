@@ -29,6 +29,9 @@ object Dedup {
   private val RowsPerBand = NumHashes / NumBands
   private val JaccardThreshold = 0.7
   private val Mod = 4294967296L // 2^32
+  // Cap on shingle start positions per doc — MUST match the oracle's
+  // generate_series(0, 4095) bound or long docs diverge cross-engine.
+  private val MaxShingleStarts = 4096
 
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =
@@ -50,7 +53,7 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, greatest(size(split(text, ' ')) - $ShingleLen, 0)), " +
+          s"transform(sequence(0, least(greatest(size(split(text, ' ')) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
             s"i -> md5(array_join(slice(split(text, ' '), i + 1, $ShingleLen), ' ')))")).as("m"))
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),

@@ -64,9 +64,12 @@ object Multimodal {
         posexplode(split_part_bytes(col("payload"), chunkBytes)).as(Seq("chunk_idx", "chunk")))
       .filter(pmod(col("chunk_idx"), lit(stride)) === 0)
 
-  /** Binary → array<binary> of fixed-size chunks, with builtins only. */
+  /** Binary → array<binary> of fixed-size chunks, with builtins only.
+    * Empty payloads yield an empty array (sequence(0,-1) would count
+    * DOWN in Spark and emit phantom chunks). */
   private def split_part_bytes(payload: org.apache.spark.sql.Column, n: Int) =
-    transform(
-      sequence(lit(0), floor((length(payload) - 1) / n).cast("int")),
-      i => substring(payload, (i * n + 1).cast("int"), lit(n)))
+    when(length(payload) === 0, array().cast("array<binary>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((length(payload) - 1) / n).cast("int")),
+        i => substring(payload, (i * n + 1).cast("int"), lit(n))))
 }

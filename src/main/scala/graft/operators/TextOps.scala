@@ -145,12 +145,15 @@ object TextOps {
         |FROM j JOIN ns na ON na.doc_id = j.da JOIN ns nb ON nb.doc_id = j.db
         |WHERE CAST(j.n_common AS DOUBLE) / (na.n + nb.n - j.n_common) >= 0.5""".stripMargin) {
       (spark, dir) =>
+        // cap matches the oracle's generate_series(0, 4095); cached —
+        // ns and both join sides consume this explode+md5 stage
         val sh = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"),
             explode(expr(
-              "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)), " +
+              "transform(sequence(0, least(greatest(size(split(text, ' ')) - 5, 0), 4095)), " +
                 "i -> md5(array_join(slice(split(text, ' '), i + 1, 5), ' ')))")).as("m"))
           .distinct()
+          .cache()
         val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val j = sh.as("a")
           .join(sh.as("b"),
