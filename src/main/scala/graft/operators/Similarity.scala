@@ -63,7 +63,73 @@ object Similarity {
     }.reduce(_ unionByName _).cache()
   }
 
+  private val NumProbes = 2 // IVF cells searched per query
+  private val quantCos = "floor(list_cosine_similarity(%s, %s) * 1000000.0) / 1000000.0"
+
   val defs: Seq[QueryDef] = Seq(
+
+    // L7b — IVF-style ANN: assign every vector to its nearest coarse
+    // centroid (seeded deterministically from the corpus; a k-means
+    // refinement would slot in here without changing the query shape),
+    // then search only the query's nProbe nearest cells. The inverted
+    // index is the (cell -> vectors) shuffle; candidates are an
+    // equi-join on cell id — the other standard ANN family next to
+    // the sign-bucket LSH of ann_lsh.
+    QueryDef(
+      "ann_ivf", {
+        val qc = quantCos.format("e.v", "c.cv")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+           |asn AS (SELECT vec_id, cid FROM (
+           |   SELECT e.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+           |   FROM e, c) t WHERE rn = 1),
+           |qprobe AS (SELECT vec_id AS qid, cid FROM (
+           |   SELECT e.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+           |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $NumProbes),
+           |cand AS (SELECT DISTINCT q.qid, a.vec_id AS nid
+           |         FROM qprobe q JOIN asn a ON a.cid = q.cid WHERE a.vec_id <> q.qid),
+           |sc AS (SELECT cand.qid, cand.nid,
+           |              ${quantCos.format("eq.v", "en.v")} AS score
+           |       FROM cand JOIN e eq ON eq.vec_id = cand.qid
+           |                 JOIN e en ON en.vec_id = cand.nid),
+           |r AS (SELECT qid, nid, score,
+           |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+           |      FROM sc)
+           |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+           |FROM r WHERE rn <= $TopK""".stripMargin
+      }) { (spark, dir) =>
+      ensureRegistered(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cent = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
+      val wAsn = Window.partitionBy(col("vec_id")).orderBy(qcos.desc, col("cid"))
+      val asn = emb.crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wAsn))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val qprobe = emb.filter(col("vec_id") % 100 === 0)
+        .crossJoin(broadcast(cent))
+        .withColumn("rn", row_number().over(wAsn))
+        .filter(col("rn") <= NumProbes)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = qprobe.join(asn.withColumnRenamed("vec_id", "nid"), "cid")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid")).distinct()
+      val scored = cand
+        .join(emb.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+        .select(col("qid"), col("nid"),
+          graft.functions.Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= TopK)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rn").cast("long").as("rank"), col("score"))
+    },
 
     // L5 — embedding-cosine near-dup pairs, LSH-bucketed.
     QueryDef(

@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSuite {
     assert(out("view") === 1L)
   }
 
+  test("stream-static join enriches the stream with a broadcastable dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val severity = Seq(("error", 3), ("purchase", 2), ("click", 1))
+      .toDF("event_type", "severity")
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "error", 1.0),
+      Event(2, ts(1), 1, "click", 1.0),
+      Event(3, ts(2), 2, "error", 1.0))
+    val q = input.toDF().join(severity, "event_type")
+      .groupBy("severity").count()
+      .writeStream.outputMode("update").format("memory").queryName("sev").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sev").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(3) === 2L && out(1) === 1L)
+  }
+
   test("streaming sessionize agrees with the batch sessionize query on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
