@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{Portable, VecCosine, VecDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks on the numeric kernels the oracle parity
+  * depends on (quantization, vector expressions, portable hashing).
+  * Uses raw ScalaCheck generators with fixed seeds (the scalatest
+  * bridge artifact is not in the offline cache). */
+class PropertiesSpec extends SparkSuite {
+
+  private val genParams = Gen.Parameters.default
+
+  /** Deterministic forAll: 200 seeded samples per generator. */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 200).foreach { i =>
+      g.apply(genParams, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 200).foreach { i =>
+      for {
+        a <- ga.apply(genParams, Seed(i.toLong))
+        b <- gb.apply(genParams, Seed(i.toLong + 1000))
+      } f(a, b)
+    }
+
+  private val finiteD: Gen[Double] = Gen.chooseNum(-1e6, 1e6)
+  private val vec: Gen[List[Double]] = Gen.listOfN(16, finiteD)
+
+  private def evalDot(a: Seq[Double], b: Seq[Double]): Double =
+    VecDot(
+      Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType))).eval(null).asInstanceOf[Double]
+
+  private def evalCos(a: Seq[Double], b: Seq[Double]): Double =
+    VecCosine(
+      Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType))).eval(null).asInstanceOf[Double]
+
+  test("quant6 is a lower bound within 1e-6 and idempotent") {
+    forAll(finiteD) { x =>
+      val q = math.floor(x * 1e6) / 1e6
+      assert(q <= x)
+      assert(x - q < 1e-6 + math.ulp(x) * 2)
+      assert(math.floor(q * 1e6) / 1e6 === q)
+    }
+  }
+
+  test("VecDot eval matches a left-to-right Scala fold bit-for-bit") {
+    forAll2(vec, vec) { (a, b) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      assert(evalDot(a, b) === expected)
+    }
+  }
+
+  test("VecCosine is symmetric-magnitude and scale-invariant") {
+    forAll(vec) { a =>
+      if (a.exists(_ != 0.0)) {
+        val self = evalCos(a, a)
+        assert(math.abs(self - 1.0) < 1e-9)
+        val scaled = evalCos(a, a.map(_ * 2.0))
+        assert(math.abs(scaled - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("md5Hex is stable and 32 lowercase hex chars for any string") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val h = Portable.md5Hex(s)
+      assert(h.length === 32)
+      assert(h.forall(c => "0123456789abcdef".contains(c)))
+      assert(h === Portable.md5Hex(s))
+    }
+  }
+}
