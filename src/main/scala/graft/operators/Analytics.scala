@@ -250,6 +250,24 @@ object Analytics {
           dsum(col("o_totalprice")).as("total"))
     },
 
+    // A18 — CUBE: all grouping-set combinations with subtotal rows.
+    QueryDef(
+      "cube_agg",
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(countAll.as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+    },
+
     // A13 — time-bucketed aggregation over the event stream table.
     QueryDef(
       "events_hourly",

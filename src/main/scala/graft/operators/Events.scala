@@ -61,6 +61,39 @@ object Events {
           col("n_events"), col("session_start"), col("session_end"), col("session_value"))
     },
 
+    // A17 — as-of (temporal) join: for every non-purchase event, the
+    // user's most recent purchase at-or-before it. Expressed as ONE
+    // windowed pass over the union stream (max-over-preceding-rows of
+    // the tagged timestamp) — no join at all, one shuffle on user_id.
+    // This is the scalable as-of shape; a sort-merge as-of join would
+    // need a custom SparkPlan for no gain here.
+    QueryDef(
+      "asof_purchase",
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+        |      FROM e)
+        |SELECT event_id, user_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        |       COALESCE(strftime(make_timestamp(lp), '%Y-%m-%d %H:%M:%S'), 'never') AS last_purchase_time,
+        |       CAST(COALESCE((epoch_us(ts) - lp) // 1000000, -1) AS BIGINT) AS secs_since_purchase
+        |FROM w WHERE event_type <> 'purchase'""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("lp",
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") =!= "purchase")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"),
+          fmtTs(col("ts")).as("event_time"),
+          coalesce(fmtTs(timestamp_micros(col("lp"))), lit("never")).as("last_purchase_time"),
+          coalesce(expr("(unix_micros(ts) - lp) div 1000000"), lit(-1L))
+            .cast("long").as("secs_since_purchase"))
+    },
+
     // R6 — latest-snapshot selection: only rows from the newest day.
     QueryDef(
       "latest_snapshot",
