@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSuite {
     assert(out("view") === 1L)
   }
 
+  test("streaming exact dedup drops repeats within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // streaming twin of dedup_exact: state keyed on the dedup key,
+    // bounded by the watermark so it is evictable at scale
+    val q = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type").count()
+      .writeStream.outputMode("update").format("memory").queryName("dedup_s").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 2.0), // dup of (1, click)
+      Event(3, ts(2), 2, "click", 3.0),
+      Event(4, ts(3), 2, "click", 4.0)) // dup of (2, click)
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dedup_s").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("click") === 2L) // one per distinct (user, type)
+  }
+
   test("stream-static join enriches the stream with a broadcastable dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
