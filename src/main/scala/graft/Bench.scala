@@ -36,6 +36,9 @@ object Bench {
             failed ::= name
             false
         }
+      // drop cached intermediates the warm-up materialized: the timed
+      // run must pay each query's own cache-build cost, not reuse it
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val ok2 = ok && (try { once(); true } catch {
         case e: Throwable =>

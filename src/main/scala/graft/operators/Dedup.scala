@@ -31,7 +31,7 @@ object Dedup {
   private val Mod = 4294967296L // 2^32
   // Cap on shingle start positions per doc — MUST match the oracle's
   // generate_series(0, 4095) bound or long docs diverge cross-engine.
-  private val MaxShingleStarts = 4096
+  private[operators] val MaxShingleStarts = 4096
 
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =

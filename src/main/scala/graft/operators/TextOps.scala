@@ -131,9 +131,9 @@ object TextOps {
     // only ever formed within a block — no cross join.
     QueryDef(
       "text_ngram_jaccard",
-      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, array_to_string(tk[i.i + 1:i.i + 5], ' ') AS shingle
-        |       FROM t, generate_series(0, 4095) i(i)
+        |       FROM t, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
         |       WHERE i.i <= greatest(len(tk) - 5, 0)),
         |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |j AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
@@ -150,7 +150,7 @@ object TextOps {
         val sh = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"),
             explode(expr(
-              "transform(sequence(0, least(greatest(size(split(text, ' ')) - 5, 0), 4095)), " +
+              s"transform(sequence(0, least(greatest(size(split(text, ' ')) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
                 "i -> md5(array_join(slice(split(text, ' '), i + 1, 5), ' ')))")).as("m"))
           .distinct()
           .cache()

@@ -2,7 +2,6 @@ package graft
 
 import graft.functions.{Portable, VecCosine, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -43,12 +42,18 @@ class PropertiesSpec extends SparkSuite {
       Literal.create(b, ArrayType(DoubleType))).eval(null).asInstanceOf[Double]
 
   test("quant6 is a lower bound within 1e-6 and idempotent") {
-    forAll(finiteD) { x =>
-      val q = math.floor(x * 1e6) / 1e6
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // evaluate the PRODUCTION Column expression over sampled inputs
+    val xs = (0 until 200).flatMap(i => finiteD.apply(genParams, Seed(i.toLong)))
+    val qs = xs.toDF("x").select(Portable.quant6(col("x"))).collect().map(_.getDouble(0))
+    xs.zip(qs).foreach { case (x, q) =>
       assert(q <= x)
       assert(x - q < 1e-6 + math.ulp(x) * 2)
-      assert(math.floor(q * 1e6) / 1e6 === q)
     }
+    // idempotence: quantizing the quantized values is a no-op
+    val qqs = qs.toSeq.toDF("x").select(Portable.quant6(col("x"))).collect().map(_.getDouble(0))
+    assert(qqs.toSeq === qs.toSeq)
   }
 
   test("VecDot eval matches a left-to-right Scala fold bit-for-bit") {

@@ -35,11 +35,12 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
-    // streaming twin of dedup_exact: state keyed on the dedup key,
-    // bounded by the watermark so it is evictable at scale
+    // streaming twin of dedup_exact: dropDuplicatesWithinWatermark
+    // bounds the dedup state by event time so it is evictable at scale
+    // (plain dropDuplicates without the time column keeps state forever)
     val q = input.toDF()
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .groupBy("event_type").count()
       .writeStream.outputMode("update").format("memory").queryName("dedup_s").start()
     input.addData(
