@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * sf0.1; this form cuts that to one md5 per shingle and one shuffle.
   * md5 is the one hash DuckDB reproduces bit-for-bit (SURVEY.md §4);
   * Spark xxhash64 / DuckDB hash() are different algorithms.
+  *
+  * Methods (public literature): MinHash resemblance sketches (Broder,
+  * "On the resemblance and containment of documents", 1997); banded
+  * LSH (Indyk & Motwani, STOC 1998; Leskovec/Rajaraman/Ullman, Mining
+  * of Massive Datasets ch.3); double hashing for the hash family
+  * (Kirsch & Mitzenmacher, ESA 2006); SimHash (Charikar, STOC 2002;
+  * Manku et al., WWW 2007 for the hamming-block candidate trick).
   */
 object Dedup {
 

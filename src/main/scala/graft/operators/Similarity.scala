@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * Hyperplanes are md5-derived constants (VectorOps.hyperplane) so the
   * DuckDB oracle rebuilds them bit-identically (SURVEY.md §4).
+  *
+  * Methods (public literature): random-hyperplane cosine LSH
+  * (Charikar, STOC 2002); multi-table LSH (Indyk & Motwani, 1998);
+  * IVF coarse quantization (Jegou/Douze/Schmid, "Product quantization
+  * for nearest neighbor search", TPAMI 2011 — the inverted-file part,
+  * without PQ refinement).
   */
 object Similarity {
 

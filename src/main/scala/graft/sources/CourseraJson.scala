@@ -54,15 +54,30 @@ object CourseraJson {
         StructField("queryCollections", ArrayType(collectionSchema)))))))),
     StructField("_corrupt_record", StringType)))
 
-  /** Read raw response JSON → one row per collection (label, id,
-    * entities[]) — the shape CourseFlatten.flatten expects. */
-  def readCollections(spark: SparkSession, path: String): DataFrame =
+  /** Raw read, keeping corrupt rows (R10: the Spark-native form of
+    * extract-service/main.py:159-174's response validation — bad
+    * records surface as `_corrupt_record` instead of crashing). */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(responseSchema)
       .option("multiLine", "true") // the reference uploads one indented JSON doc
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+
+  /** Rows the reader could not parse against the response schema.
+    * Spark refuses queries that reference ONLY the internal corrupt
+    * column on a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    * caching the parsed result first is the documented pattern. */
+  def corruptRecords(spark: SparkSession, path: String): DataFrame =
+    readRaw(spark, path).cache()
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+
+  /** Read raw response JSON → one row per collection (label, id,
+    * entities[]) — the shape CourseFlatten.flatten expects. */
+  def readCollections(spark: SparkSession, path: String): DataFrame =
+    readRaw(spark, path)
       .select(explode(col("data.DiscoveryCollections.queryCollections")).as("c"))
       .select(col("c.label").as("label"), col("c.id").as("id"), col("c.entities").as("entities"))
 }

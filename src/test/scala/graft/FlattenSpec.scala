@@ -20,6 +20,16 @@ class FlattenSpec extends SparkSuite {
     assert(df.filter(col("course_count") === "N/A").count() > 0)
   }
 
+  test("malformed JSON surfaces as corrupt records instead of crashing (R10)") {
+    val dir = java.nio.file.Files.createTempDirectory("coursera_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/coursera_response_x.json"),
+      """{ this is not valid json at all""")
+    val corrupt = CourseraJson.corruptRecords(spark, dir)
+    assert(corrupt.count() === 1)
+    assert(CourseraJson.readCollections(spark, dir).count() === 0) // no crash
+  }
+
   test("JSON fixture in the reference response shape round-trips (R1)") {
     val fixture =
       """[ { "data": { "DiscoveryCollections": { "queryCollections": [
