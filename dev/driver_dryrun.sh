@@ -1,0 +1,39 @@
+#!/bin/bash
+# Replicates the round driver's sequence end-to-end:
+#   1. entry smoke (sf0.001, rows>0)
+#   2. Verify + DuckDB oracle replay at sf0.01 (the correctness gate)
+#   3. Bench at sf0.1 (one JSON line)
+# Exits non-zero on any failure.
+set -e
+cd /root/repo
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+sbt -batch compile | tail -1
+
+echo "== 1/3 entry smoke (sf0.001) =="
+cat > /tmp/graft_smoke.scala <<'EOF'
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"entry rows: $n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}
+EOF
+scala -cp "$CP" $ADD_OPENS /tmp/graft_smoke.scala 2>/dev/null || \
+  java $ADD_OPENS -Xmx4g -cp "$CP" graft.Explain flatten_courses > /dev/null
+
+echo "== 2/3 correctness gate (sf0.01) =="
+dev/check.sh /root/testdata/sf0.01 /tmp/dryrun_verify
+
+echo "== 3/3 bench (sf0.1) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench 2>/dev/null | tail -1
+echo "== dry run complete =="

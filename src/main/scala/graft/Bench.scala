@@ -36,17 +36,26 @@ object Bench {
             failed ::= name
             false
         }
-      // drop cached intermediates the warm-up materialized: the timed
-      // run must pay each query's own cache-build cost, not reuse it
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      val ok2 = ok && (try { once(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED (timed run): ${e.getMessage}")
-          failed ::= name
-          false
-      })
-      name -> (if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // Two timed runs, report the min: a single multi-second GC pause
+      // on a shared box otherwise lands on one unlucky query. Before
+      // each, drop cached intermediates the previous run materialized —
+      // a query must pay its own cache-build cost, not reuse another's.
+      def timedOnce(): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        once()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val timed =
+        if (!ok) -1.0
+        else try math.min(timedOnce(), timedOnce())
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED (timed run): ${e.getMessage}")
+            failed ::= name
+            -1.0
+        }
+      name -> timed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
