@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSuite {
     assert(out("view") === 1L)
   }
 
+  test("file-source ingestion: readStream over a parquet drop-zone") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batch = graft.sources.Tables.events(spark, sf0001)
+    batch.write.mode("overwrite").parquet(s"$dir/drop")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/drop")
+      .groupBy("event_type").agg(fcount(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("filesrc").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("filesrc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = batch.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === expected)
+  }
+
   test("streaming exact dedup drops repeats within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
