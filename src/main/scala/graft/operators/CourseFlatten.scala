@@ -31,14 +31,16 @@ object CourseFlatten {
     * an array of structs, partners nested one level deeper. */
   def nestedCollections(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // partners of a part = suppliers it ships with in lineitem.
-    // Dedup on the (part, supplier) pair BEFORE the dim join: at scale
-    // this is one shuffle of two int columns, then a broadcast join.
+    // Broadcast-join the supplier dim first (no shuffle), then ONE
+    // groupBy(partkey) with collect_set doing the dedup inside the
+    // aggregation — a separate distinct() would add a second full
+    // shuffle of the fact projection for nothing.
     val partSupp = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_list(struct(col("s_name").as("name"), col("s_suppkey").cast("string").as("id")))).as("partner_structs"))
+      .agg(sort_array(collect_set(struct(col("s_name").as("name"), col("s_suppkey").cast("string").as("id")))).as("partner_structs"))
 
     val entities = Tables.part(spark, dir)
       .join(partSupp, col("p_partkey") === col("l_partkey"), "left")
