@@ -171,6 +171,49 @@ object TextOps {
             quant6(jac).as("jaccard"))
     },
 
+    // L14 — content filter: rule-based keep/drop with a reason column
+    // (the safety/quality gate of a training pipeline). Pure per-row
+    // expressions — a narrow map stage at any scale.
+    QueryDef(
+      "text_filter",
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN length(text) < 200 THEN 'too_short'
+         |            WHEN len(string_split(text, ' ')) < 30 THEN 'too_few_tokens'
+         |            WHEN ${hitsSql(Seq("error", "slow"))} > 5 THEN 'marker_heavy'
+         |            ELSE 'keep' END AS verdict
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        when(length(col("text")) < 200, "too_short")
+          .when(size(toks) < 30, "too_few_tokens")
+          .when(hits(Seq("error", "slow")) > 5, "marker_heavy")
+          .otherwise("keep").as("verdict"))
+    },
+
+    // L15 — deterministic stratified sampling (training-mix quotas):
+    // md5(doc_id) buckets each doc into [0,100); a per-language rate
+    // keeps that fraction. Reproducible across engines and runs — no
+    // RNG state, no driver coordination.
+    QueryDef(
+      "text_sample",
+      """SELECT lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM (SELECT lang,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket,
+        |             CASE lang WHEN 'en' THEN 60 WHEN 'fr' THEN 30 ELSE 15 END AS rate
+        |      FROM documents) t
+        |GROUP BY lang""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long") % 100).as("bucket"),
+          when(col("lang") === "en", 60).when(col("lang") === "fr", 30).otherwise(15).as("rate"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("bucket") < col("rate"), 1).otherwise(0)).cast("long").as("n_sampled"))
+    },
+
     // L1 — exact dedup: normalize → hash → keep-first per group.
     // At scale: one shuffle on the 128-bit text hash, never on raw text.
     QueryDef(
