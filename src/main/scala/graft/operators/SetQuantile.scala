@@ -32,20 +32,30 @@ object SetQuantile {
           countAll.as("n"))
     },
 
-    // A16 — set operations over customer activity years.
+    // A16 — set operations over customer activity years. Year filters
+    // are HALF-OPEN TIMESTAMP RANGES, not year(): wrapping the column
+    // in a function defeats parquet predicate pushdown, so every
+    // variant would scan all of orders (PlanSpec asserts PushedFilters).
     QueryDef(
       "set_ops",
       """SELECT
-        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE year(o_orderdate) = 1997) AS n_1997,
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') AS n_1997,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |                         INTERSECT
-        |                         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t) AS n_both,
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |                         SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01') t) AS n_both,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |                         EXCEPT
-        |                         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t) AS n_churned""".stripMargin) {
+        |                         SELECT DISTINCT o_custkey FROM orders
+        |                         WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01') t) AS n_churned""".stripMargin) {
       (spark, dir) =>
         val o = Tables.orders(spark, dir)
-        def custsIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        def custsIn(y: Int) = o.filter(
+          col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp")
+            && col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
           .select(col("o_custkey")).distinct()
         val c97 = custsIn(1997)
         val c98 = custsIn(1998)

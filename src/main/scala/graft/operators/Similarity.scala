@@ -112,16 +112,27 @@ object Similarity {
       val cent = emb.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
-      val wAsn = Window.partitionBy(col("vec_id")).orderBy(qcos.desc, col("cid"))
+      // Argmax as an AGGREGATE, not a window: the N×K scored rows are
+      // collapsed to one partial per vector map-side (each vector's K
+      // centroid scores are born in one partition from the broadcast
+      // join), so the shuffle carries N rows — at 1B vectors × 1k
+      // centroids a window here would shuffle 1T rows to rank them.
+      // Tie-break matches the oracle: best score, then LOWEST cid.
+      val best = struct(col("score"), (-col("cid")).as("nc"))
       val asn = emb.crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(wAsn))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
+        .select(col("vec_id"), col("cid"), qcos.as("score"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), best).as("cid"))
+      // nProbe cells per query: same aggregate trick — top-2 kept via a
+      // K-bounded sorted list per key (partials merge map-side), never
+      // a rank over the joined rows.
       val qprobe = emb.filter(col("vec_id") % 100 === 0)
         .crossJoin(broadcast(cent))
-        .withColumn("rn", row_number().over(wAsn))
-        .filter(col("rn") <= NumProbes)
-        .select(col("vec_id").as("qid"), col("cid"))
+        .select(col("vec_id").as("qid"), col("cid"), qcos.as("score"))
+        .groupBy(col("qid"))
+        .agg(slice(sort_array(collect_list(best), asc = false), 1, NumProbes).as("top"))
+        .select(col("qid"), explode(col("top")).as("p"))
+        .select(col("qid"), (-col("p.nc")).as("cid"))
       val cand = qprobe.join(asn.withColumnRenamed("vec_id", "nid"), "cid")
         .filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("nid")).distinct()

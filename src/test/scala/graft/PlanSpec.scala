@@ -45,4 +45,20 @@ class PlanSpec extends SparkSuite {
   test("topn_revenue uses TakeOrdered instead of a global sort") {
     assert(plan("topn_revenue").contains("TakeOrderedAndProject"))
   }
+
+  test("set_ops pushes the year ranges into the orders scan") {
+    val p = plan("set_ops")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
+      "o_orderdate range should reach the parquet scan")
+  }
+
+  test("ann_ivf assigns centroids via aggregate, not a window over N×K rows") {
+    val p = plan("ann_ivf")
+    // no window may rank the N×K assignment rows on vec_id — the only
+    // row_number left is the final per-query top-k over candidates
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "assignment must not rank N×K rows in a window keyed by vec_id")
+    assert(p.contains("partial_max_by"),
+      "assignment should collapse map-side via a partial max_by aggregate")
+  }
 }
