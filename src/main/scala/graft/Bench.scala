@@ -40,26 +40,31 @@ object Bench {
       // on a shared box otherwise lands on one unlucky query. Before
       // each, drop cached intermediates the previous run materialized —
       // a query must pay its own cache-build cost, not reuse another's.
+      // BOTH run times are kept in the output ("runs"): a large spread
+      // between them makes box contention self-diagnosing in the
+      // artifact instead of looking like a plan regression.
       def timedOnce(): Double = {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9
       }
-      val timed =
-        if (!ok) -1.0
-        else try math.min(timedOnce(), timedOnce())
+      val runs =
+        if (!ok) Seq(-1.0)
+        else try Seq(timedOnce(), timedOnce())
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (timed run): ${e.getMessage}")
             failed ::= name
-            -1.0
+            Seq(-1.0)
         }
-      name -> timed
+      name -> runs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.min }.mkString("{", ",", "}")
+    val rr = results.map { case (k, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, rs) if rs.min >= 0 => rs.min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.mkString(", ")}")

@@ -35,12 +35,20 @@ object CourseFlatten {
     // groupBy(partkey) with collect_set doing the dedup inside the
     // aggregation — a separate distinct() would add a second full
     // shuffle of the fact projection for nothing.
+    // suppkey stays NUMERIC inside the sorted struct so the (name, key)
+    // tie-break is numeric like the oracle's ORDER BY s_name, s_suppkey —
+    // a string key would sort '10' before '9' when names collide.
     val partSupp = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
-      .agg(sort_array(collect_set(struct(col("s_name").as("name"), col("s_suppkey").cast("string").as("id")))).as("partner_structs"))
+      .agg(sort_array(collect_set(struct(col("s_name").as("name"), col("s_suppkey").as("id")))).as("ps"))
+      .select(col("l_partkey"),
+        transform(col("ps"),
+          p => struct(p.getField("name").as("name"), p.getField("id").cast("string").as("id")))
+          .as("partner_structs"),
+        transform(col("ps"), p => p.getField("id").cast("string")).as("partner_id_arr"))
 
     val entities = Tables.part(spark, dir)
       .join(partSupp, col("p_partkey") === col("l_partkey"), "left")
@@ -52,6 +60,9 @@ object CourseFlatten {
           lower(regexp_replace(col("p_name"), " ", "-")).as("slug"),
           concat(lit("/learn/"), lower(regexp_replace(col("p_name"), " ", "-"))).as("url"),
           concat(lit("/img/"), col("p_partkey").cast("string"), lit(".jpg")).as("imageUrl"),
+          // the API carries partnerIds as a SEPARATE array next to the
+          // partners structs (CourseraJson.entitySchema); mirror that
+          coalesce(col("partner_id_arr"), array().cast("array<string>")).as("partnerIds"),
           coalesce(col("partner_structs"), array().cast("array<struct<name:string,id:string>>")).as("partners"),
           when(col("p_size") < 10, lit("Beginner"))
             .when(col("p_size") < 20, lit("Intermediate"))
@@ -90,12 +101,16 @@ object CourseFlatten {
         e.getField("slug").as("slug"),
         e.getField("url").as("url"),
         e.getField("imageUrl").as("image_url"),
-        // R3 — array-of-struct → ", "-joined strings, parallel order
+        // R3 — array-of-struct → ", "-joined strings; partner_ids comes
+        // from the entity's OWN partnerIds array (main.py:107-110 joins
+        // entity["partnerIds"], not partners[].id — the two can differ
+        // in a real response)
         array_join(transform(e.getField("partners"), p => p.getField("name")), ", ").as("partners"),
-        array_join(transform(e.getField("partners"), p => p.getField("id")), ", ").as("partner_ids"),
-        // R5 — .get(..., "N/A") defaults
+        array_join(coalesce(e.getField("partnerIds"), array().cast("array<string>")), ", ").as("partner_ids"),
+        // R5 — .get(..., "N/A") defaults; isPartOfCourseraPlus defaults
+        // to false like the reference's .get(..., False) (main.py:126)
         coalesce(e.getField("difficultyLevel"), lit("N/A")).as("difficulty_level"),
-        e.getField("isPartOfCourseraPlus").as("is_part_of_coursera_plus"),
+        coalesce(e.getField("isPartOfCourseraPlus"), lit(false)).as("is_part_of_coursera_plus"),
         coalesce(e.getField("courseCount"), lit("N/A")).as("course_count"),
         coalesce(e.getField("isCostFree"), lit("N/A")).as("is_cost_free"),
         // R4 — nested struct projection

@@ -66,6 +66,9 @@ class FlattenSpec extends SparkSuite {
     assert(e2.getAs[String]("difficulty_level") === "N/A") // R5 default
     assert(e2.getAs[String]("course_count") === "N/A")
     assert(e2.getAs[String]("partners") === "")
+    assert(e2.getAs[String]("partner_ids") === "")
+    // missing isPartOfCourseraPlus defaults to false (.get(..., False))
+    assert(e2.getAs[Boolean]("is_part_of_coursera_plus") === false)
     assert(e2.getAs[Boolean]("is_pathway_content") === true) // R4 nested path
   }
 }
