@@ -39,6 +39,21 @@ object Dedup {
   // Cap on shingle start positions per doc — MUST match the oracle's
   // generate_series(0, 4095) bound or long docs diverge cross-engine.
   private[operators] val MaxShingleStarts = 4096
+  // Hot-bucket cap: an LSH band bucket holding more docs than this is
+  // dropped before the self-join. A boilerplate band shared by f docs
+  // fans out f²/2 candidate pairs — the classic web-scale dedup hot
+  // bucket; past this size the bucket carries no near-dup signal
+  // anyway. Mirrored in the oracle; never fires on the synthetic
+  // corpus (max shingle doc-frequency there is 4), so it's purely the
+  // 100 TB guard.
+  private[operators] val MaxBucketDocs = 200
+  // Min-label propagation rounds for dedup_clusters: covers duplicate
+  // components of graph diameter <= 8. Near-dup clusters are dense —
+  // LSH links most member pairs directly, so real diameters are 1-2
+  // (the sf0.01 corpus maxes at 2); 8 is generous headroom while
+  // keeping the iteration count FIXED (no driver-side convergence
+  // loop, no unbounded lineage).
+  private[operators] val PropagationRounds = 8
 
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =
@@ -51,91 +66,214 @@ object Dedup {
        |              CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
        |       FROM sh)""".stripMargin
 
-  /** Spark twin of the oracle's `hs` CTE: (doc_id, h1, h2), distinct.
-    * Shingles are deduped and joined BY THEIR 64-bit hash words, not
-    * the strings: shuffling two longs beats shuffling 5-token strings,
-    * and a collision needs ~2^32 shingles (oracle joins strings — the
-    * results agree unless md5's 64-bit prefix collides). */
-  private def hashWords(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** (doc_id, tk) with the text tokenized ONCE and the docs spread
+    * across all cores. Both matter for the shingle stages: a `split`
+    * referenced inside a higher-order-function lambda is re-evaluated
+    * per array element (≈500× per doc — measured 4× slower end to
+    * end), and a small-file scan otherwise runs the entire md5 stage
+    * in one task (the sf0.1 corpus is a single ~50 MB parquet file;
+    * at cluster scale the repartition also decouples parallelism from
+    * upstream file layout for what is the most compute-dense map stage
+    * in the engine). */
+  private[operators] def tokenized(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .withColumn("tk", split(col("text"), " ")).drop("text")
+
+  /** Exploded shingle hash words of `docs` (doc_id, text, …):
+    * one row per (doc_id, h1, h2), DISTINCT — the set semantics the
+    * exact-Jaccard verify and SimHash bit sums need. Shingles are
+    * joined BY THEIR 64-bit hash words, not the strings: shuffling two
+    * longs beats shuffling 5-token strings, and a collision needs
+    * ~2^32 shingles (oracle joins strings — the results agree unless
+    * md5's 64-bit prefix collides). */
+  private def hashWords(docs: DataFrame): DataFrame =
+    tokenized(docs)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(0, least(greatest(size(split(text, ' ')) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
-            s"i -> md5(array_join(slice(split(text, ' '), i + 1, $ShingleLen), ' ')))")).as("m"))
+          s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
+            s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))")).as("m"))
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
       .distinct()
 
-  private def gk(k: Int): Column = (col("h1") + lit(k.toLong) * col("h2")) % Mod
+  /** Verified near-duplicate pairs (doc_a < doc_b, jaccard >= 0.7).
+    * Scale shape, stage by stage:
+    *  - signatures are PER-DOC ARRAY EXPRESSIONS (`array_min` over the
+    *    transformed shingle-hash array) — a map-only stage with NO
+    *    explode and NO shuffle; MIN is duplicate-insensitive so the
+    *    shingle-set distinct isn't needed here. (The exploded form of
+    *    this stage cost a full-corpus shuffle of the ~500×-bigger
+    *    shingle relation.)
+    *  - banded LSH candidates: 4 rows/doc, hot buckets capped via a
+    *    broadcast anti-join (an overflowing band bucket fans out
+    *    quadratically and carries no near-dup signal).
+    *  - exact-Jaccard verification explodes shingle sets ONLY for docs
+    *    that appear in some candidate pair — a broadcast semi-join
+    *    filter first, so verify work scales with true duplicate mass,
+    *    not corpus size.
+    * Shared by dedup_minhash and dedup_clusters. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    val hsArr = tokenized(docs)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
+          s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))").as("ms"))
+      .select(col("doc_id"),
+        expr("transform(ms, m -> named_struct(" +
+          "'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint), " +
+          "'h2', cast(conv(substring(m, 9, 8), 16, 10) as bigint)))").as("hs"))
+    val sig = hsArr.select(
+      col("doc_id") +: (0 until NumHashes).map(k =>
+        expr(s"array_min(transform(hs, h -> (h.h1 + $k * h.h2) % $Mod))").as(s"mh$k")): _*)
+
+    val bandKeys = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
+      md5(concat(lit(s"$b:"), concat_ws("|", parts: _*)))
+    }
+    val bk = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    val hot = bk.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucketDocs).select(col("band_key"))
+    val bkc = bk.join(broadcast(hot), Seq("band_key"), "left_anti")
+
+    val cand = bkc.as("a")
+      .join(bkc.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .unionByName(cand.select(col("db").as("doc_id"))).distinct()
+    val shc = hashWords(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .cache()
+    val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val inter = cand
+      .join(shc.as("sa"), col("sa.doc_id") === col("da"))
+      .join(shc.as("sb"),
+        col("sb.doc_id") === col("db")
+          && col("sb.h1") === col("sa.h1") && col("sb.h2") === col("sa.h2"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_common"))
+
+    val jac = col("n_common").cast("double") /
+      (col("na.n") + col("nb.n") - col("n_common"))
+    inter
+      .join(ns.as("na"), col("na.doc_id") === col("da"))
+      .join(ns.as("nb"), col("nb.doc_id") === col("db"))
+      .filter(jac >= JaccardThreshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_common").cast("long").as("n_common"),
+        graft.functions.Portable.quant6(jac).as("jaccard"))
+  }
+
+  /** Resolve verified pairs into duplicate clusters by iterative
+    * min-label propagation over the (bidirected) pair edges — a fixed
+    * [[PropagationRounds]] rounds of "my label := min(my label, my
+    * neighbors' labels)", each one keyed shuffle on doc_id over data
+    * sized by the DUPLICATE MASS, not the corpus.
+    *
+    * Every round materializes via `localCheckpoint`: an iterative plan
+    * that re-references its previous round doubles the logical plan
+    * per iteration (2^rounds copies of the pair-generation subtree —
+    * Catalyst analysis alone becomes the bottleneck), so lineage MUST
+    * be truncated, the same reason GraphX/GraphFrames checkpoint their
+    * iterations. On a production cluster with executor churn, swap for
+    * reliable `checkpoint` with a checkpoint dir. */
+  def clusterLabels(pairs: DataFrame): DataFrame = {
+    // cache first: edges references the pair plan twice (both edge
+    // directions) — without this the whole pair-generation pipeline
+    // executes twice inside the first materialization
+    val fwd = pairs.cache().select(col("doc_a").as("s"), col("doc_b").as("d"))
+    val edges = fwd.unionByName(fwd.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint(true)
+    var labels = edges.groupBy(col("s")).agg(min(col("d")).as("m"))
+      .select(col("s").as("doc_id"), least(col("s"), col("m")).as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PropagationRounds) {
+      val viaNbr = edges
+        .join(labels.select(col("doc_id").as("s"), col("label")), "s")
+        .select(col("d").as("doc_id"), col("label"))
+      labels = labels.unionByName(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Oracle CTE chain ending in a `pairs(da, db, n_common, jaccard)`
+    * relation — the SQL twin of [[minhashPairs]], shared by the
+    * dedup_minhash and dedup_clusters oracles. The hot-bucket cap is
+    * mirrored as a HAVING filter on band keys. */
+  private val pairsCtes: String = {
+    val mins = (0 until NumHashes)
+      .map(k => s"MIN((h1 + $k * h2) % $Mod) AS mh$k").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, md5('$b:' || $parts) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$shingleCtes,
+       |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bk AS ($bandSelects),
+       |bkc AS (SELECT * FROM bk WHERE band_key NOT IN
+       |        (SELECT band_key FROM bk GROUP BY band_key HAVING COUNT(*) > $MaxBucketDocs)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.da, c.db, COUNT(*) AS n_common
+       |          FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.da
+       |          JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
+       |          GROUP BY c.da, c.db),
+       |pairs AS (SELECT i.da, i.db, CAST(i.n_common AS BIGINT) AS n_common,
+       |                 floor((CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common)) * 1000000.0) / 1000000.0 AS jaccard
+       |          FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
+       |          WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
     // L2+L4 — MinHash signatures → banded LSH buckets → exact-Jaccard
     // verification of in-bucket candidate pairs only.
     QueryDef(
-      "dedup_minhash", {
-        val mins = (0 until NumHashes)
-          .map(k => s"MIN((h1 + $k * h2) % $Mod) AS mh$k").mkString(", ")
-        val bandSelects = (0 until NumBands).map { b =>
-          val parts = (0 until RowsPerBand)
-            .map(r => s"CAST(mh${b * RowsPerBand + r} AS VARCHAR)")
-            .mkString(" || '|' || ")
-          s"SELECT doc_id, md5('$b:' || $parts) AS band_key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $shingleCtes,
-           |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-           |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
-           |bk AS ($bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           |         FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |inter AS (SELECT c.da, c.db, COUNT(*) AS n_common
-           |          FROM cand c
-           |          JOIN sh sa ON sa.doc_id = c.da
-           |          JOIN sh sb ON sb.doc_id = c.db AND sb.shingle = sa.shingle
-           |          GROUP BY c.da, c.db)
-           |SELECT i.da AS doc_a, i.db AS doc_b,
-           |       CAST(i.n_common AS BIGINT) AS n_common,
-           |       floor((CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common)) * 1000000.0) / 1000000.0 AS jaccard
-           |FROM inter i JOIN ns na ON na.doc_id = i.da JOIN ns nb ON nb.doc_id = i.db
-           |WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold""".stripMargin
-      }) { (spark, dir) =>
-      val sh = hashWords(spark, dir).cache()
-      val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      "dedup_minhash",
+      s"""WITH $pairsCtes
+         |SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs""".stripMargin) {
+      (spark, dir) => minhashPairs(spark, dir)
+    },
 
-      val sig = sh
-        .groupBy(col("doc_id"))
-        .agg(min(gk(0)).as("mh0"), (1 until NumHashes).map(k => min(gk(k)).as(s"mh$k")): _*)
-
-      val bandKeys = (0 until NumBands).map { b =>
-        val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))
-        md5(concat(lit(s"$b:"), concat_ws("|", parts: _*)))
-      }
-      val bk = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-
-      val cand = bk.as("a")
-        .join(bk.as("b"),
-          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-
-      val inter = cand
-        .join(sh.as("sa"), col("sa.doc_id") === col("da"))
-        .join(sh.as("sb"),
-          col("sb.doc_id") === col("db")
-            && col("sb.h1") === col("sa.h1") && col("sb.h2") === col("sa.h2"))
-        .groupBy(col("da"), col("db"))
-        .agg(count(lit(1)).as("n_common"))
-
-      val jac = col("n_common").cast("double") /
-        (col("na.n") + col("nb.n") - col("n_common"))
-      inter
-        .join(ns.as("na"), col("na.doc_id") === col("da"))
-        .join(ns.as("nb"), col("nb.doc_id") === col("db"))
-        .filter(jac >= JaccardThreshold)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          col("n_common").cast("long").as("n_common"),
-          graft.functions.Portable.quant6(jac).as("jaccard"))
+    // L2-terminal — pairs → duplicate clusters → kept corpus: the step
+    // that turns a pair REPORT into a deduplicated DATASET. Cluster id
+    // = min doc_id in the connected component of the pair graph; the
+    // representative (kept) doc is the one equal to its cluster id;
+    // docs in no pair keep themselves. Oracle: DuckDB recursive-CTE
+    // min-label reachability over the same pairs.
+    QueryDef(
+      "dedup_clusters",
+      s"""WITH RECURSIVE $pairsCtes,
+         |e AS (SELECT da AS s, db AS d FROM pairs
+         |      UNION ALL SELECT db AS s, da AS d FROM pairs),
+         |walk(doc_id, label) AS (
+         |  SELECT s, s FROM e
+         |  UNION
+         |  SELECT e.d, w.label FROM walk w JOIN e ON e.s = w.doc_id AND w.label < e.d),
+         |comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS kept
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) {
+      (spark, dir) =>
+        val labels = clusterLabels(minhashPairs(spark, dir))
+          .select(col("doc_id").as("l_doc"), col("label"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"))
+          .join(labels, col("doc_id") === col("l_doc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"),
+            (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
     },
 
     // L3 — 32-bit SimHash over 5-gram shingle features; pairs within
@@ -165,7 +303,7 @@ object Dedup {
       }) { (spark, dir) =>
       def bitSum(b: Int): Column =
         sum(lit(2) * (floor(col("h1") / lit((1L << b).toDouble)).cast("long") % 2) - 1).as(s"s$b")
-      val s = hashWords(spark, dir)
+      val s = hashWords(Tables.documents(spark, dir))
         .groupBy(col("doc_id"))
         .agg(bitSum(0), (1 until 32).map(bitSum): _*)
       val fpExpr = (0 until 32)

@@ -128,17 +128,26 @@ object TextOps {
     // L4 — n-gram Jaccard with SOURCE-blocked candidates: the blocking
     // key is a data attribute instead of an LSH bucket (the other
     // candidate-generation strategy a pipeline mixes in). Pairs are
-    // only ever formed within a block — no cross join.
+    // only ever formed within a block — no cross join. A shingle whose
+    // within-source doc frequency exceeds Dedup.MaxBucketDocs is
+    // boilerplate, not similarity evidence: it is dropped from the
+    // shingle SETS on both engines, which bounds the per-join-key
+    // fan-out (a viral shingle inside one source would otherwise
+    // produce quadratic candidates within that block).
     QueryDef(
       "text_ngram_jaccard",
       s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, array_to_string(tk[i.i + 1:i.i + 5], ' ') AS shingle
         |       FROM t, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
         |       WHERE i.i <= greatest(len(tk) - 5, 0)),
-        |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |hot AS (SELECT source, shingle FROM sh
+        |        GROUP BY source, shingle HAVING COUNT(*) > ${Dedup.MaxBucketDocs}),
+        |shc AS (SELECT sh.* FROM sh WHERE NOT EXISTS
+        |        (SELECT 1 FROM hot WHERE hot.source = sh.source AND hot.shingle = sh.shingle)),
+        |ns AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
         |j AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
-        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
-        |                         AND a.doc_id < b.doc_id
+        |      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.source = b.source
+        |                           AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT j.da AS doc_a, j.db AS doc_b, CAST(j.n_common AS BIGINT) AS n_common,
         |       floor((CAST(j.n_common AS DOUBLE) / (na.n + nb.n - j.n_common)) * 1000000.0) / 1000000.0 AS jaccard
@@ -146,17 +155,25 @@ object TextOps {
         |WHERE CAST(j.n_common AS DOUBLE) / (na.n + nb.n - j.n_common) >= 0.5""".stripMargin) {
       (spark, dir) =>
         // cap matches the oracle's generate_series(0, 4095); cached —
-        // ns and both join sides consume this explode+md5 stage
-        val sh = Tables.documents(spark, dir)
+        // the hot list, ns, and both join sides consume this
+        // explode+md5 stage. The hot list is tiny by construction, so
+        // dropping it is a broadcast anti-join over the cached stage.
+        // Tokenize once + repartition first (Dedup.tokenized rationale:
+        // per-element split re-evaluation, single-file scan parallelism).
+        val sh = Dedup.tokenized(
+          Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
           .select(col("doc_id"), col("source"),
             explode(expr(
-              s"transform(sequence(0, least(greatest(size(split(text, ' ')) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
-                "i -> md5(array_join(slice(split(text, ' '), i + 1, 5), ' ')))")).as("m"))
+              s"transform(sequence(0, least(greatest(size(tk) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
+                "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
           .distinct()
           .cache()
-        val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val j = sh.as("a")
-          .join(sh.as("b"),
+        val hot = sh.groupBy(col("source"), col("m")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") > Dedup.MaxBucketDocs).select(col("source"), col("m"))
+        val shc = sh.join(broadcast(hot), Seq("source", "m"), "left_anti")
+        val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val j = shc.as("a")
+          .join(shc.as("b"),
             col("a.m") === col("b.m") && col("a.source") === col("b.source")
               && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

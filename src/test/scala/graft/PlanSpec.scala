@@ -14,7 +14,7 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no cartesian product in any bucketed similarity/dedup plan") {
-    Seq("dedup_minhash", "dedup_simhash", "dedup_embed", "ann_lsh").foreach { q =>
+    Seq("dedup_minhash", "dedup_simhash", "dedup_embed", "ann_lsh", "dedup_clusters").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
