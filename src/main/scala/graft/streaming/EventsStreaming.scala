@@ -31,39 +31,63 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
-    * twin of the batch `sessionize` query (30-minute gap). Emits a
-    * session when the gap passes or the state times out. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    * twin of the batch `sessionize` query (30-minute gap).
+    *
+    * A session is emitted when a newer event passes the gap, OR when
+    * the event-time watermark passes `session_end + gap` — the state
+    * entry is then REMOVED, so an idle user cannot pin state forever
+    * (with NoTimeout, billions of one-visit users would grow the state
+    * store without bound). Input rows older than the watermark are
+    * dropped by Spark before reaching the function, so a session's
+    * bounds can only move forward. `watermarkDelay` is the allowed
+    * out-of-orderness; timeouts fire only once the watermark advances
+    * past end + gap, so every gap the batch query would see is
+    * honored. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000
 
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          // events arrive unordered within the batch: sort locally (per
-          // key, bounded by batch size), then fold through the gap rule.
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end > gapMs =>
-                out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no newer events: the
+            // session can never be extended — emit it and DROP state
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value))
+          } else {
+            // events arrive unordered within the batch: sort locally (per
+            // key, bounded by batch size), then fold through the gap rule.
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end > gapMs =>
+                  out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // evict once no in-gap continuation can still arrive
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.result().iterator
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None => ()
-          }
-          out.result().iterator
       }
   }
 }

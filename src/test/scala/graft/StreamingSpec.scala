@@ -98,7 +98,9 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
-    val q = EventsStreaming.sessionize(input.toDS())
+    // a huge watermark delay disables timeouts: this test isolates the
+    // GAP rule (timeout emission is covered by the tests below)
+    val q = EventsStreaming.sessionize(input.toDS(), 30, "3650 days")
       .writeStream.outputMode("append").format("memory").queryName("sessions_eq").start()
 
     val events = graft.sources.Tables.events(spark, sf0001)
@@ -126,6 +128,82 @@ class StreamingSpec extends SparkSuite {
       .orderBy("user_id", "session_start").collect()
     assert(got.length === want.length)
     got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("streaming sessionize with timeouts emits only true batch sessions, including finals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(input.toDS(), 30, "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_to").start()
+
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    input.addData(events.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch emits second-precision strings (Portable.fmtTs) — compare
+    // in that space, like the equivalence test above
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("user_id")),
+        r.getString(r.fieldIndex("session_start")),
+        r.getString(r.fieldIndex("session_end")),
+        r.getLong(r.fieldIndex("n_events")))
+    val batch = SparkEntry.queries("sessionize")(spark, sf0001).cache()
+    val batchKeys = batch
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(key).toSet
+    val got = spark.table("sessions_to")
+      .select(col("user_id"),
+        graft.functions.Portable.fmtTs(col("session_start")).as("session_start"),
+        graft.functions.Portable.fmtTs(col("session_end")).as("session_end"),
+        col("n_events"))
+      .collect().map(key)
+    // every emitted session is a real batch session, none emitted twice
+    assert(got.toSet.subsetOf(batchKeys))
+    assert(got.length === got.toSet.size)
+    // timeouts emit FINAL sessions the gap rule alone never closes:
+    // strictly more than the non-final count must come out
+    val nUsers = batch.select("user_id").distinct().count()
+    val nonFinal = batch.count() - nUsers
+    assert(got.length > nonFinal)
+  }
+
+  test("an idle user's session is emitted via timeout and its state dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(input.toDS(), 30, "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_idle").start()
+
+    // user 7 goes idle with an open session (0..10)
+    input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_idle").count() === 0)
+
+    // another user's event advances the watermark to ts(110), past the
+    // idle session's end(10) + gap(30): timeout emits it WITHOUT any
+    // further event from user 7
+    input.addData(Event(3, ts(120), 8, "view", 1.0))
+    q.processAllAvailable()
+    val afterTimeout = spark.table("sessions_idle").as[EventsStreaming.Session].collect()
+    assert(afterTimeout.length === 1)
+    assert(afterTimeout(0).user_id === 7L && afterTimeout(0).n_events === 2L)
+    assert(afterTimeout(0).session_start === ts(0) && afterTimeout(0).session_end === ts(10))
+
+    // state was dropped: user 7's next event starts a FRESH session —
+    // surviving state would re-emit the old (0..10) session on the gap
+    input.addData(Event(4, ts(130), 7, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(5, ts(250), 7, "click", 1.0)) // gap-closes (130..130)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessions_idle").as[EventsStreaming.Session].collect()
+      .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+    assert(all.length === 2) // no duplicate emission of the timed-out session
+    assert(all(1).session_start === ts(130) && all(1).n_events === 1L)
   }
 
   test("sessionize splits on the 30-minute gap and carries state across batches") {
