@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` payloads + typed metadata, processed in batched
   * per-partition passes.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`decodeStub`); everything Spark
-  * owns — schema, partitioning, batch shape, the mapPartitions seam
-  * where a JNI/codec library would sit — is real and tested
-  * (MultimodalSpec). At 100 TB the payloads stream through one narrow
+  * PNG decode is REAL (`decodeMedia`, via the JVM's own javax.imageio
+  * codec — pixel-stat features, golden-tested in MultimodalSpec).
+  * Audio (wav) has no JVM codec here, so that path is a clearly-marked
+  * deterministic stub (`decodeStub` / the fallback in `decodeMedia`);
+  * everything Spark owns — schema, partitioning, batch shape, the
+  * mapPartitions seam where a JNI/codec library would sit — is real
+  * and tested. At 100 TB the payloads stream through one narrow
   * stage; nothing is collected and metadata travels columnar.
   */
 object Multimodal {
@@ -34,6 +36,21 @@ object Multimodal {
         (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
         (pmod(col("doc_id"), lit(48)) * 16 + 48).cast("int").as("height"))
 
+  private def byteChecksum(bytes: Array[Byte]): Long = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    checksum
+  }
+
+  /** STUB features: deterministic byte statistics standing in for what
+    * a codec would produce, for formats with no JVM decoder here (wav). */
+  private def stubFeatures(bytes: Array[Byte]): Array[Double] =
+    Array.tabulate(4) { k =>
+      if (bytes.isEmpty) 0.0
+      else bytes.iterator.drop(k).grouped(4).map(_.head & 0xff).sum.toDouble / bytes.length
+    }
+
   /** The decode/feature-extract stage: batched per partition, the shape
     * a real codec binding needs. The codec call itself is STUBBED with
     * a deterministic fake (sum/rolling hash of bytes → "features"). */
@@ -43,15 +60,55 @@ object Multimodal {
       // real impl: open codec context once per partition, decode batches
       rows.map { r =>
         val bytes = r.payload
-        var checksum = 0L
-        var i = 0
-        while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-        // STUB: stand-in for pixel/sample features from the decoder
-        val features = Array.tabulate(4) { k =>
-          if (bytes.isEmpty) 0.0
-          else bytes.iterator.drop(k).grouped(4).map(_.head & 0xff).sum.toDouble / bytes.length
+        DecodedRow(r.doc_id, r.fmt, r.width, r.height, bytes.length.toLong,
+          byteChecksum(bytes), stubFeatures(bytes))
+      }
+    }
+  }
+
+  /** REAL decode for PNG via the JVM's own codec (`javax.imageio` —
+    * no native library needed): width/height come from the decoded
+    * image and features are actual pixel statistics (mean R, G, B,
+    * luma, each in [0,1]). Formats without a JVM decoder (wav) and
+    * undecodable payloads fall back to the deterministic stub path, so
+    * the stage is total — a corrupt image degrades, never crashes the
+    * pipeline. Runs in the same per-partition seam where a JNI codec
+    * context would sit. */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+      rows.map { r =>
+        val bytes = r.payload
+        val img =
+          if (r.fmt == "png")
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = im.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h * 255.0
+            val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+            val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            DecodedRow(r.doc_id, r.fmt, w, h, bytes.length.toLong,
+              byteChecksum(bytes), Array(mr, mg, mb, luma))
+          case None =>
+            DecodedRow(r.doc_id, r.fmt, r.width, r.height, bytes.length.toLong,
+              byteChecksum(bytes), stubFeatures(bytes))
         }
-        DecodedRow(r.doc_id, r.fmt, r.width, r.height, bytes.length.toLong, checksum, features)
       }
     }
   }

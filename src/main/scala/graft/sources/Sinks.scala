@@ -32,6 +32,19 @@ object Sinks {
       .write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** R7-load — the warehouse's schema-inferred CSV read-back: the twin
+    * of the reference's BigQuery `autodetect=True, skip_leading_rows=1`
+    * load (transform-service/main.py:63-64). Spark scans the file once
+    * to recover column types (booleans, longs) instead of landing
+    * everything as strings. At 100 TB prefer the explicit-schema read —
+    * inference doubles the scan — but the reference behavior is load-
+    * time type recovery, and this is its Spark form. */
+  def readCourseCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true") // = skip_leading_rows=1 + names from header
+      .option("inferSchema", "true") // = autodetect=True
+      .csv(path)
+
   /** R8 — WRITE_APPEND into a warehouse parquet table. */
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)

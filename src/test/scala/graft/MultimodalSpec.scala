@@ -31,6 +31,45 @@ class MultimodalSpec extends SparkSuite {
     assert(out1.forall(r => r.n_bytes > 0))
   }
 
+  test("decodeMedia really decodes PNG: dimensions and pixel stats from the image") {
+    import spark.implicits._
+    // two golden PNGs built with the same codec family the decoder uses
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val red = 0xff0000
+    val blue = 0x0000ff
+    val halfAndHalf = png(4, 2)((x, _) => if (x < 2) red else blue) // mean R = mean B = 0.5
+    val allGreen = png(3, 3)((_, _) => 0x00ff00)
+    val media = Seq(
+      Multimodal.MediaRow(1L, halfAndHalf, "png", 0, 0), // metadata w/h wrong on purpose
+      Multimodal.MediaRow(2L, allGreen, "png", 0, 0),
+      Multimodal.MediaRow(3L, "not a png".getBytes("UTF-8"), "wav", 64, 48))
+      .toDS()
+    val out = Multimodal.decodeMedia(media).collect().sortBy(_.doc_id).toSeq
+
+    val d1 = out(0) // decoded size overrides metadata
+    assert(d1.width === 4 && d1.height === 2)
+    assert(math.abs(d1.features(0) - 0.5) < 1e-9) // mean red
+    assert(d1.features(1) === 0.0) // mean green
+    assert(math.abs(d1.features(2) - 0.5) < 1e-9) // mean blue
+
+    val d2 = out(1)
+    assert(d2.width === 3 && d2.height === 3)
+    assert(d2.features(0) === 0.0 && d2.features(1) === 1.0 && d2.features(2) === 0.0)
+    assert(math.abs(d2.features(3) - 0.587) < 1e-9) // luma of pure green
+
+    // non-PNG falls back to the deterministic stub path, keeping its metadata
+    val d3 = out(2)
+    assert(d3.width === 64 && d3.height === 48)
+    val stub = Multimodal.decodeStub(media).collect().sortBy(_.doc_id).apply(2)
+    assert(d3.features.toSeq === stub.features.toSeq)
+  }
+
   test("sampleChunks explodes payloads into strided fixed-size chunks") {
     val media = Multimodal.attachMedia(spark, sf0001)
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 32, stride = 2)

@@ -20,6 +20,24 @@ class SinksSpec extends SparkSuite {
     assert(back.count() === df.count())
   }
 
+  test("R7-load: inferSchema read-back recovers types like BigQuery autodetect") {
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
+    val dir = tmp()
+    val df = CourseFlatten.flatten(CourseFlatten.nestedCollections(spark, sf0001))
+    Sinks.writeCourseCsv(df, s"$dir/csv")
+    val back = Sinks.readCourseCsvInferred(spark, s"$dir/csv")
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("is_part_of_coursera_plus") === BooleanType)
+    assert(types("is_pathway_content") === BooleanType)
+    // autodetect picks the narrowest integral type that fits the data
+    assert(types("course_id") === IntegerType || types("course_id") === LongType)
+    assert(types("course_name") === StringType)
+    assert(back.count() === df.count())
+    // the recovered booleans round-trip the written values
+    val wrote = df.filter(col("is_part_of_coursera_plus")).count()
+    assert(back.filter(col("is_part_of_coursera_plus")).count() === wrote)
+  }
+
   test("R7: schema drift is refused") {
     val df = spark.range(3).toDF("not_a_course_column")
     intercept[IllegalArgumentException] {
