@@ -11,6 +11,7 @@ object SparkEntry {
       operators.Events.defs ++
       operators.CourseFlatten.defs ++
       operators.TextOps.defs ++
+      operators.TextStats.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.SetQuantile.defs

@@ -94,6 +94,44 @@ object Events {
             .cast("long").as("secs_since_purchase"))
     },
 
+    // A19 — range (interval) join, bucketed: for every purchase, the
+    // same user's events in the preceding 30 minutes. A naive
+    // inequality join plans a nested-loop O(|p|·|e|); instead both
+    // sides are keyed by (user_id, 30-min time bucket) — the probe
+    // (purchase) side explodes to its bucket and the one before, which
+    // COVERS the half-open window exactly, so candidates come from a
+    // plain equi-join shuffle and each true match appears exactly once
+    // (the build event's bucket is unique — no distinct needed). This
+    // is the standard scale shape for interval joins Spark lacks
+    // natively.
+    QueryDef(
+      "range_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, COUNT(*) AS n_prior,
+        |       CAST(SUM(CAST(b.value AS DECIMAL(12,2))) AS DOUBLE) AS prior_value
+        |FROM p JOIN e b ON b.user_id = p.user_id
+        |  AND b.ts >= p.ts - INTERVAL 30 MINUTE AND b.ts < p.ts
+        |GROUP BY p.event_id""".stripMargin) { (spark, dir) =>
+      val bucketUs = SessionGapUs // 30 min, = the window width
+      val e = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+      val build = e
+        .select(col("user_id"), col("value"), col("tus"),
+          expr(s"tus div $bucketUs").as("bucket"))
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("tus").as("p_tus"),
+          explode(array(expr(s"tus div $bucketUs - 1"), expr(s"tus div $bucketUs"))).as("bucket"))
+      probe
+        .join(build,
+          col("p_user") === col("user_id") && probe("bucket") === build("bucket")
+            && col("tus") >= col("p_tus") - bucketUs && col("tus") < col("p_tus"))
+        .groupBy(col("p_id"))
+        .agg(countAll.as("n_prior"), dsum(col("value")).as("prior_value"))
+        .select(col("p_id").as("event_id"), col("n_prior"), col("prior_value"))
+    },
+
     // R6 — latest-snapshot selection: only rows from the newest day.
     QueryDef(
       "latest_snapshot",

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Portable.quant6
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics (SURVEY.md §2.3 L16–L17) — the
+  * vocabulary/weighting stage of a training-data pipeline (tokenizer
+  * vocabularies, per-doc keyword extraction).
+  *
+  * Scale shape: everything reduces through (doc_id, token) partial
+  * aggregation first — the per-doc term-frequency relation is the one
+  * shared shuffle; document frequency then aggregates per token
+  * WITHOUT a count-distinct Expand (each (doc, token) row appears
+  * exactly once, so `count(*)` IS the document frequency). Top-k ends
+  * in TakeOrdered, never a global sort. Zipf-skewed hot tokens are
+  * AQE's skew-join case on the df join; the tf-idf ranking needs no
+  * join against the corpus — only against the (much smaller)
+  * vocabulary.
+  */
+object TextStats {
+
+  private val VocabTopK = 50
+  private val TfIdfTopK = 3
+
+  /** (doc_id, token, tf_d): per-document term frequencies — the shared
+    * first shuffle of both queries. */
+  private def docTerms(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf_d"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // L16 — corpus vocabulary: top-K tokens by document frequency.
+    QueryDef(
+      "text_vocab",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |g AS (SELECT doc_id, token, COUNT(*) AS tf_d FROM t GROUP BY doc_id, token),
+         |v AS (SELECT token, CAST(SUM(tf_d) AS BIGINT) AS tf, COUNT(*) AS df FROM g GROUP BY token)
+         |SELECT token, tf, df FROM v
+         |ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin) { (spark, dir) =>
+      docTerms(Tables.documents(spark, dir))
+        .groupBy(col("token"))
+        .agg(sum(col("tf_d")).cast("long").as("tf"), count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tf").desc, col("token"))
+        .limit(VocabTopK)
+    },
+
+    // L17 — per-document top-K terms by tf-idf. The idf is the
+    // RATIONAL form N/df (not ln(N/df)): integer-derived double math
+    // is bit-identical across engines, while ln() may differ in the
+    // last ulp and flip rank ties — the ranking is the same either
+    // way since ln is monotonic. Swap in ln() when oracle parity is
+    // not required.
+    QueryDef(
+      "text_tfidf",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |g AS (SELECT doc_id, token, COUNT(*) AS tf_d FROM t GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM g GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |s AS (SELECT g.doc_id, g.token, g.tf_d,
+         |             CAST(g.tf_d AS DOUBLE) * n.n / df.df AS score
+         |      FROM g JOIN df USING (token), n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+         |      FROM s)
+         |SELECT doc_id, token, CAST(tf_d AS BIGINT) AS tf,
+         |       floor(score * 1000000.0) / 1000000.0 AS score,
+         |       CAST(rn AS BIGINT) AS rank
+         |FROM r WHERE rn <= $TfIdfTopK""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val g = docTerms(docs).cache() // consumed by both df and the scoring join
+      val dfTok = g.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val s = g.join(dfTok, "token")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"), col("tf_d"),
+          (col("tf_d").cast("double") * col("n") / col("df")).as("score"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      s.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TfIdfTopK)
+        .select(col("doc_id"), col("token"), col("tf_d").cast("long").as("tf"),
+          quant6(col("score")).as("score"), col("rn").cast("long").as("rank"))
+    })
+}

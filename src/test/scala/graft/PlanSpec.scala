@@ -46,6 +46,16 @@ class PlanSpec extends SparkSuite {
     assert(plan("topn_revenue").contains("TakeOrderedAndProject"))
   }
 
+  test("range_join is a bucketed equi-join, not a nested loop") {
+    val p = plan("range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must go through the (user, bucket) equi-join")
+  }
+
+  test("text_vocab ends in TakeOrdered, not a global sort") {
+    assert(plan("text_vocab").contains("TakeOrderedAndProject"))
+  }
+
   test("set_ops pushes the year ranges into the orders scan") {
     val p = plan("set_ops")
     assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
