@@ -14,7 +14,8 @@ object SparkEntry {
       operators.TextStats.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.SetQuantile.defs
+      operators.SetQuantile.defs ++
+      operators.Skew.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

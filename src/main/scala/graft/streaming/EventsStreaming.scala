@@ -30,6 +30,40 @@ object EventsStreaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Stream-STREAM interval join — the streaming twin of the batch
+    * `range_join` query: every purchase joined to the same user's
+    * events in the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition is time-bounded in both
+    * directions, so Spark can size the join state and EVICT rows the
+    * watermark has passed — an unbounded-state stream-stream join
+    * never drains at scale. */
+  def purchaseAttribution(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$windowMinutes minutes")
+    val prior = events
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"), col("value"))
+      .withWatermark("e_ts", s"$windowMinutes minutes")
+    purchases.join(prior,
+      col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES")
+        && col("e_ts") < col("p_ts"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("e_id"), col("value"))
+  }
+
+  /** Streaming → warehouse: append each micro-batch through the SAME
+    * batch sink the reference's load side uses (R8, WRITE_APPEND) —
+    * `foreachBatch` is the bridge that reuses batch writers from a
+    * stream. Returns the started query. */
+  def warehouseSink(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.appendParquet(batch, path)
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
     * twin of the batch `sessionize` query (30-minute gap).
     *

@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSuite {
     assert(out(3) === 2L && out(1) === 1L)
   }
 
+  test("stream-stream interval join attributes prior events to purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.purchaseAttribution(input.toDF(), 30)
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0), // within 30 min of purchase 3 → match
+      Event(2, ts(40), 2, "click", 1.0), // other user → no match
+      Event(3, ts(10), 1, "purchase", 9.0),
+      Event(4, ts(50), 1, "click", 1.0), // AFTER the purchase → no match
+      Event(5, ts(100), 1, "purchase", 5.0)) // nearest prior click 50 min away → no match
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("e_id")))
+    assert(out.toSet === Set((3L, 1L)))
+  }
+
+  test("foreachBatch bridges the stream into the batch warehouse sink (R8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_wh").toString}/warehouse"
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.warehouseSink(input.toDF(), dir)
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3) // WRITE_APPEND accumulated both micro-batches
+    assert(back.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
   test("streaming sessionize agrees with the batch sessionize query on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
