@@ -87,7 +87,11 @@ object Dedup {
     * ~2^32 shingles (oracle joins strings — the results agree unless
     * md5's 64-bit prefix collides). */
   private def hashWords(docs: DataFrame): DataFrame =
-    tokenized(docs)
+    shingleWords(tokenized(docs))
+
+  /** Same, over an already-tokenized (doc_id, tk) relation. */
+  private def shingleWords(tok: DataFrame): DataFrame =
+    tok
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
@@ -114,9 +118,12 @@ object Dedup {
     *    not corpus size.
     * Shared by dedup_minhash and dedup_clusters. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // cached: the signature stage and the verify stage each need the
+    // tokenized docs — one scan+split+repartition instead of two
+    val tok = tokenized(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).cache()
 
-    val hsArr = tokenized(docs)
+    val hsArr = tok
       .select(col("doc_id"),
         expr(s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
           s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))").as("ms"))
@@ -145,7 +152,7 @@ object Dedup {
 
     val candDocs = cand.select(col("da").as("doc_id"))
       .unionByName(cand.select(col("db").as("doc_id"))).distinct()
-    val shc = hashWords(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    val shc = shingleWords(tok.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
       .cache()
     val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
 

@@ -36,6 +36,49 @@ object Multimodal {
         (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
         (pmod(col("doc_id"), lit(48)) * 16 + 48).cast("int").as("height"))
 
+  /** REAL media payloads: for fmt=png an actually-encoded PNG (tiny
+    * solid-color image deterministically derived from doc_id — PNG is
+    * lossless, so decode recovers the exact color), other formats keep
+    * the utf-8 text stand-in. Encoder runs in the same per-partition
+    * seam as decode. Dimensions are kept small (8..39 px) so the
+    * synthetic corpus encodes in milliseconds — the point is a true
+    * encode→decode roundtrip through a real codec, not image size. */
+  def synthesizeMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    attachMedia(spark, dir)
+      .select(col("doc_id"), col("payload"), col("fmt"),
+        (pmod(col("doc_id"), lit(32)) + 8).cast("int").as("width"),
+        (pmod(col("doc_id") * 7, lit(32)) + 8).cast("int").as("height"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          if (r.fmt == "png") {
+            val rgb = Multimodal.syntheticColor(r.doc_id)
+            val im = new java.awt.image.BufferedImage(
+              r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < r.height) {
+              var x = 0
+              while (x < r.width) { im.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(im, "png", bos)
+            r.copy(payload = bos.toByteArray)
+          } else r
+        }
+      }
+  }
+
+  /** Deterministic per-doc fill color for [[synthesizeMedia]]. */
+  def syntheticColor(docId: Long): Int = {
+    val red = ((docId * 37) % 256).toInt
+    val green = ((docId * 59) % 256).toInt
+    val blue = ((docId * 83) % 256).toInt
+    (red << 16) | (green << 8) | blue
+  }
+
   private def byteChecksum(bytes: Array[Byte]): Long = {
     var checksum = 0L
     var i = 0

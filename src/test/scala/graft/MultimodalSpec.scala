@@ -70,6 +70,25 @@ class MultimodalSpec extends SparkSuite {
     assert(d3.features.toSeq === stub.features.toSeq)
   }
 
+  test("corpus-scale encode→decode roundtrip through the real PNG codec") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeMedia(spark, sf0001)
+    val decoded = Multimodal.decodeMedia(media).collect()
+    assert(decoded.length === 500)
+    val pngs = decoded.filter(_.fmt == "png")
+    assert(pngs.nonEmpty)
+    pngs.foreach { d =>
+      // dimensions came from the actual decoded image
+      assert(d.width === (d.doc_id % 32 + 8).toInt, s"doc ${d.doc_id}")
+      assert(d.height === (d.doc_id * 7 % 32 + 8).toInt, s"doc ${d.doc_id}")
+      // lossless roundtrip: mean channel == the synthetic fill color
+      val rgb = Multimodal.syntheticColor(d.doc_id)
+      assert(math.abs(d.features(0) - ((rgb >> 16) & 0xff) / 255.0) < 1e-9)
+      assert(math.abs(d.features(1) - ((rgb >> 8) & 0xff) / 255.0) < 1e-9)
+      assert(math.abs(d.features(2) - (rgb & 0xff) / 255.0) < 1e-9)
+    }
+  }
+
   test("sampleChunks explodes payloads into strided fixed-size chunks") {
     val media = Multimodal.attachMedia(spark, sf0001)
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 32, stride = 2)
