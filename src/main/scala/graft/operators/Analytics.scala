@@ -268,6 +268,49 @@ object Analytics {
           col("n"), col("total"))
     },
 
+    // A9b — explicit GROUPING SETS: arbitrary (non-hierarchical) set
+    // list — the general form rollup/cube specialize. One Expand +
+    // one shuffle, same as rollup.
+    QueryDef(
+      "grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) {
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(countAll.as("n"), dsum(col("l_extendedprice")).as("total"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("total"))
+    },
+
+    // A7b — lag/lead window: per-user event-over-event value delta and
+    // the previous event id. One shuffle on user_id, evaluated inside
+    // the sorted partition.
+    QueryDef(
+      "window_delta",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id,
+        |       COALESCE(lag(event_id) OVER w, -1) AS prev_event_id,
+        |       floor((value - COALESCE(lag(value) OVER w, value)) * 1000000.0) / 1000000.0 AS delta
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+      (spark, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .select(col("event_id"), col("user_id"),
+            coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event_id"),
+            quant6(col("value") - coalesce(lag(col("value"), 1).over(w), col("value"))).as("delta"))
+    },
+
     // A13 — time-bucketed aggregation over the event stream table.
     QueryDef(
       "events_hourly",

@@ -49,6 +49,53 @@ object TextStats {
         .limit(VocabTopK)
     },
 
+    // L18 — rule-based redaction (the PII-masking stage of a training
+    // pipeline, expressed on the synthetic corpus as marker-token
+    // masking): regexp_replace + regexp count, pure per-row codegen'd
+    // expressions — a narrow map stage at any scale. The pattern uses
+    // only \b + alternation, which Java regex (Spark) and RE2 (DuckDB)
+    // interpret identically.
+    QueryDef(
+      "text_redact",
+      """SELECT doc_id, lang,
+        |       CAST(len(regexp_extract_all(text, '\b(the|le|el|der)\b')) AS BIGINT) AS n_masked,
+        |       md5(regexp_replace(text, '\b(the|le|el|der)\b', '<mask>', 'g')) AS masked_hash
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      val pattern = "\\b(the|le|el|der)\\b"
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit(pattern)).cast("long").as("n_masked"),
+        md5(regexp_replace(col("text"), pattern, "<mask>")).as("masked_hash"))
+    },
+
+    // L19 — training-sequence packing: concat-then-chunk document
+    // packing into fixed token budgets, per language. A doc belongs to
+    // the pack where its first token lands (running token count over a
+    // deterministic doc order) — the standard pretraining packing
+    // semantics. One shuffle on lang; integer window math only.
+    QueryDef(
+      "text_pack", {
+        val budget = 2048
+        s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
+           |r AS (SELECT doc_id, lang, n_tok,
+           |             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           |      FROM t)
+           |SELECT lang, CAST((run - n_tok) // $budget AS BIGINT) AS pack_id,
+           |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+           |FROM r GROUP BY 1, 2""".stripMargin
+      }) { (spark, dir) =>
+      val budget = 2048
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("run", sum(col("n_tok")).over(w))
+        .groupBy(col("lang"), expr(s"(run - n_tok) div $budget").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("total_tokens"))
+    },
+
     // L17 — per-document top-K terms by tf-idf. The idf is the
     // RATIONAL form N/df (not ln(N/df)): integer-derived double math
     // is bit-identical across engines, while ln() may differ in the
