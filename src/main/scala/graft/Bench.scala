@@ -25,8 +25,14 @@ object Bench {
     // Warm the JVM/codegen once so per-query times measure the plan, not JIT.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
+    // Unset (the driver's invocation) = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val ok =
         try { once(); true } // warm-up: codegen/JIT compile off the clock

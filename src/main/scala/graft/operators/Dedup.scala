@@ -47,13 +47,21 @@ object Dedup {
   // corpus (max shingle doc-frequency there is 4), so it's purely the
   // 100 TB guard.
   private[operators] val MaxBucketDocs = 200
-  // Min-label propagation rounds for dedup_clusters: covers duplicate
-  // components of graph diameter <= 8. Near-dup clusters are dense —
-  // LSH links most member pairs directly, so real diameters are 1-2
-  // (the sf0.01 corpus maxes at 2); 8 is generous headroom while
-  // keeping the iteration count FIXED (no driver-side convergence
-  // loop, no unbounded lineage).
-  private[operators] val PropagationRounds = 8
+  // Min-label propagation rounds for dedup_clusters. Each round
+  // combines a neighbor-min step with a pointer-jump (label := my
+  // label's own label), so the covered graph distance DOUBLES per
+  // round on ascending-id chains (2^r after r rounds = 32 here); the
+  // 5th round is margin for adversarial id layouts where jump targets
+  // zig-zag (DedupClustersSpec exercises a permuted diameter-16 chain,
+  // which 4 rounds do NOT resolve but 5 do). Near-dup clusters are
+  // dense — LSH links most member pairs directly, so real diameters
+  // are 1-2 (the sf0.01 corpus maxes at 2); this is generous headroom
+  // while keeping the iteration count FIXED (no driver-side
+  // convergence loop, no unbounded lineage) and the materialization
+  // count LOW (5 checkpoints, vs 8 for linear propagation — each eager
+  // checkpoint is a full job round-trip, and they dominated
+  // dedup_clusters' wall time at bench scale).
+  private[operators] val PropagationRounds = 5
 
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =
@@ -177,9 +185,25 @@ object Dedup {
 
   /** Resolve verified pairs into duplicate clusters by iterative
     * min-label propagation over the (bidirected) pair edges — a fixed
-    * [[PropagationRounds]] rounds of "my label := min(my label, my
-    * neighbors' labels)", each one keyed shuffle on doc_id over data
-    * sized by the DUPLICATE MASS, not the corpus.
+    * [[PropagationRounds]] rounds, each a keyed shuffle on doc_id over
+    * data sized by the DUPLICATE MASS, not the corpus.
+    *
+    * Each round interleaves two steps:
+    *  1. neighbor-min — "my label := min(my label, my neighbors'
+    *     labels)", one hop of plain propagation (guarantees >= 1 hop
+    *     of progress per round unconditionally);
+    *  2. pointer-jump — "my label := my label's label" (a label value
+    *     is itself a doc_id with an entry in the label table), which
+    *     composes the hops found so far and doubles the covered
+    *     distance on chain layouts (2^r after r rounds).
+    * This is the min-label/pointer-jumping family of parallel
+    * connected-components algorithms (Shiloach-Vishkin; Hash-to-Min in
+    * Rastogi et al., "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds", ICDE 2013; star operations in Kiveris et
+    * al., SoCC 2014). Linear propagation needed 8 materialization
+    * rounds for diameter 8; this resolves diameter 16 in 5 (with the
+    * spec exercising both ascending and adversarially permuted id
+    * layouts at that bound).
     *
     * Every round materializes via `localCheckpoint`: an iterative plan
     * that re-references its previous round doubles the logical plan
@@ -199,10 +223,18 @@ object Dedup {
       .select(col("s").as("doc_id"), least(col("s"), col("m")).as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to PropagationRounds) {
+      // 1-hop neighbor minimum over the previous round's labels
       val viaNbr = edges
         .join(labels.select(col("doc_id").as("s"), col("label")), "s")
         .select(col("d").as("doc_id"), col("label"))
-      labels = labels.unionByName(viaNbr)
+      // pointer jump on the previous (checkpointed) label table: my
+      // label's own label. Self-join of the RDD-backed checkpoint, so
+      // the plan stays small and analysis-safe; inner join suffices —
+      // every label value is a doc_id with its own label row.
+      val jumped = labels.select(col("doc_id"), col("label").as("mid"))
+        .join(labels.select(col("doc_id").as("mid"), col("label").as("jl")), "mid")
+        .select(col("doc_id"), col("jl").as("label"))
+      labels = labels.unionByName(viaNbr).unionByName(jumped)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
     }

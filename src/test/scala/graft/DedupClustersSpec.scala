@@ -12,10 +12,21 @@ class DedupClustersSpec extends SparkSuite {
   }
 
   test("a chain component resolves to its minimum id within the round bound") {
-    // diameter 7 — near the PropagationRounds=8 bound on purpose
-    val chain = pairsDf((1L to 7L).map(i => (i, i + 1)): _*)
+    // diameter 16 — the documented bound (pointer jumps double the
+    // covered distance per round on an ascending chain)
+    val chain = pairsDf((1L to 16L).map(i => (i, i + 1)): _*)
     val labels = Dedup.clusterLabels(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels === (1L to 8L).map(_ -> 1L).toMap)
+    assert(labels === (1L to 17L).map(_ -> 1L).toMap)
+  }
+
+  test("an adversarially permuted chain still resolves within the rounds") {
+    // same 17-node chain but ids deliberately scrambled so the min sits
+    // mid-chain and pointer targets zig-zag — the layout where naive
+    // doubling arguments are weakest
+    val ids = Seq(9L, 3L, 14L, 1L, 12L, 6L, 17L, 2L, 10L, 5L, 16L, 4L, 13L, 8L, 15L, 7L, 11L)
+    val chain = pairsDf(ids.zip(ids.tail).map { case (a, b) => (math.min(a, b), math.max(a, b)) }: _*)
+    val labels = Dedup.clusterLabels(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === ids.map(_ -> 1L).toMap)
   }
 
   test("separate components keep separate cluster ids") {
