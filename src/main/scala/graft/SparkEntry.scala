@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.SetQuantile.defs ++
-      operators.Skew.defs
+      operators.Skew.defs ++
+      operators.Audit.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -311,6 +311,32 @@ object Analytics {
             quant6(col("value") - coalesce(lag(col("value"), 1).over(w), col("value"))).as("delta"))
     },
 
+    // A7c — time-RANGE moving aggregate: per-user trailing-1-hour
+    // event count and decimal sum. A RANGE frame over event-time is
+    // the batch twin of a sliding stream window; ordering on unix
+    // micros keeps the frame arithmetic integer-exact and identical
+    // cross-engine (an INTERVAL literal would mean the same bounds,
+    // micros are just unambiguous). One shuffle on user_id, frames
+    // evaluated in-partition.
+    QueryDef(
+      "events_moving",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT event_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       COUNT(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (spark, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+            countAll.over(w).as("n_1h"),
+            sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+    },
+
     // A13 — time-bucketed aggregation over the event stream table.
     QueryDef(
       "events_hourly",

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Warehouse audit operators (SURVEY.md §2.2 A21–A22): snapshot
+  * reconciliation (CDC-style diff) and one-pass column profiling —
+  * the maintenance jobs a 100 TB warehouse runs nightly next to the
+  * reference's append loads (transform-service/main.py:54-76 appends
+  * snapshots into a warehouse table; diffing consecutive snapshots and
+  * profiling the loaded columns is how such a pipeline is monitored).
+  *
+  * Scale shape:
+  *  - snapshot_diff: one shuffle per snapshot on the primary key, one
+  *    full-outer sort-merge join — the canonical reconciliation plan;
+  *    row-identical snapshots cost |keys| shuffled bytes, and the
+  *    change classification is a per-row expression. No broadcast
+  *    (both sides are fact-sized), no driver state.
+  *  - profile_stats: ONE scan, map-side partial aggregation to a
+  *    single row (count/min/max/decimal-sum per column), then a
+  *    constant-width `stack` unpivot — profiling N columns costs one
+  *    pass regardless of N, vs N scans for naive per-column jobs.
+  */
+object Audit {
+
+  /** Deterministic snapshot classifier: first hex char of
+    * md5(orderkey). '0'/'1' → row only in the NEW snapshot (insert),
+    * '2'/'3' → only in the OLD (delete), '4'/'5' → totalprice bumped
+    * in the new snapshot (update), rest → identical in both. md5 of
+    * the decimal key string is reproduced bit-for-bit by the oracle
+    * (SURVEY.md §4). */
+  private val cls = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A21 — CDC-style snapshot reconciliation: full-outer join of two
+    // snapshot versions on the key, classify insert/delete/update,
+    // drop unchanged rows.
+    QueryDef(
+      "snapshot_diff",
+      """WITH c AS (SELECT o_orderkey, o_totalprice,
+        |                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS cls
+        |           FROM orders),
+        |snap_old AS (SELECT o_orderkey, o_totalprice AS p FROM c
+        |             WHERE cls NOT IN ('0', '1')),
+        |snap_new AS (SELECT o_orderkey,
+        |                    CASE WHEN cls IN ('4', '5') THEN o_totalprice + 10
+        |                         ELSE o_totalprice END AS p
+        |             FROM c WHERE cls NOT IN ('2', '3'))
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |            WHEN n.o_orderkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change,
+        |       o.p AS old_price, n.p AS new_price
+        |FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.p <> n.p""".stripMargin) {
+      (spark, dir) =>
+        val base = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), cls.as("cls"))
+        val snapOld = base.filter(!col("cls").isin("0", "1"))
+          .select(col("o_orderkey").as("old_key"), col("o_totalprice").as("old_price"))
+        val snapNew = base.filter(!col("cls").isin("2", "3"))
+          .select(col("o_orderkey").as("new_key"),
+            when(col("cls").isin("4", "5"), col("o_totalprice") + 10)
+              .otherwise(col("o_totalprice")).as("new_price"))
+        snapOld
+          .join(snapNew, col("old_key") === col("new_key"), "full_outer")
+          .filter(col("old_key").isNull || col("new_key").isNull
+            || col("old_price") =!= col("new_price"))
+          .select(
+            coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
+            when(col("old_key").isNull, "insert")
+              .when(col("new_key").isNull, "delete")
+              .otherwise("update").as("change"),
+            col("old_price"), col("new_price"))
+    },
+
+    // A22 — one-pass numeric column profiling of the biggest fact.
+    QueryDef(
+      "profile_stats", {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             |       COUNT(*) - COUNT($c) AS n_null,
+             |       CAST(MIN($c) AS DOUBLE) AS min_val,
+             |       CAST(MAX($c) AS DOUBLE) AS max_val,
+             |       CAST(SUM(CAST($c AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }) { (spark, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        dsum(col(c)).as(s"${c}_sum")))
+      val one = Tables.lineitem(spark, dir)
+        .agg(countAll.as("n_rows"), aggs: _*)
+      val stacked = one.select(
+        col("n_rows"),
+        expr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', ${c}_n, ${c}_min, ${c}_max, ${c}_sum").mkString(", ") +
+          ") AS (column_name, n_non_null, min_val, max_val, total)"))
+      stacked.select(
+        col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("min_val"), col("max_val"), col("total"))
+    })
+}

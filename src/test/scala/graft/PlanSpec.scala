@@ -62,6 +62,20 @@ class PlanSpec extends SparkSuite {
       "o_orderdate range should reach the parquet scan")
   }
 
+  test("profile_stats profiles all columns in ONE scan of lineitem") {
+    // count scans in the final plan only — the AQE plan string repeats
+    // the tree under "== Initial Plan ==" and would double-count
+    val p = plan("profile_stats").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected a single lineitem scan, saw $scans")
+  }
+
+  test("snapshot_diff reconciles via an equi-join, not a nested loop") {
+    val p = plan("snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "snapshot reconciliation must be a keyed full-outer equi-join")
+  }
+
   test("ann_ivf assigns centroids via aggregate, not a window over N×K rows") {
     val p = plan("ann_ivf")
     // no window may rank the N×K assignment rows on vec_id — the only

@@ -51,6 +51,31 @@ class QueriesSpec extends SparkSuite {
     assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("snapshot_diff classifies one-sided and changed rows consistently") {
+    val df = SparkEntry.queries("snapshot_diff")(spark, sf0001).cache()
+    assert(df.filter(col("change") === "insert" && col("old_price").isNotNull).count() === 0)
+    assert(df.filter(col("change") === "delete" && col("new_price").isNotNull).count() === 0)
+    assert(df.filter(col("change") === "update"
+      && (col("old_price") === col("new_price"))).count() === 0)
+    // all three change classes occur, keys unique across the diff
+    assert(df.select("change").distinct().count() === 3)
+    assert(df.select("o_orderkey").distinct().count() === df.count())
+  }
+
+  test("events_moving frames always include the current event") {
+    val df = SparkEntry.queries("events_moving")(spark, sf0001)
+    assert(df.filter(col("n_1h") < 1).count() === 0)
+  }
+
+  test("profile_stats covers each column with sane bounds") {
+    val rows = SparkEntry.queries("profile_stats")(spark, sf0001).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_null") === 0L)
+      assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
+    }
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
