@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.SetQuantile.defs ++
       operators.Skew.defs ++
-      operators.Audit.defs
+      operators.Audit.defs ++
+      operators.Decontam.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -76,6 +76,19 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("text_contamination never flags benchmark docs and bounds hit_frac") {
+    val df = SparkEntry.queries("text_contamination")(spark, sf0001).cache()
+    assert(df.filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0").count() === 0)
+    assert(df.filter(col("n_hits") > col("n_grams") || col("hit_frac") > 1.0).count() === 0)
+  }
+
+  test("text_repetition covers the corpus with fractions in [0,1]") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf0001).cache()
+    assert(df.count() === 500)
+    assert(df.filter(col("top2_frac") <= 0.0 || col("top2_frac") > 1.0
+      || col("dup2_frac") < 0.0 || col("dup2_frac") > 1.0).count() === 0)
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
