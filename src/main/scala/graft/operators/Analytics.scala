@@ -208,9 +208,16 @@ object Analytics {
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
-      Tables.lineitem(spark, dir)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(col("l_quantity")).as("sum_qty"), countAll.as("n"))
+      // pre-aggregate at the finest granularity FIRST: the rollup's
+      // Expand then multiplies the handful of partial rows, not the
+      // full fact (an Expand before aggregation costs #levels × the
+      // scan volume at 100 TB). Decimal partials stay exact under
+      // re-summation, so results are bit-identical.
+      val base = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("s"), countAll.as("cnt"))
+      base.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("s")).cast("double").as("sum_qty"), sum(col("cnt")).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -259,9 +266,13 @@ object Analytics {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin) { (spark, dir) =>
-      Tables.orders(spark, dir)
-        .cube("o_orderpriority", "o_orderstatus")
-        .agg(countAll.as("n"), dsum(col("o_totalprice")).as("total"))
+      // finest-granularity pre-agg before the cube Expand (rollup_agg
+      // rationale): 4 cube levels multiply ~15 partial rows, not orders
+      val base = Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(countAll.as("cnt"), sum(dec(col("o_totalprice"))).as("s"))
+      base.cube("o_orderpriority", "o_orderstatus")
+        .agg(sum(col("cnt")).as("n"), sum(col("s")).cast("double").as("total"))
         .select(
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -280,11 +291,15 @@ object Analytics {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) {
       (spark, dir) =>
-        Tables.lineitem(spark, dir)
-          .groupingSets(
-            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
-            col("l_returnflag"), col("l_linestatus"))
-          .agg(countAll.as("n"), dsum(col("l_extendedprice")).as("total"))
+        // finest-granularity pre-agg covers every requested set, so
+        // the Expand multiplies 6 partial rows instead of lineitem
+        val base = Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(countAll.as("cnt"), sum(dec(col("l_extendedprice"))).as("s"))
+        base.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("cnt")).as("n"), sum(col("s")).cast("double").as("total"))
           .select(
             coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
             coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),

@@ -76,6 +76,15 @@ class PlanSpec extends SparkSuite {
       "snapshot reconciliation must be a keyed full-outer equi-join")
   }
 
+  test("rollup/cube/grouping-sets Expand sits above a pre-aggregation, not the scan") {
+    Seq("rollup_agg", "cube_agg", "grouping_sets").foreach { q =>
+      val p = plan(q).split("== Initial Plan ==")(0)
+      val afterExpand = p.substring(p.lastIndexOf("Expand"))
+      assert(afterExpand.contains("HashAggregate"),
+        s"$q: Expand must multiply the finest-granularity partials, not the full fact")
+    }
+  }
+
   test("ann_ivf assigns centroids via aggregate, not a window over N×K rows") {
     val p = plan("ann_ivf")
     // no window may rank the N×K assignment rows on vec_id — the only
