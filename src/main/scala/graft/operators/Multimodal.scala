@@ -156,6 +156,49 @@ object Multimodal {
     }
   }
 
+  /** REAL resize for PNG payloads: decode → nearest-neighbor resample
+    * to (tw, th) → re-encode, all through the JVM codec in the same
+    * per-partition seam. Nearest-neighbor is chosen deliberately: it
+    * is bit-deterministic across JVMs (no filtering arithmetic), which
+    * keeps golden tests exact; swapping in an area/bilinear kernel is
+    * a local change inside the loop. Non-PNG and undecodable payloads
+    * pass through unchanged (total stage, like [[decodeMedia]]).
+    * Width/height metadata is updated to the decoded truth. */
+  def resizeMedia(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img =
+          if (r.fmt == "png")
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: java.io.IOException => None }
+          else None
+        img match {
+          case Some(im) =>
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val sw = im.getWidth
+            val sh = im.getHeight
+            var y = 0
+            while (y < th) {
+              val sy = (y.toLong * sh / th).toInt
+              var x = 0
+              while (x < tw) {
+                out.setRGB(x, y, im.getRGB((x.toLong * sw / tw).toInt, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(payload = bos.toByteArray, width = tw, height = th)
+          case None => r
+        }
+      }
+    }
+  }
+
   /** Frame/chunk sampling: split each payload into fixed-size chunks →
     * one row per sampled chunk (every `stride`-th), columnar explode. */
   def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =

@@ -89,6 +89,48 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resizeMedia resamples real PNGs pixel-exactly (nearest neighbor)") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val red = 0xff0000
+    val blue = 0x0000ff
+    // left half red, right half blue — survives any downscale exactly
+    val wide = png(8, 4)((x, _) => if (x < 4) red else blue)
+    val media = Seq(
+      Multimodal.MediaRow(1L, wide, "png", 8, 4),
+      Multimodal.MediaRow(2L, "not a png".getBytes("UTF-8"), "wav", 64, 48))
+      .toDS()
+    val out = Multimodal.resizeMedia(media, 4, 2).collect().sortBy(_.doc_id)
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).payload))
+    assert(out(0).width === 4 && out(0).height === 2)
+    assert(im.getWidth === 4 && im.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((im.getRGB(x, y) & 0xffffff) === (if (x < 2) red else blue), s"($x,$y)")
+    // non-PNG passes through untouched
+    assert(out(1).payload.toSeq === "not a png".getBytes("UTF-8").toSeq)
+    assert(out(1).width === 64)
+  }
+
+  test("corpus-scale resize pipeline: synthesize → resize → decode") {
+    import spark.implicits._
+    val thumbs = Multimodal.resizeMedia(Multimodal.synthesizeMedia(spark, sf0001), 6, 5)
+    val decoded = Multimodal.decodeMedia(thumbs).collect().filter(_.fmt == "png")
+    assert(decoded.nonEmpty)
+    decoded.foreach { d =>
+      assert(d.width === 6 && d.height === 5, s"doc ${d.doc_id}")
+      // solid-color source → solid-color thumbnail, color preserved
+      val rgb = Multimodal.syntheticColor(d.doc_id)
+      assert(math.abs(d.features(0) - ((rgb >> 16) & 0xff) / 255.0) < 1e-9)
+      assert(math.abs(d.features(2) - (rgb & 0xff) / 255.0) < 1e-9)
+    }
+  }
+
   test("sampleChunks explodes payloads into strided fixed-size chunks") {
     val media = Multimodal.attachMedia(spark, sf0001)
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 32, stride = 2)
