@@ -47,6 +47,24 @@ class ScaleSpec extends SparkSuite {
       s"partition filter should prune directories:\n$plan")
   }
 
+  test("approximate ANN paths are measured: recall@k vs the exact baseline") {
+    // "measure, don't guess": the approximate operators carry a
+    // measured recall against brute force, not an assumed one.
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("ann_bruteforce")(spark, sf0001)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    assert(nExact > 0)
+    Seq("ann_lsh" -> 0.4, "ann_ivf" -> 0.4).foreach { case (q, floor) =>
+      val approx = SparkEntry.queries(q)(spark, sf0001)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val recall = hit.toDouble / nExact
+      info(f"$q recall@k = $recall%.3f ($hit/$nExact)")
+      assert(recall >= floor, f"$q recall@k $recall%.3f below $floor")
+    }
+  }
+
   test("salted aggregation matches the plain aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSum(ev, col("user_id"), col("event_id"),
