@@ -77,6 +77,34 @@ object Audit {
             col("old_price"), col("new_price"))
     },
 
+    // A23 — incremental aggregate maintenance: yesterday's materialized
+    // partial state + today's delta partition merge into the exact
+    // full-history aggregate. The two branches stand in for "read the
+    // materialized agg table" and "aggregate only the new partition" —
+    // the merge is valid because every measure is a mergeable partial
+    // (counts and decimal sums re-sum exactly), which is precisely why
+    // a 100 TB warehouse never re-scans history for a daily rollup.
+    // Both branch filters reach the parquet scan (partition pruning at
+    // cluster scale).
+    QueryDef(
+      "incremental_agg",
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val cut = lit("2024-01-21").cast("timestamp")
+      def partial(events: org.apache.spark.sql.DataFrame) = events
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(countAll.as("cnt"), sum(dec(col("value"))).as("s"))
+      val events = Tables.events(spark, dir)
+      val basePart = partial(events.filter(col("ts") < cut)) // = materialized state
+      val deltaPart = partial(events.filter(col("ts") >= cut)) // = new partition only
+      basePart.unionByName(deltaPart)
+        .groupBy(col("d"), col("event_type"))
+        .agg(sum(col("cnt")).as("n"), sum(col("s")).cast("double").as("total"))
+        .select(fmtDay(col("d")).as("day"), col("event_type"), col("n"), col("total"))
+    },
+
     // A22 — one-pass numeric column profiling of the biggest fact.
     QueryDef(
       "profile_stats", {

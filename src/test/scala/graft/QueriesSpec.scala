@@ -76,6 +76,18 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("incremental_agg merge equals the direct full-history aggregate") {
+    val inc = SparkEntry.queries("incremental_agg")(spark, sf0001)
+    val direct = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("total"))
+    assert(inc.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(inc).count() === 0)
+  }
+
   test("text_contamination never flags benchmark docs and bounds hit_frac") {
     val df = SparkEntry.queries("text_contamination")(spark, sf0001).cache()
     assert(df.filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0").count() === 0)
