@@ -74,6 +74,7 @@ object Similarity {
   }
 
   private val NumProbes = 3 // IVF cells searched per query
+  private val RerankK = 4 * TopK // coarse candidates per query kept for exact rerank
   private val quantCos = "floor(list_cosine_similarity(%s, %s) * 1000000.0) / 1000000.0"
 
   val defs: Seq[QueryDef] = Seq(
@@ -145,6 +146,70 @@ object Similarity {
         .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
         .select(col("qid"), col("nid"),
           graft.functions.Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= TopK)
+        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+          col("rn").cast("long").as("rank"), col("score"))
+    },
+
+    // L7c — scalar-quantized (int8) ANN with exact rerank: the third
+    // standard ANN family next to sign-LSH and IVF (Faiss "SQ8"). The
+    // coarse pass scores INT8 vectors — an 8× narrower scan than the
+    // float64 column, integer dots exact in both engines — and only
+    // the coarse top-4k candidates per query touch the full-precision
+    // embeddings for the exact cosine rerank. At 100 TB the quantized
+    // column is what streams through memory bandwidth; the coarse
+    // top-R selection shares ann_bruteforce's window shape (the
+    // baseline's known cost), which the rerank then amortizes.
+    QueryDef(
+      "ann_quantized", {
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |qz AS (SELECT vec_id,
+           |              list_transform(v, x -> greatest(least(floor(x * 127.0), 127.0), -128.0)) AS qv
+           |       FROM e),
+           |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id % 100 = 0),
+           |co AS (SELECT q.qid, z.vec_id AS nid, list_inner_product(z.qv, q.qq) AS cscore
+           |       FROM qz z, q WHERE z.vec_id <> q.qid),
+           |ck AS (SELECT qid, nid FROM (
+           |   SELECT qid, nid,
+           |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
+           |   FROM co) t WHERE crn <= $RerankK),
+           |sc AS (SELECT ck.qid, ck.nid,
+           |              floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0) / 1000000.0 AS score
+           |       FROM ck JOIN e ea ON ea.vec_id = ck.qid JOIN e eb ON eb.vec_id = ck.nid),
+           |r AS (SELECT qid, nid, score,
+           |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+           |      FROM sc)
+           |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+           |FROM r WHERE rn <= $TopK""".stripMargin
+      }) { (spark, dir) =>
+      ensureRegistered(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // int8 storage: floor-scale to [-128, 127], kept as tinyint —
+      // the 8×-narrower column the coarse pass scans
+      val qz = emb.select(col("vec_id"),
+        transform(col("v"), x =>
+          greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
+      val q = qz.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      // integer dot — exact, order-independent, portable
+      val idot = aggregate(
+        zip_with(col("qv"), col("qq"), (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      val wCoarse = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("nid"))
+      val cand = qz.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"), idot.as("cscore"))
+        .withColumn("crn", row_number().over(wCoarse))
+        .filter(col("crn") <= RerankK)
+        .select(col("qid"), col("nid"))
+      val scored = cand
+        .join(emb.select(col("vec_id").as("qid"), col("v").as("qv2")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+        .select(col("qid"), col("nid"),
+          graft.functions.Portable.quant6(cosine(col("qv2"), col("nv"))).as("score"))
       val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
       scored.withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= TopK)
