@@ -30,6 +30,19 @@ object EventsStreaming {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** SLIDING windowed aggregate — the streaming twin of the batch
+    * `events_moving` RANGE-frame query: per event_type, counts and
+    * value sums over overlapping 1-hour windows advancing every 15
+    * minutes. Each event lands in 4 overlapping windows (Spark expands
+    * map-side); the watermark closes and EVICTS each window's state
+    * once event time passes its end + the lateness bound, so state is
+    * bounded by (windows in flight × keys), never by the stream. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Stream-STREAM interval join — the streaming twin of the batch
     * `range_join` query: every purchase joined to the same user's
     * events in the preceding `windowMinutes`. Both sides carry

@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === expected)
   }
 
+  test("slidingCounts agrees with the batch sliding-window aggregate on real events") {
+    val batch = graft.sources.Tables.events(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide_src").toString
+    batch.write.mode("overwrite").parquet(s"$dir/drop")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/drop")
+    val q = EventsStreaming.slidingCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("sliding").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding")
+      .select(col("window.start").as("ws"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === expected)
+    // every event lands in 4 overlapping windows
+    assert(streamed.values.sum === 4L * batch.count())
+  }
+
   test("streaming exact dedup drops repeats within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
