@@ -29,6 +29,20 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** events with a time predicate applied to the RAW nanos long BEFORE
+    * the micros conversion, so it reaches the parquet scan as a plain
+    * long comparison (`PushedFilters`) — a filter on the derived
+    * timestamp column cannot push. Whole-second boundaries are exact
+    * under the div-1000 truncation, so `ts < nanos(cut)` on the raw
+    * column is equivalent to `ts < cut` on the converted one. */
+  def eventsWhereNanos(spark: SparkSession, dir: String)(
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .filter(pred(col("ts")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

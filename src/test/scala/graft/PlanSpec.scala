@@ -76,6 +76,13 @@ class PlanSpec extends SparkSuite {
       "snapshot reconciliation must be a keyed full-outer equi-join")
   }
 
+  test("incremental_agg pushes both branch cuts into the events scan") {
+    val p = plan("incremental_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,")
+      || p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "raw-nanos cut must reach the parquet scan")
+  }
+
   test("rollup/cube/grouping-sets Expand sits above a pre-aggregation, not the scan") {
     Seq("rollup_agg", "cube_agg", "grouping_sets").foreach { q =>
       val p = plan(q).split("== Initial Plan ==")(0)
