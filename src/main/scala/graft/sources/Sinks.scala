@@ -49,6 +49,13 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** R8 variant — the append load is format-agnostic: ORC keeps the
+    * columnar/pushdown properties of parquet (a second columnar
+    * format the warehouse can serve), JSON-lines is the interchange
+    * form. Same append semantics, same call sites. */
+  def appendFormat(df: DataFrame, path: String, format: String): Unit =
+    df.write.mode("append").format(format).save(path)
+
   /** R9 — timestamped snapshot dir under a base path. */
   def writeSnapshot(df: DataFrame, base: String, ts: String): Unit =
     df.write.mode("overwrite").parquet(s"$base/snapshot=$ts")

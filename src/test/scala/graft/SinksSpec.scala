@@ -38,6 +38,27 @@ class SinksSpec extends SparkSuite {
     assert(back.filter(col("is_part_of_coursera_plus")).count() === wrote)
   }
 
+  test("R8-variant: ORC and JSON-lines appends roundtrip, ORC keeps pushdown") {
+    val dir = tmp()
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Sinks.appendFormat(orders, s"$dir/orc", "orc")
+    Sinks.appendFormat(orders, s"$dir/json", "json")
+    val orc = spark.read.orc(s"$dir/orc")
+    assert(orc.exceptAll(orders).count() === 0 && orders.exceptAll(orc).count() === 0)
+    // columnar pushdown survives the format switch
+    val p = orc.filter(col("o_orderkey") < 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderkey"),
+      "ORC scan should accept pushed filters")
+    // JSON-lines read back with the explicit schema (no inference scan)
+    val json = spark.read.schema(orders.schema).json(s"$dir/json")
+    assert(json.exceptAll(orders).count() === 0 && orders.exceptAll(json).count() === 0)
+    // append really appends
+    Sinks.appendFormat(orders, s"$dir/orc", "orc")
+    assert(spark.read.orc(s"$dir/orc").count() === 2 * orders.count())
+  }
+
   test("R7: schema drift is refused") {
     val df = spark.range(3).toDF("not_a_course_column")
     intercept[IllegalArgumentException] {
