@@ -57,13 +57,16 @@ object Decontam {
          |       floor(CAST(h.n_hits AS DOUBLE) / ng.n_grams * 1000000.0) / 1000000.0 AS hit_frac
          |FROM h JOIN ng ON ng.doc_id = h.doc_id""".stripMargin) { (spark, dir) =>
       // distinct hashed 8-grams as a per-doc ARRAY (map-side; the
-      // gram count rides along so no second corpus aggregation)
+      // gram count rides along so no second corpus aggregation).
+      // Cached: the benchmark branch and the corpus branch both read
+      // this — one tokenize+md5 pass instead of two.
       val grams = Dedup.tokenized(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           array_distinct(expr(
             s"transform(sequence(0, least(greatest(size(tk) - $GramLen, 0), ${Dedup.MaxShingleStarts - 1})), " +
               s"i -> md5(array_join(slice(tk, i + 1, $GramLen), ' ')))")).as("gs"))
+        .cache()
       val bench = grams.filter(isBench)
         .select(explode(col("gs")).as("g")).distinct()
       grams.filter(!isBench)
