@@ -17,7 +17,8 @@ object SparkEntry {
       operators.SetQuantile.defs ++
       operators.Skew.defs ++
       operators.Audit.defs ++
-      operators.Decontam.defs
+      operators.Decontam.defs ++
+      operators.Corpus.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

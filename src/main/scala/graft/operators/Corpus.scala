@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus materialization (SURVEY.md §2.3 L22): ONE
+  * query that runs every hygiene gate and decides, per document,
+  * whether it enters the training corpus — the call a user of this
+  * library makes to go from raw documents to a training set. Gates:
+  *
+  *   - q_pass      quality score >= 0.6        (text_quality formula)
+  *   - rep_pass    duplicate-2-gram frac <= 0.15 (text_repetition)
+  *   - lang_pass   language ID found a signal  (text_langid != unknown)
+  *   - contam_pass no 8-gram overlap with the benchmark split
+  *                 (text_contamination)
+  *   - dedup_keep  representative of its near-dup cluster
+  *                 (dedup_minhash → dedup_clusters)
+  *
+  * Every formula/fragment is SHARED with its standalone query (same
+  * vals/defs on the Spark side, same CTE strings on the oracle side),
+  * so the composite can never drift from the parts.
+  *
+  * Scale shape: the first three gates are per-row expressions fused
+  * into one scan projection (no shuffle); contamination joins a
+  * broadcast flag set; dedup joins the label table (sized by duplicate
+  * mass). The whole decision costs one corpus scan + the dedup/decontam
+  * pipelines it composes.
+  */
+object Corpus {
+
+  private val QualityMin = 0.6
+  private val Dup2Max = 0.15
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "corpus_keep",
+      s"""WITH RECURSIVE ${Dedup.pairsCtes},
+         |${Dedup.clustersCtes},
+         |${Decontam.contamCtes},
+         |rg AS (SELECT doc_id, tk[i.i + 1] || ' ' || tk[i.i + 2] AS g
+         |       FROM ct, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
+         |       WHERE len(tk) >= 2 AND i.i <= len(tk) - 2),
+         |rc AS (SELECT doc_id, g, COUNT(*) AS c FROM rg GROUP BY doc_id, g),
+         |rep AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup2
+         |        FROM rc GROUP BY doc_id),
+         |flags AS (SELECT doc_id,
+         |                 ${TextOps.qualitySqlExpr} >= $QualityMin AS q_pass,
+         |                 (${TextOps.predictedSqlExpr}) <> 'unknown' AS lang_pass
+         |          FROM documents)
+         |SELECT d.doc_id,
+         |       f.q_pass,
+         |       COALESCE(r.dup2, 0.0) <= $Dup2Max AS rep_pass,
+         |       f.lang_pass,
+         |       (cm.doc_id IS NULL) AS contam_pass,
+         |       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS dedup_keep,
+         |       (f.q_pass AND COALESCE(r.dup2, 0.0) <= $Dup2Max AND f.lang_pass
+         |        AND cm.doc_id IS NULL
+         |        AND COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+         |FROM documents d
+         |JOIN flags f ON f.doc_id = d.doc_id
+         |LEFT JOIN rep r ON r.doc_id = d.doc_id
+         |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
+         |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
+      // the three per-row gates fused into ONE projection over the
+      // tokenized scan (tk kept alongside text for the run-length scan)
+      val nGrams = least(size(col("tk")) - 1, lit(Dedup.MaxShingleStarts))
+      val dup2 = when(size(col("tk")) < 2, lit(0.0))
+        .otherwise(expr(Decontam.runScanExpr).getField("dup").cast("double") / nGrams)
+      val perRow = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"),
+          (TextOps.qualityExpr >= QualityMin).as("q_pass"),
+          (dup2 <= Dup2Max).as("rep_pass"),
+          (TextOps.predictedExpr =!= "unknown").as("lang_pass"))
+      // contamination flags are tiny → broadcast; dedup labels are
+      // sized by duplicate mass → keyed join
+      val contam = Decontam.contaminatedDocIds(spark, dir)
+        .withColumnRenamed("doc_id", "c_doc")
+      val labels = Dedup.clusterLabels(Dedup.minhashPairs(spark, dir))
+        .select(col("doc_id").as("l_doc"), col("label"))
+      val dedupKeep = coalesce(col("label"), col("doc_id")) === col("doc_id")
+      perRow
+        .join(broadcast(contam), col("doc_id") === col("c_doc"), "left")
+        .join(labels, col("doc_id") === col("l_doc"), "left")
+        .select(col("doc_id"), col("q_pass"), col("rep_pass"), col("lang_pass"),
+          col("c_doc").isNull.as("contam_pass"), dedupKeep.as("dedup_keep"),
+          (col("q_pass") && col("rep_pass") && col("lang_pass")
+            && col("c_doc").isNull && dedupKeep).as("keep"))
+    })
+}

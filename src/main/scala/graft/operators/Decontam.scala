@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Portable.quant6
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators (SURVEY.md §2.3 L20–L21): benchmark
@@ -33,7 +34,63 @@ object Decontam {
   /** Benchmark membership: docs whose md5(doc_id) starts with '0'
     * (~1/16 of the corpus) stand in for a held-out eval set; md5 keeps
     * the split bit-identical in the oracle (SURVEY.md §4). */
-  private val isBench = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+  private[operators] val isBench = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+
+  /** Distinct hashed 8-grams of every doc as a per-doc ARRAY
+    * (map-side). Cached: the benchmark branch and the corpus branch of
+    * each consumer both read it — one tokenize+md5 pass instead of
+    * two. */
+  private def gramArrays(spark: SparkSession, dir: String): DataFrame =
+    Dedup.tokenized(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          s"transform(sequence(0, least(greatest(size(tk) - $GramLen, 0), ${Dedup.MaxShingleStarts - 1})), " +
+            s"i -> md5(array_join(slice(tk, i + 1, $GramLen), ' ')))")).as("gs"))
+      .cache()
+
+  /** Non-benchmark doc_ids sharing >= 1 hashed 8-gram with the
+    * benchmark split — the flag set corpus_keep gates on. Same plan
+    * shape as text_contamination (broadcast benchmark grams). */
+  private[operators] def contaminatedDocIds(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramArrays(spark, dir)
+    val bench = grams.filter(isBench)
+      .select(explode(col("gs")).as("g")).distinct()
+    grams.filter(!isBench)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), "g")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Oracle CTEs ending in `contam(doc_id)` — the SQL twin of
+    * [[contaminatedDocIds]]; CTE names are prefixed `c` to compose
+    * with the dedup chain inside corpus_keep. */
+  private[operators] val contamCtes: String =
+    s"""ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |cg AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + $GramLen], ' ') AS g
+       |       FROM ct, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
+       |       WHERE i.i <= greatest(len(tk) - $GramLen, 0)),
+       |cb AS (SELECT DISTINCT g FROM cg
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+       |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN cb ON cb.g = cg.g
+       |           WHERE substr(md5(CAST(cg.doc_id AS VARCHAR)), 1, 1) <> '0')""".stripMargin
+
+  /** The run-length scan behind text_repetition's dup-2-gram fraction,
+    * as a raw SQL expression over a `tk` token-array column; shared
+    * with corpus_keep. Returns struct(best, dup). */
+  private[operators] val runScanExpr: String =
+    s"""aggregate(
+       |  array_sort(transform(sequence(0, least(size(tk) - 2, ${Dedup.MaxShingleStarts - 1})), i -> concat(tk[i], ' ', tk[i + 1]))),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+       |               'best', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+       |  (acc, x) -> IF(x <=> acc.prev,
+       |    named_struct('prev', x, 'run', acc.run + 1, 'best', acc.best, 'dup', acc.dup),
+       |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+       |                 'best', greatest(acc.best, acc.run),
+       |                 'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT)))),
+       |  acc -> named_struct(
+       |    'best', greatest(acc.best, acc.run),
+       |    'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT))))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -56,17 +113,9 @@ object Decontam {
          |       CAST(ng.n_grams AS BIGINT) AS n_grams,
          |       floor(CAST(h.n_hits AS DOUBLE) / ng.n_grams * 1000000.0) / 1000000.0 AS hit_frac
          |FROM h JOIN ng ON ng.doc_id = h.doc_id""".stripMargin) { (spark, dir) =>
-      // distinct hashed 8-grams as a per-doc ARRAY (map-side; the
-      // gram count rides along so no second corpus aggregation).
-      // Cached: the benchmark branch and the corpus branch both read
-      // this — one tokenize+md5 pass instead of two.
-      val grams = Dedup.tokenized(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          array_distinct(expr(
-            s"transform(sequence(0, least(greatest(size(tk) - $GramLen, 0), ${Dedup.MaxShingleStarts - 1})), " +
-              s"i -> md5(array_join(slice(tk, i + 1, $GramLen), ' ')))")).as("gs"))
-        .cache()
+      // per-doc gram arrays, shared+cached; the per-doc gram count
+      // rides along map-side so no second corpus aggregation
+      val grams = gramArrays(spark, dir)
       val bench = grams.filter(isBench)
         .select(explode(col("gs")).as("g")).distinct()
       grams.filter(!isBench)
@@ -96,25 +145,12 @@ object Decontam {
         |       floor(CAST(best AS DOUBLE) / tot * 1000000.0) / 1000000.0 AS top2_frac,
         |       floor(CAST(dup AS DOUBLE) / tot * 1000000.0) / 1000000.0 AS dup2_frac
         |FROM m""".stripMargin) { (spark, dir) =>
-      val runScan =
-        s"""aggregate(
-          |  array_sort(transform(sequence(0, least(size(tk) - 2, ${Dedup.MaxShingleStarts - 1})), i -> concat(tk[i], ' ', tk[i + 1]))),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
-          |               'best', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
-          |  (acc, x) -> IF(x <=> acc.prev,
-          |    named_struct('prev', x, 'run', acc.run + 1, 'best', acc.best, 'dup', acc.dup),
-          |    named_struct('prev', x, 'run', CAST(1 AS BIGINT),
-          |                 'best', greatest(acc.best, acc.run),
-          |                 'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT)))),
-          |  acc -> named_struct(
-          |    'best', greatest(acc.best, acc.run),
-          |    'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT))))""".stripMargin
       Dedup.tokenized(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"),
           least(size(col("tk")) - 1, lit(Dedup.MaxShingleStarts)).cast("long").as("n_2grams"),
-          expr(runScan).as("rs"))
+          expr(runScanExpr).as("rs"))
         .select(col("doc_id"), col("n_2grams"),
           quant6(col("rs.best").cast("double") / col("n_2grams")).as("top2_frac"),
           quant6(col("rs.dup").cast("double") / col("n_2grams")).as("dup2_frac"))

@@ -243,9 +243,9 @@ object Dedup {
 
   /** Oracle CTE chain ending in a `pairs(da, db, n_common, jaccard)`
     * relation — the SQL twin of [[minhashPairs]], shared by the
-    * dedup_minhash and dedup_clusters oracles. The hot-bucket cap is
-    * mirrored as a HAVING filter on band keys. */
-  private val pairsCtes: String = {
+    * dedup_minhash, dedup_clusters, and corpus_keep oracles. The
+    * hot-bucket cap is mirrored as a HAVING filter on band keys. */
+  private[operators] val pairsCtes: String = {
     val mins = (0 until NumHashes)
       .map(k => s"MIN((h1 + $k * h2) % $Mod) AS mh$k").mkString(", ")
     val bandSelects = (0 until NumBands).map { b =>
@@ -273,6 +273,19 @@ object Dedup {
        |          WHERE CAST(i.n_common AS DOUBLE) / (na.n + nb.n - i.n_common) >= $JaccardThreshold)""".stripMargin
   }
 
+  /** Oracle CTEs resolving `pairs` into components: recursive
+    * min-label reachability ending in `comp(doc_id, cluster_id)` —
+    * the SQL twin of [[clusterLabels]]. Requires WITH RECURSIVE and
+    * [[pairsCtes]] earlier in the chain. */
+  private[operators] val clustersCtes: String =
+    """e AS (SELECT da AS s, db AS d FROM pairs
+      |      UNION ALL SELECT db AS s, da AS d FROM pairs),
+      |walk(doc_id, label) AS (
+      |  SELECT s, s FROM e
+      |  UNION
+      |  SELECT e.d, w.label FROM walk w JOIN e ON e.s = w.doc_id AND w.label < e.d),
+      |comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // L2+L4 — MinHash signatures → banded LSH buckets → exact-Jaccard
@@ -293,13 +306,7 @@ object Dedup {
     QueryDef(
       "dedup_clusters",
       s"""WITH RECURSIVE $pairsCtes,
-         |e AS (SELECT da AS s, db AS d FROM pairs
-         |      UNION ALL SELECT db AS s, da AS d FROM pairs),
-         |walk(doc_id, label) AS (
-         |  SELECT s, s FROM e
-         |  UNION
-         |  SELECT e.d, w.label FROM walk w JOIN e ON e.s = w.doc_id AND w.label < e.d),
-         |comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)
+         |$clustersCtes
          |SELECT d.doc_id,
          |       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
          |       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS kept

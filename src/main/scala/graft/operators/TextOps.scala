@@ -36,6 +36,47 @@ object TextOps {
   private val deM = Seq("der", "und", "das", "ist")
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** The text_quality score as a self-contained per-row expression
+    * over a `text` column — shared verbatim by text_quality and the
+    * corpus_keep gate so the two can never drift. */
+  private[operators] def qualityExpr: Column = {
+    val nTok = size(toks)
+    val stopRatio = hits(stopwords).cast("double") / nTok
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.4) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(avgTokLen / 8.0, lit(1.0))
+  }
+
+  /** Its SQL twin (expression over a relation exposing `text`). */
+  private[operators] def qualitySqlExpr: String =
+    s"""(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+       | + 0.4 * (1.0 - CAST(${hitsSql(stopwords)} AS DOUBLE) / len(string_split(text, ' ')))
+       | + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0))""".stripMargin
+
+  /** Language-ID argmax over four precomputed hit columns — shared by
+    * text_langid and corpus_keep. */
+  private[operators] def predictedFrom(hEn: Column, hFr: Column, hEs: Column, hDe: Column): Column =
+    when(hEn >= greatest(hFr, hEs, hDe) && hEn > 0, "en")
+      .when(hFr >= greatest(hEs, hDe) && hFr > 0, "fr")
+      .when(hEs >= hDe && hEs > 0, "es")
+      .when(hDe > 0, "de")
+      .otherwise("unknown")
+
+  /** Self-contained per-row predicted language over a `text` column. */
+  private[operators] def predictedExpr: Column =
+    predictedFrom(hits(enM), hits(frM), hits(esM), hits(deM))
+
+  /** Its SQL twin (expression over a relation exposing `text`). */
+  private[operators] def predictedSqlExpr: String = {
+    def h(m: Seq[String]) = hitsSql(m)
+    s"""CASE WHEN ${h(enM)} >= greatest(${h(frM)}, ${h(esM)}, ${h(deM)}) AND ${h(enM)} > 0 THEN 'en'
+       |     WHEN ${h(frM)} >= greatest(${h(esM)}, ${h(deM)}) AND ${h(frM)} > 0 THEN 'fr'
+       |     WHEN ${h(esM)} >= ${h(deM)} AND ${h(esM)} > 0 THEN 'es'
+       |     WHEN ${h(deM)} > 0 THEN 'de'
+       |     ELSE 'unknown' END""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // L10 — token counting: whitespace tokens, uniques, BPE-ish estimate.

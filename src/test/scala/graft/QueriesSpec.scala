@@ -101,6 +101,28 @@ class QueriesSpec extends SparkSuite {
       || col("dup2_frac") < 0.0 || col("dup2_frac") > 1.0).count() === 0)
   }
 
+  test("corpus_keep gates agree with the standalone queries (no drift)") {
+    val ck = SparkEntry.queries("corpus_keep")(spark, sf0001).cache()
+    // keep == AND of the five gates, and the corpus actually splits
+    assert(ck.filter(col("keep") =!= (col("q_pass") && col("rep_pass") && col("lang_pass")
+      && col("contam_pass") && col("dedup_keep"))).count() === 0)
+    assert(ck.filter(col("keep")).count() > 0)
+    assert(ck.filter(!col("keep")).count() > 0)
+    // dedup gate == dedup_clusters.kept
+    val kept = SparkEntry.queries("dedup_clusters")(spark, sf0001)
+      .select(col("doc_id"), col("kept"))
+    assert(ck.join(kept, "doc_id")
+      .filter(col("dedup_keep") =!= col("kept")).count() === 0)
+    // quality gate == the standalone text_quality score at the threshold
+    val q = SparkEntry.queries("text_quality")(spark, sf0001)
+      .select(col("doc_id"), (col("quality") >= 0.6).as("q2"))
+    assert(ck.join(q, "doc_id").filter(col("q_pass") =!= col("q2")).count() === 0)
+    // language gate == standalone text_langid signal
+    val l = SparkEntry.queries("text_langid")(spark, sf0001)
+      .select(col("doc_id"), (col("predicted") =!= "unknown").as("l2"))
+    assert(ck.join(l, "doc_id").filter(col("lang_pass") =!= col("l2")).count() === 0)
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
