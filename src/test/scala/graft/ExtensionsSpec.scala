@@ -29,6 +29,23 @@ class ExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("approx_percentile tracks the exact quantiles within 2% of the range") {
+    // the sketch-based twin of events_quantiles' exact percentile —
+    // at 100 TB the t-digest-style sketch is the one that merges
+    // map-side without holding the value set
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val row = ev.agg(
+      expr("percentile(value, array(0.5, 0.95))").as("exact"),
+      expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("approx"),
+      (max(col("value")) - min(col("value"))).as("range")).collect()(0)
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    val range = row.getDouble(2)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / range < 0.02, s"exact=$e approx=$a range=$range")
+    }
+  }
+
   test("A14: approx_count_distinct tracks exact distinct within 5%") {
     val li = graft.sources.Tables.lineitem(spark, sf0001)
     val row = li.agg(
