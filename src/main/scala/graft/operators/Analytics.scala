@@ -352,6 +352,36 @@ object Analytics {
             sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
     },
 
+    // A24 — anomaly detection: per-type z-scores from DETERMINISTIC
+    // moments. stddev_samp is shuffle-order-dependent in floating
+    // point (different engines, different answers at the ulp level);
+    // exact decimal sums of value and value² are not, and the variance
+    // algebra then runs in double with an identical expression tree on
+    // both engines. The 5-row moment table broadcasts; scoring is a
+    // per-row map over the scan.
+    QueryDef(
+      "events_zscore",
+      """WITH m AS (SELECT event_type, COUNT(*) AS n,
+        |                 CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+        |                 CAST(SUM(CAST(value * value AS DECIMAL(12,2))) AS DOUBLE) AS sq
+        |          FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       floor(((e.value - s/n) / sqrt((sq - s*s/n)/(n - 1))) * 1000000.0) / 1000000.0 AS zscore
+        |FROM events e JOIN m ON m.event_type = e.event_type
+        |WHERE ABS((e.value - s/n) / sqrt((sq - s*s/n)/(n - 1))) >= 3""".stripMargin) {
+      (spark, dir) =>
+        val events = Tables.events(spark, dir)
+        val m = events.groupBy(col("event_type"))
+          .agg(countAll.as("n"), dsum(col("value")).as("s"),
+            sum(dec(col("value") * col("value"))).cast("double").as("sq"))
+        val z = (col("value") - col("s") / col("n")) /
+          sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+        events.join(broadcast(m), "event_type")
+          .filter(abs(z) >= 3)
+          .select(col("event_id"), col("event_type"), col("value"),
+            quant6(z).as("zscore"))
+    },
+
     // A13 — time-bucketed aggregation over the event stream table.
     QueryDef(
       "events_hourly",
