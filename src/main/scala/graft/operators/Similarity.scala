@@ -198,10 +198,21 @@ object Similarity {
       val idot = aggregate(
         zip_with(col("qv"), col("qq"), (x, y) => x.cast("long") * y.cast("long")),
         lit(0L), (acc, v) => acc + v)
+      // salted two-phase top-R: per-(qid, salt) top-R first, then the
+      // true top-R over the 64·R survivors. nid is unique, so the
+      // (score desc, nid) comparator is a total order and the salted
+      // pre-cut provably preserves the global top-R — and no reducer
+      // ever holds all N coarse scores of one query (the single-window
+      // form shuffles N rows PER QUERY to one task: the same
+      // scale-killer the IVF assignment had).
+      val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
+        .orderBy(col("cscore").desc, col("nid"))
       val wCoarse = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("nid"))
       val cand = qz.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"), idot.as("cscore"))
+        .withColumn("srn", row_number().over(wSalted))
+        .filter(col("srn") <= RerankK)
         .withColumn("crn", row_number().over(wCoarse))
         .filter(col("crn") <= RerankK)
         .select(col("qid"), col("nid"))
