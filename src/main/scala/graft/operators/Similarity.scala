@@ -281,8 +281,16 @@ object Similarity {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           graft.functions.Portable.quant6(cosine(col("emb"), col("qe"))).as("score"))
+      // salted two-phase top-k (ann_quantized rationale): per-salt
+      // pre-top keeps any row the global (score desc, nid) total order
+      // would keep, so no reducer holds all N scores of one query
+      val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
+        .orderBy(col("score").desc, col("nid"))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      scored.withColumn("rn", row_number().over(w))
+      scored
+        .withColumn("srn", row_number().over(wSalted))
+        .filter(col("srn") <= TopK)
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TopK)
         .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
           col("rn").cast("long").as("rank"), col("score"))
