@@ -43,10 +43,10 @@ object Corpus {
          |       WHERE len(tk) >= 2 AND i.i <= len(tk) - 2),
          |rc AS (SELECT doc_id, g, COUNT(*) AS c FROM rg GROUP BY doc_id, g),
          |rep AS (SELECT doc_id,
-         |               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup2
+         |               floor(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) * 1000000.0) / 1000000.0 AS dup2
          |        FROM rc GROUP BY doc_id),
          |flags AS (SELECT doc_id,
-         |                 ${TextOps.qualitySqlExpr} >= $QualityMin AS q_pass,
+         |                 floor(${TextOps.qualitySqlExpr} * 1000000.0) / 1000000.0 >= $QualityMin AS q_pass,
          |                 (${TextOps.predictedSqlExpr}) <> 'unknown' AS lang_pass
          |          FROM documents)
          |SELECT d.doc_id,
@@ -64,16 +64,20 @@ object Corpus {
          |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
          |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
       // the three per-row gates fused into ONE projection over the
-      // tokenized scan (tk kept alongside text for the run-length scan)
+      // tokenized scan (tk kept alongside text for the run-length
+      // scan). Gates compare the quant6-FLOORED scores — the values
+      // text_quality/text_repetition publish — so the composite and
+      // the standalone queries agree even exactly at a threshold.
       val nGrams = least(size(col("tk")) - 1, lit(Dedup.MaxShingleStarts))
       val dup2 = when(size(col("tk")) < 2, lit(0.0))
-        .otherwise(expr(Decontam.runScanExpr).getField("dup").cast("double") / nGrams)
+        .otherwise(graft.functions.Portable.quant6(
+          expr(Decontam.runScanExpr).getField("dup").cast("double") / nGrams))
       val perRow = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))
         .withColumn("tk", split(col("text"), " "))
         .select(col("doc_id"),
-          (TextOps.qualityExpr >= QualityMin).as("q_pass"),
+          (graft.functions.Portable.quant6(TextOps.qualityExpr) >= QualityMin).as("q_pass"),
           (dup2 <= Dup2Max).as("rep_pass"),
           (TextOps.predictedExpr =!= "unknown").as("lang_pass"))
       // contamination flags are tiny → broadcast; dedup labels are

@@ -126,7 +126,7 @@ object Multimodal {
         val img =
           if (r.fmt == "png")
             try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           else None
         img match {
           case Some(im) =>
@@ -172,7 +172,7 @@ object Multimodal {
         val img =
           if (r.fmt == "png")
             try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           else None
         img match {
           case Some(im) =>

@@ -48,11 +48,18 @@ object TextOps {
       lit(0.2) * least(avgTokLen / 8.0, lit(1.0))
   }
 
+  /** The same formula over precomputed SQL operands (`nTok`, `hStop`
+    * are expression strings) — lets text_quality's oracle and the
+    * corpus_keep oracle render the ONE formula against their own
+    * subquery aliases. */
+  private[operators] def qualitySqlFrom(nTok: String, hStop: String): String =
+    s"""(0.4 * least($nTok / 100.0, 1.0)
+       | + 0.4 * (1.0 - CAST($hStop AS DOUBLE) / $nTok)
+       | + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTok) / 8.0, 1.0))""".stripMargin
+
   /** Its SQL twin (expression over a relation exposing `text`). */
   private[operators] def qualitySqlExpr: String =
-    s"""(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)
-       | + 0.4 * (1.0 - CAST(${hitsSql(stopwords)} AS DOUBLE) / len(string_split(text, ' ')))
-       | + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0))""".stripMargin
+    qualitySqlFrom("len(string_split(text, ' '))", hitsSql(stopwords))
 
   /** Language-ID argmax over four precomputed hit columns — shared by
     * text_langid and corpus_keep. */
@@ -67,15 +74,19 @@ object TextOps {
   private[operators] def predictedExpr: Column =
     predictedFrom(hits(enM), hits(frM), hits(esM), hits(deM))
 
-  /** Its SQL twin (expression over a relation exposing `text`). */
-  private[operators] def predictedSqlExpr: String = {
-    def h(m: Seq[String]) = hitsSql(m)
-    s"""CASE WHEN ${h(enM)} >= greatest(${h(frM)}, ${h(esM)}, ${h(deM)}) AND ${h(enM)} > 0 THEN 'en'
-       |     WHEN ${h(frM)} >= greatest(${h(esM)}, ${h(deM)}) AND ${h(frM)} > 0 THEN 'fr'
-       |     WHEN ${h(esM)} >= ${h(deM)} AND ${h(esM)} > 0 THEN 'es'
-       |     WHEN ${h(deM)} > 0 THEN 'de'
+  /** The argmax CASE over four SQL operand strings — shared by the
+    * text_langid oracle (alias operands) and predictedSqlExpr (inline
+    * operands). */
+  private[operators] def predictedSqlFrom(hEn: String, hFr: String, hEs: String, hDe: String): String =
+    s"""CASE WHEN $hEn >= greatest($hFr, $hEs, $hDe) AND $hEn > 0 THEN 'en'
+       |     WHEN $hFr >= greatest($hEs, $hDe) AND $hFr > 0 THEN 'fr'
+       |     WHEN $hEs >= $hDe AND $hEs > 0 THEN 'es'
+       |     WHEN $hDe > 0 THEN 'de'
        |     ELSE 'unknown' END""".stripMargin
-  }
+
+  /** Its SQL twin (expression over a relation exposing `text`). */
+  private[operators] def predictedSqlExpr: String =
+    predictedSqlFrom(hitsSql(enM), hitsSql(frM), hitsSql(esM), hitsSql(deM))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -102,11 +113,7 @@ object TextOps {
       s"""SELECT doc_id, lang,
          |       CAST(h_en AS BIGINT) AS h_en, CAST(h_fr AS BIGINT) AS h_fr,
          |       CAST(h_es AS BIGINT) AS h_es, CAST(h_de AS BIGINT) AS h_de,
-         |       CASE WHEN h_en >= greatest(h_fr, h_es, h_de) AND h_en > 0 THEN 'en'
-         |            WHEN h_fr >= greatest(h_es, h_de) AND h_fr > 0 THEN 'fr'
-         |            WHEN h_es >= h_de AND h_es > 0 THEN 'es'
-         |            WHEN h_de > 0 THEN 'de'
-         |            ELSE 'unknown' END AS predicted
+         |       ${predictedSqlFrom("h_en", "h_fr", "h_es", "h_de")} AS predicted
          |FROM (SELECT doc_id, lang,
          |             ${hitsSql(enM)} AS h_en, ${hitsSql(frM)} AS h_fr,
          |             ${hitsSql(esM)} AS h_es, ${hitsSql(deM)} AS h_de
@@ -116,11 +123,7 @@ object TextOps {
           hits(enM).cast("long").as("h_en"), hits(frM).cast("long").as("h_fr"),
           hits(esM).cast("long").as("h_es"), hits(deM).cast("long").as("h_de"))
         .withColumn("predicted",
-          when(col("h_en") >= greatest(col("h_fr"), col("h_es"), col("h_de")) && col("h_en") > 0, "en")
-            .when(col("h_fr") >= greatest(col("h_es"), col("h_de")) && col("h_fr") > 0, "fr")
-            .when(col("h_es") >= col("h_de") && col("h_es") > 0, "es")
-            .when(col("h_de") > 0, "de")
-            .otherwise("unknown"))
+          predictedFrom(col("h_en"), col("h_fr"), col("h_es"), col("h_de")))
     },
 
     // L9 — quality scoring: length/stopword/avg-token-length ratios.
@@ -130,9 +133,7 @@ object TextOps {
          |       CAST(n_tok AS BIGINT) AS n_tokens,
          |       floor((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok) * 1000000.0) / 1000000.0 AS avg_tok_len,
          |       floor((CAST(h_stop AS DOUBLE) / n_tok) * 1000000.0) / 1000000.0 AS stop_ratio,
-         |       floor((0.4 * least(n_tok / 100.0, 1.0)
-         |             + 0.4 * (1.0 - CAST(h_stop AS DOUBLE) / n_tok)
-         |             + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok) / 8.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
+         |       floor(${qualitySqlFrom("n_tok", "h_stop")} * 1000000.0) / 1000000.0 AS quality
          |FROM (SELECT doc_id, text,
          |             len(string_split(text, ' ')) AS n_tok,
          |             ${hitsSql(stopwords)} AS h_stop
@@ -146,9 +147,7 @@ object TextOps {
         nTok.cast("long").as("n_tokens"),
         quant6(avgTokLen).as("avg_tok_len"),
         quant6(stopRatio).as("stop_ratio"),
-        quant6(lit(0.4) * least(nTok / 100.0, lit(1.0))
-          + lit(0.4) * (lit(1.0) - stopRatio)
-          + lit(0.2) * least(avgTokLen / 8.0, lit(1.0))).as("quality"))
+        quant6(qualityExpr).as("quality"))
     },
 
     // L11 — document fingerprinting: content hash + prefix rolling hash.

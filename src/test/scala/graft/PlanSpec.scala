@@ -86,6 +86,7 @@ class PlanSpec extends SparkSuite {
   test("rollup/cube/grouping-sets Expand sits above a pre-aggregation, not the scan") {
     Seq("rollup_agg", "cube_agg", "grouping_sets").foreach { q =>
       val p = plan(q).split("== Initial Plan ==")(0)
+      assert(p.contains("Expand"), s"$q: expected an Expand node in the plan")
       val afterExpand = p.substring(p.lastIndexOf("Expand"))
       assert(afterExpand.contains("HashAggregate"),
         s"$q: Expand must multiply the finest-granularity partials, not the full fact")

@@ -121,6 +121,10 @@ class QueriesSpec extends SparkSuite {
     val l = SparkEntry.queries("text_langid")(spark, sf0001)
       .select(col("doc_id"), (col("predicted") =!= "unknown").as("l2"))
     assert(ck.join(l, "doc_id").filter(col("lang_pass") =!= col("l2")).count() === 0)
+    // repetition gate == the standalone text_repetition fraction at the threshold
+    val r = SparkEntry.queries("text_repetition")(spark, sf0001)
+      .select(col("doc_id"), (col("dup2_frac") <= 0.15).as("r2"))
+    assert(ck.join(r, "doc_id").filter(col("rep_pass") =!= col("r2")).count() === 0)
   }
 
   test("minhash pairs are ordered and above threshold") {
