@@ -194,10 +194,10 @@ object Similarity {
           greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
       val q = qz.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
-      // integer dot — exact, order-independent, portable
-      val idot = aggregate(
-        zip_with(col("qv"), col("qq"), (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, v) => acc + v)
+      // integer dot — exact, order-independent, portable; codegen'd
+      // Catalyst expression (a zip_with/aggregate fold here evaluates
+      // interpreted — see the dedup_simhash negative result in PLANS)
+      val idot = call_function("vec_dot_i8", col("qv"), col("qq"))
       // salted two-phase top-R: per-(qid, salt) top-R first, then the
       // true top-R over the 64·R survivors. nid is unique, so the
       // (score desc, nid) comparator is a total order and the salted

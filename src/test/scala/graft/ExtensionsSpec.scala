@@ -29,6 +29,18 @@ class ExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("vec_dot_i8 agrees with the interpreted fold over int8 arrays") {
+    graft.functions.VecExpressions.register(spark)
+    val row = spark.sql(
+      """SELECT vec_dot_i8(a, b) AS fast,
+        |       aggregate(zip_with(a, b, (x, y) -> cast(x as bigint) * y), cast(0 as bigint), (acc, v) -> acc + v) AS slow
+        |FROM VALUES (array(cast(1 as tinyint), cast(-2 as tinyint), cast(127 as tinyint)),
+        |             array(cast(3 as tinyint), cast(5 as tinyint), cast(-128 as tinyint))) t(a, b)""".stripMargin)
+      .collect()(0)
+    assert(row.getLong(0) === row.getLong(1))
+    assert(row.getLong(0) === (1 * 3 + -2 * 5 + 127 * -128).toLong)
+  }
+
   test("approx_percentile tracks the exact quantiles within 2% of the range") {
     // the sketch-based twin of events_quantiles' exact percentile —
     // at 100 TB the t-digest-style sketch is the one that merges
