@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VecCosine, VecDot}
+import graft.functions.{VecCosine, VecDot, VecDotI8}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotI8].getName, "vec_dot_i8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotI8(exprs(0), exprs(1))))
   }
 }
