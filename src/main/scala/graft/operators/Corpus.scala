@@ -63,28 +63,34 @@ object Corpus {
          |LEFT JOIN rep r ON r.doc_id = d.doc_id
          |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
          |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
-      // the three per-row gates fused into ONE projection over the
-      // tokenized scan (tk kept alongside text for the run-length
-      // scan). Gates compare the quant6-FLOORED scores — the values
+      // ONE tokenized+cached scan feeds all three sub-pipelines: the
+      // per-row gates, the decontamination grams, and the minhash
+      // dedup stages (each standalone query tokenizes for itself; the
+      // composite shouldn't pay that three times)
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .withColumn("tk", split(col("text"), " "))
+        .cache()
+      // gates compare the quant6-FLOORED scores — the values
       // text_quality/text_repetition publish — so the composite and
-      // the standalone queries agree even exactly at a threshold.
+      // the standalone queries agree even exactly at a threshold
       val nGrams = least(size(col("tk")) - 1, lit(Dedup.MaxShingleStarts))
       val dup2 = when(size(col("tk")) < 2, lit(0.0))
         .otherwise(graft.functions.Portable.quant6(
           expr(Decontam.runScanExpr).getField("dup").cast("double") / nGrams))
-      val perRow = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
-        .withColumn("tk", split(col("text"), " "))
+      val perRow = base
         .select(col("doc_id"),
           (graft.functions.Portable.quant6(TextOps.qualityExpr) >= QualityMin).as("q_pass"),
           (dup2 <= Dup2Max).as("rep_pass"),
           (TextOps.predictedExpr =!= "unknown").as("lang_pass"))
       // contamination flags are tiny → broadcast; dedup labels are
       // sized by duplicate mass → keyed join
-      val contam = Decontam.contaminatedDocIds(spark, dir)
+      val tok = base.drop("text")
+      val contam = Decontam.contaminatedDocIdsFrom(
+        Decontam.gramArraysFrom(tok).cache()) // both contamination branches read it
         .withColumnRenamed("doc_id", "c_doc")
-      val labels = Dedup.clusterLabels(Dedup.minhashPairs(spark, dir))
+      val labels = Dedup.clusterLabels(Dedup.minhashPairsFrom(tok))
         .select(col("doc_id").as("l_doc"), col("label"))
       val dedupKeep = coalesce(col("label"), col("doc_id")) === col("doc_id")
       perRow

@@ -41,19 +41,21 @@ object Decontam {
     * each consumer both read it — one tokenize+md5 pass instead of
     * two. */
   private def gramArrays(spark: SparkSession, dir: String): DataFrame =
-    Dedup.tokenized(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        array_distinct(expr(
-          s"transform(sequence(0, least(greatest(size(tk) - $GramLen, 0), ${Dedup.MaxShingleStarts - 1})), " +
-            s"i -> md5(array_join(slice(tk, i + 1, $GramLen), ' ')))")).as("gs"))
-      .cache()
+    gramArraysFrom(Dedup.tokenized(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))).cache()
+
+  /** Same, over a caller-provided (doc_id, tk) relation (corpus_keep
+    * shares one tokenized scan; the caller owns caching). */
+  private[operators] def gramArraysFrom(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"),
+      array_distinct(expr(
+        s"transform(sequence(0, least(greatest(size(tk) - $GramLen, 0), ${Dedup.MaxShingleStarts - 1})), " +
+          s"i -> md5(array_join(slice(tk, i + 1, $GramLen), ' ')))")).as("gs"))
 
   /** Non-benchmark doc_ids sharing >= 1 hashed 8-gram with the
     * benchmark split — the flag set corpus_keep gates on. Same plan
     * shape as text_contamination (broadcast benchmark grams). */
-  private[operators] def contaminatedDocIds(spark: SparkSession, dir: String): DataFrame = {
-    val grams = gramArrays(spark, dir)
+  private[operators] def contaminatedDocIdsFrom(grams: DataFrame): DataFrame = {
     val bench = grams.filter(isBench)
       .select(explode(col("gs")).as("g")).distinct()
     grams.filter(!isBench)
@@ -63,7 +65,7 @@ object Decontam {
   }
 
   /** Oracle CTEs ending in `contam(doc_id)` — the SQL twin of
-    * [[contaminatedDocIds]]; CTE names are prefixed `c` to compose
+    * [[contaminatedDocIdsFrom]]; CTE names are prefixed `c` to compose
     * with the dedup chain inside corpus_keep. */
   private[operators] val contamCtes: String =
     s"""ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

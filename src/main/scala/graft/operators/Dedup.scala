@@ -125,12 +125,16 @@ object Dedup {
     *    filter first, so verify work scales with true duplicate mass,
     *    not corpus size.
     * Shared by dedup_minhash and dedup_clusters. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     // cached: the signature stage and the verify stage each need the
     // tokenized docs — one scan+split+repartition instead of two
-    val tok = tokenized(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))).cache()
+    minhashPairsFrom(tokenized(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).cache())
 
+  /** Same, over a caller-provided (doc_id, tk) relation — the caller
+    * owns caching (corpus_keep shares ONE tokenized scan across its
+    * dedup, decontamination, and per-row gate pipelines). */
+  private[operators] def minhashPairsFrom(tok: DataFrame): DataFrame = {
     val hsArr = tok
       .select(col("doc_id"),
         expr(s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
