@@ -89,6 +89,23 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("corrupt PNG payloads degrade to the stub path, never crash the stage") {
+    import spark.implicits._
+    // PNG signature + garbage body: the codec must throw or return
+    // null, and the stage must fall back per-row, not fail the task
+    val corrupt = (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      ++ Array.fill(64)(0x5a.toByte))
+    val media = Seq(
+      Multimodal.MediaRow(1L, corrupt, "png", 9, 9),
+      Multimodal.MediaRow(2L, Array.emptyByteArray, "png", 0, 0))
+      .toDS()
+    val out = Multimodal.decodeMedia(media).collect().sortBy(_.doc_id)
+    assert(out.length === 2) // stage is total
+    assert(out(0).width === 9 && out(0).height === 9) // metadata kept on fallback
+    val resized = Multimodal.resizeMedia(media, 4, 4).collect().sortBy(_.doc_id)
+    assert(resized(0).payload.toSeq === corrupt.toSeq) // pass-through untouched
+  }
+
   test("resizeMedia resamples real PNGs pixel-exactly (nearest neighbor)") {
     import spark.implicits._
     def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
