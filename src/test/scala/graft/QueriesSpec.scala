@@ -15,6 +15,12 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("query names are unique across all operator files") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+  }
+
   test("every query has an oracle") {
     val missing = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
