@@ -199,6 +199,25 @@ object Analytics {
         .agg(countAll.as("n_customers"))
     },
 
+    // A8b — semi join: the EXISTS twin of join_anti. Spark plans a
+    // LeftSemi that stops probing a key at its first match — the
+    // orders side never duplicates customers.
+    QueryDef(
+      "join_semi",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderdate >= TIMESTAMP '1997-06-01')
+        |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val recent = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+      Tables.customer(spark, dir)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(countAll.as("n_customers"))
+    },
+
     // A9 — rollup with subtotal rows (null keys coalesced to 'ALL').
     QueryDef(
       "rollup_agg",
