@@ -126,7 +126,11 @@ case class VecCosine(left: Expression, right: Expression)
   * so the score is bit-identical to the oracle's list_inner_product
   * over the same quantized values. The fold form
   * (`aggregate(zip_with(...))`) evaluates interpreted; this is a
-  * codegen'd loop over the packed byte arrays. */
+  * codegen'd loop over the packed byte arrays. Ragged inputs truncate
+  * to the shorter length — the whole VecDot family's convention
+  * (same-dimension vectors are the caller's schema contract; the
+  * DuckDB oracle errors on ragged lists instead, so a drifted schema
+  * surfaces at verify time). */
 case class VecDotI8(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -92,17 +92,17 @@ object Audit {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-      // cut as raw nanos so each branch's filter reaches the parquet
-      // scan (PlanSpec-asserted); whole-second cuts are exact under
-      // the nanos→micros truncation
-      val cutNanos = java.time.Instant.parse("2024-01-21T00:00:00Z").getEpochSecond * 1000000000L
+      // whole-second cut pushed to both branch scans as raw-nanos
+      // comparisons (PlanSpec-asserted; see Tables.eventsInRange for
+      // why second granularity makes the pushdown exact)
+      val cutSec = java.time.Instant.parse("2024-01-21T00:00:00Z").getEpochSecond
       def partial(events: org.apache.spark.sql.DataFrame) = events
         .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
         .agg(countAll.as("cnt"), sum(dec(col("value"))).as("s"))
       val basePart = partial(
-        Tables.eventsWhereNanos(spark, dir)(_ < cutNanos)) // = materialized state
+        Tables.eventsInRange(spark, dir, untilSec = Some(cutSec))) // = materialized state
       val deltaPart = partial(
-        Tables.eventsWhereNanos(spark, dir)(_ >= cutNanos)) // = new partition only
+        Tables.eventsInRange(spark, dir, fromSec = Some(cutSec))) // = new partition only
       basePart.unionByName(deltaPart)
         .groupBy(col("d"), col("event_type"))
         .agg(sum(col("cnt")).as("n"), sum(col("s")).cast("double").as("total"))

@@ -162,8 +162,9 @@ object Multimodal {
     * is bit-deterministic across JVMs (no filtering arithmetic), which
     * keeps golden tests exact; swapping in an area/bilinear kernel is
     * a local change inside the loop. Non-PNG and undecodable payloads
-    * pass through unchanged (total stage, like [[decodeMedia]]).
-    * Width/height metadata is updated to the decoded truth. */
+    * pass through unchanged (total stage, like [[decodeMedia]]),
+    * keeping their original metadata; resized rows carry the TARGET
+    * dimensions (tw, th) in width/height. */
   def resizeMedia(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>

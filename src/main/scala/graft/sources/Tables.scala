@@ -29,18 +29,24 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** events with a time predicate applied to the RAW nanos long BEFORE
-    * the micros conversion, so it reaches the parquet scan as a plain
-    * long comparison (`PushedFilters`) — a filter on the derived
-    * timestamp column cannot push. Whole-second boundaries are exact
-    * under the div-1000 truncation, so `ts < nanos(cut)` on the raw
-    * column is equivalent to `ts < cut` on the converted one. */
-  def eventsWhereNanos(spark: SparkSession, dir: String)(
-      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+  /** events restricted to `[fromSec, untilSec)` (epoch seconds), with
+    * the bounds applied to the RAW nanos long BEFORE the micros
+    * conversion so they reach the parquet scan as plain long
+    * comparisons (`PushedFilters`) — a filter on the derived timestamp
+    * column cannot push. Taking the bounds in whole SECONDS (not a
+    * free-form predicate) is deliberate: second boundaries are exact
+    * under the div-1000 truncation, so the pushed raw-nanos filter is
+    * provably equivalent to the same bound on the converted timestamp,
+    * and a caller can never accidentally compare a micros value
+    * against the nanos column. */
+  def eventsInRange(spark: SparkSession, dir: String,
+      fromSec: Option[Long] = None, untilSec: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .filter(pred(col("ts")))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    val bounded = (fromSec.map(s => col("ts") >= s * 1000000000L) ++
+      untilSec.map(s => col("ts") < s * 1000000000L))
+      .reduceOption(_ && _).map(raw.filter).getOrElse(raw)
+    bounded.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

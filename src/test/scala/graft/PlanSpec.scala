@@ -78,9 +78,10 @@ class PlanSpec extends SparkSuite {
 
   test("incremental_agg pushes both branch cuts into the events scan") {
     val p = plan("incremental_agg")
-    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,")
-      || p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
-      "raw-nanos cut must reach the parquet scan")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,"),
+      "base-branch raw-nanos cut must reach the parquet scan")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "delta-branch raw-nanos cut must reach the parquet scan")
   }
 
   test("rollup/cube/grouping-sets Expand sits above a pre-aggregation, not the scan") {
