@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix aggregation — global per-group rank / running sum
+  * WITHOUT a per-group window.
+  *
+  * `Window.partitionBy(g).orderBy(o)` funnels every row of a group
+  * through ONE reducer; when the group key has few values (event_type,
+  * lang: ~5), that is the whole corpus through one task at 100 TB. The
+  * scale-safe equivalent is the classic two-pass prefix-sum:
+  *
+  *   1. range-partition on (group, order) — each shard is a contiguous
+  *      slice of the group's global order, sized by the shuffle
+  *      partitioning, never by the group;
+  *   2. rank/running-sum WITHIN each shard (window keyed by
+  *      (group, shard-id): bounded work per task);
+  *   3. a one-row-per-shard summary table (counts/sums) turned into
+  *      per-shard prefix OFFSETS — tiny, broadcast back;
+  *   4. global value = shard offset + local value.
+  *
+  * Equal (group, order) keys land in one shard (range partitioning
+  * compares whole keys), so ranks never split a tie across shards.
+  * This is the same mergeable-partials idea `incremental_agg` uses for
+  * its materialized rollups, applied to ordered prefixes.
+  */
+object Distributed {
+
+  /** Adds `g_rank` (global 1-based row number per `grp` in `ord`
+    * order) and — when `valueCol` is set — `g_run` (inclusive global
+    * running sum of that column) to `df`. No window in the plan
+    * partitions by `grp` alone; every corpus-sized window is keyed by
+    * (grp, shard). The explicit shard count pins the range shuffle so
+    * AQE cannot re-coalesce it differently between the data pass and
+    * the offsets pass. */
+  def globalRunning(
+      df: DataFrame,
+      grp: Seq[String],
+      ord: Seq[String],
+      valueCol: Option[String] = None): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = df.repartitionByRange(nPart, (grp ++ ord).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val shardKey = (grp :+ "__pid").map(col)
+
+    val wLocOrder = Window.partitionBy(shardKey: _*).orderBy(ord.map(col): _*)
+    val wLocRun = wLocOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = parts.withColumn("__lr", row_number().over(wLocOrder))
+    val local = valueCol.fold(local0)(v => local0.withColumn("__ls", sum(col(v)).over(wLocRun)))
+
+    // one row per (grp, shard): the offsets relation is sized by the
+    // shard count, not the data — safe to window by grp and broadcast
+    val per = parts.groupBy(shardKey: _*)
+      .agg(count(lit(1)).as("__c"),
+        valueCol.fold(lit(0L).as("__s"))(v => sum(col(v)).as("__s")))
+    val wOff = Window.partitionBy(grp.map(col): _*).orderBy(col("__pid"))
+    val off = per
+      .withColumn("__coff", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__soff", sum(col("__s")).over(wOff) - col("__s"))
+      .select((grp :+ "__pid").map(col) :+ col("__coff") :+ col("__soff"): _*)
+
+    val out0 = local.join(broadcast(off), grp :+ "__pid")
+      .withColumn("g_rank", (col("__coff") + col("__lr")).cast("long"))
+    val out = valueCol.fold(out0)(_ => out0.withColumn("g_run", col("__soff") + col("__ls")))
+    out.drop("__pid", "__lr", "__ls", "__coff", "__soff")
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Portable._
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Remaining analytics families (SURVEY.md §2.2): exact interpolated
@@ -16,7 +17,14 @@ object SetQuantile {
   val defs: Seq[QueryDef] = Seq(
 
     // A15 — exact interpolated quantiles per group (linear interp,
-    // the same definition as DuckDB's quantile_cont).
+    // the same definition as DuckDB's quantile_cont / Spark's
+    // percentile()). NOT computed with percentile(): that aggregate is
+    // an ObjectHashAggregate that materializes EVERY value of a group
+    // in one task's memory — with ~5 event_type groups that is N/5
+    // doubles in one reducer at 100 TB. Instead: rank-based selection
+    // over a distributed range sort (Distributed.globalRunning), where
+    // only the 4 bracketing ranks per group are kept and interpolated —
+    // every stage shuffle-parallel, memory O(shard), same semantics.
     QueryDef(
       "events_quantiles",
       """SELECT event_type,
@@ -24,12 +32,34 @@ object SetQuantile {
         |       floor(quantile_cont(value, 0.9) * 1000000.0) / 1000000.0 AS p90,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
-      Tables.events(spark, dir)
-        .groupBy("event_type")
+      val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+      val ranked = Distributed.globalRunning(ev, Seq("event_type"), Seq("value"))
+      val nt = ev.groupBy(col("event_type")).agg(countAll.as("n"))
+      // 0-based fractional position, exactly Spark percentile() /
+      // DuckDB quantile_cont: pos = p * (n - 1); interpolate between
+      // the two bracketing 1-based ranks floor(pos)+1 and ceil(pos)+1
+      def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
+      def isLo(p: Double) = col("g_rank") === floor(pos(p)) + 1
+      def isHi(p: Double) = col("g_rank") === ceil(pos(p)) + 1
+      // (higher - pos) * vLo + (pos - lower) * vHi — the exact
+      // double-arithmetic form both engines use, so quant6 can't
+      // straddle a floor boundary
+      def interp(p: Double, vLo: Column, vHi: Column) =
+        when(floor(pos(p)) === ceil(pos(p)), vLo)
+          .otherwise(vLo * (ceil(pos(p)).cast("double") - pos(p))
+            + vHi * (pos(p) - floor(pos(p)).cast("double")))
+      ranked.join(broadcast(nt), "event_type")
+        .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
+        .groupBy(col("event_type"), col("n"))
         .agg(
-          quant6(expr("percentile(value, 0.5)")).as("p50"),
-          quant6(expr("percentile(value, 0.9)")).as("p90"),
-          countAll.as("n"))
+          min(when(isLo(0.5), col("value"))).as("v50l"),
+          min(when(isHi(0.5), col("value"))).as("v50h"),
+          min(when(isLo(0.9), col("value"))).as("v90l"),
+          min(when(isHi(0.9), col("value"))).as("v90h"))
+        .select(col("event_type"),
+          quant6(interp(0.5, col("v50l"), col("v50h"))).as("p50"),
+          quant6(interp(0.9, col("v90l"), col("v90h"))).as("p90"),
+          col("n"))
     },
 
     // A16 — set operations over customer activity years. Year filters

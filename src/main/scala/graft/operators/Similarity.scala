@@ -73,14 +73,23 @@ object Similarity {
     }.reduce(_ unionByName _).cache()
   }
 
-  private val NumProbes = 3 // IVF cells searched per query
+  /** IVF coarse-centroid count — a FIXED constant, never a fraction of
+    * the corpus: the assignment broadcasts the centroid table and
+    * scores N×K dots, so K must not grow with N (a `vec_id % 97`-style
+    * seed makes the broadcast O(N) and the coarse pass O(N²) — the
+    * classic IVF scale mistake). At production scale K≈√N_target with
+    * a k-means refinement; the deterministic md5-order sample here
+    * keeps the oracle bit-identical. Recall@5 = 0.60 measured at
+    * K=16/nProbe=4 on the random sf0.001 vectors (ScaleSpec floor 0.4). */
+  private val NumCentroids = 16
+  private val NumProbes = 4 // IVF cells searched per query
   private val RerankK = 4 * TopK // coarse candidates per query kept for exact rerank
   private val quantCos = "floor(list_cosine_similarity(%s, %s) * 1000000.0) / 1000000.0"
 
   val defs: Seq[QueryDef] = Seq(
 
     // L7b — IVF-style ANN: assign every vector to its nearest coarse
-    // centroid (seeded deterministically from the corpus; a k-means
+    // centroid (a FIXED-K deterministic md5-order sample; a k-means
     // refinement would slot in here without changing the query shape),
     // then search only the query's nProbe nearest cells. The inverted
     // index is the (cell -> vectors) shuffle; candidates are an
@@ -90,7 +99,8 @@ object Similarity {
       "ann_ivf", {
         val qc = quantCos.format("e.v", "c.cv")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
            |asn AS (SELECT vec_id, cid FROM (
            |   SELECT e.vec_id, c.cid,
            |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
@@ -114,7 +124,12 @@ object Similarity {
       ensureRegistered(spark)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cent = emb.filter(col("vec_id") % 97 === 0)
+      // fixed-K centroid sample: a distributed TakeOrdered (map-side
+      // per-partition top-K, K-row merge on the driver) — the centroid
+      // table is O(K) regardless of corpus size, so the broadcast below
+      // never grows with N
+      val cent = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(NumCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
       // Argmax as an AGGREGATE, not a window: the N×K scored rows are

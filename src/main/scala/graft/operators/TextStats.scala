@@ -72,7 +72,11 @@ object TextStats {
     // packing into fixed token budgets, per language. A doc belongs to
     // the pack where its first token lands (running token count over a
     // deterministic doc order) — the standard pretraining packing
-    // semantics. One shuffle on lang; integer window math only.
+    // semantics. The running sum is NOT a lang-partitioned window
+    // (lang has ~5 values → whole corpus of a language through one
+    // reducer): Distributed.globalRunning range-shards each language's
+    // doc_id order and stitches shard running sums with broadcast
+    // prefix offsets — exact same pack ids, every stage parallel.
     QueryDef(
       "text_pack", {
         val budget = 2048
@@ -86,13 +90,11 @@ object TextStats {
            |FROM r GROUP BY 1, 2""".stripMargin
       }) { (spark, dir) =>
       val budget = 2048
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(spark, dir)
+      val t = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("run", sum(col("n_tok")).over(w))
-        .groupBy(col("lang"), expr(s"(run - n_tok) div $budget").as("pack_id"))
+      Distributed.globalRunning(t, Seq("lang"), Seq("doc_id"), Some("n_tok"))
+        .groupBy(col("lang"), expr(s"(g_run - n_tok) div $budget").as("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("total_tokens"))
     },
 

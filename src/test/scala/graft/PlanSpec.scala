@@ -103,4 +103,38 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_max_by"),
       "assignment should collapse map-side via a partial max_by aggregate")
   }
+
+  test("ann_ivf's centroid table is a fixed-K TakeOrdered, not a corpus fraction") {
+    // |centroids| must not grow with the corpus: the deterministic
+    // md5-order sample plans as TakeOrderedAndProject(limit=K)
+    assert(plan("ann_ivf").contains("TakeOrderedAndProject"),
+      "centroid seeding should be a constant-K distributed top-K")
+  }
+
+  test("events_quantiles never buffers a whole group (no percentile aggregate)") {
+    val p = plan("events_quantiles")
+    assert(!p.contains("percentile("),
+      "exact quantiles must come from rank selection, not the " +
+        "group-buffering percentile() aggregate")
+    assert(!p.contains("ObjectHashAggregate"),
+      "no aggregate in this plan may materialize per-group state objects")
+  }
+
+  test("corpus-sized running windows shard by range partition, never by the group alone") {
+    // events_quantiles ranks values per event_type (~5 groups);
+    // text_pack runs a token sum per lang (~5 groups). Every window
+    // spec in their plans must carry the __pid shard id — a window
+    // keyed by the low-cardinality group alone serializes the corpus
+    // through one reducer.
+    Seq("events_quantiles" -> "event_type", "text_pack" -> "lang").foreach {
+      case (q, g) =>
+        val p = plan(q)
+        val specs = raw"windowspecdefinition\([^)]*".r.findAllIn(p).toList
+        assert(specs.nonEmpty, s"$q: expected window specs in the plan")
+        specs.filter(_.contains(g)).foreach { s =>
+          assert(s.contains("__pid"),
+            s"$q: window partitioned by $g without the shard id:\n$s")
+        }
+    }
+  }
 }
