@@ -180,7 +180,12 @@ case class VecDotI8(left: Expression, right: Expression)
 object VecExpressions {
   /** Register vec_dot / vec_cosine / vec_dot_i8 in the session's
     * function registry (idempotent) so Column code can reach them via
-    * call_function. */
+    * call_function. Also exposes Spark's own bloom-filter pair
+    * (`bloom_filter_agg` build side, `might_contain` probe side): the
+    * expressions ship in catalyst — they power AQE's runtime filters —
+    * but live in the INTERNAL function registry, invisible to SQL;
+    * re-registering them here makes the pair usable from expr() for
+    * the decontamination bloom pre-filter. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
@@ -188,5 +193,15 @@ object VecExpressions {
       "vec_cosine", exprs => VecCosine(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_i8", exprs => VecDotI8(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "built-in")
   }
 }

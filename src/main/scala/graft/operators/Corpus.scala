@@ -63,6 +63,23 @@ object Corpus {
          |LEFT JOIN rep r ON r.doc_id = d.doc_id
          |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
          |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
+      decide(spark, dir, broadcastContam = true)
+    })
+
+  /** The corpus_keep decision with the contamination-join strategy
+    * explicit. `broadcastContam = true` (the query default) broadcasts
+    * the contaminated-doc flag set — right while contamination is
+    * sparse, which a decontamination gate should be. A heavily
+    * contaminated corpus makes that flag set corpus-sized and would
+    * blow the driver's broadcast; `broadcastContam = false` routes the
+    * same join through a keyed shuffle-hash join instead (identical
+    * output, spec-asserted), which is safe at ANY contamination rate.
+    * At 100 TB the switch is a size estimate on the flag set; both
+    * shapes are exercised in tests so the fallback can't rot. */
+  private[graft] def decide(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      broadcastContam: Boolean): org.apache.spark.sql.DataFrame = {
       // ONE tokenized+cached scan feeds all three sub-pipelines: the
       // per-row gates, the decontamination grams, and the minhash
       // dedup stages (each standalone query tokenizes for itself; the
@@ -93,12 +110,13 @@ object Corpus {
       val labels = Dedup.clusterLabels(Dedup.minhashPairsFrom(tok))
         .select(col("doc_id").as("l_doc"), col("label"))
       val dedupKeep = coalesce(col("label"), col("doc_id")) === col("doc_id")
+      val contamSide = if (broadcastContam) broadcast(contam) else contam.hint("shuffle_hash")
       perRow
-        .join(broadcast(contam), col("doc_id") === col("c_doc"), "left")
+        .join(contamSide, col("doc_id") === col("c_doc"), "left")
         .join(labels, col("doc_id") === col("l_doc"), "left")
         .select(col("doc_id"), col("q_pass"), col("rep_pass"), col("lang_pass"),
           col("c_doc").isNull.as("contam_pass"), dedupKeep.as("dedup_keep"),
           (col("q_pass") && col("rep_pass") && col("lang_pass")
             && col("c_doc").isNull && dedupKeep).as("keep"))
-    })
+  }
 }

@@ -94,13 +94,12 @@ object Decontam {
        |    'best', greatest(acc.best, acc.run),
        |    'dup', acc.dup + IF(acc.run > 1, acc.run, CAST(0 AS BIGINT))))""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // L20 — decontamination: flag corpus docs sharing any 8-gram with
-    // the benchmark split; report absolute and relative overlap.
-    QueryDef(
-      "text_contamination",
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shared oracle for both decontamination variants: the bloom path
+    * is a pre-filter whose false positives are removed by an exact
+    * verify join, so its output is bit-identical to the broadcast
+    * path and both replay the same exact SQL. */
+  private val contaminationOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |g AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + $GramLen], ' ') AS g
          |      FROM t, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
          |      WHERE i.i <= greatest(len(tk) - $GramLen, 0)),
@@ -114,7 +113,13 @@ object Decontam {
          |SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
          |       CAST(ng.n_grams AS BIGINT) AS n_grams,
          |       floor(CAST(h.n_hits AS DOUBLE) / ng.n_grams * 1000000.0) / 1000000.0 AS hit_frac
-         |FROM h JOIN ng ON ng.doc_id = h.doc_id""".stripMargin) { (spark, dir) =>
+         |FROM h JOIN ng ON ng.doc_id = h.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // L20 — decontamination: flag corpus docs sharing any 8-gram with
+    // the benchmark split; report absolute and relative overlap.
+    QueryDef("text_contamination", contaminationOracle) { (spark, dir) =>
       // per-doc gram arrays, shared+cached; the per-doc gram count
       // rides along map-side so no second corpus aggregation
       val grams = gramArrays(spark, dir)
@@ -124,6 +129,40 @@ object Decontam {
         .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
           explode(col("gs")).as("g"))
         .join(broadcast(bench), "g")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), col("n_grams"),
+          quant6(col("n_hits").cast("double") / col("n_grams")).as("hit_frac"))
+    },
+
+    // L20b — the at-scale seat of text_contamination: when the
+    // benchmark gram set outgrows a comfortable broadcast, build ONE
+    // fixed-size bloom filter over it (`bloom_filter_agg` scalar
+    // subquery — ~1 MB regardless of benchmark size, shipped once per
+    // executor exactly like Spark's own AQE runtime filters), stream
+    // the corpus gram stream through the codegen'd `might_contain`
+    // probe at scan speed, and remove the false positives with an
+    // exact KEYED verify join sized by the bloom survivors, not the
+    // corpus. Output is bit-identical to the broadcast path — both
+    // variants replay the same exact oracle, and QueriesSpec asserts
+    // the equivalence directly. xxhash64 feeds only the bloom (a
+    // pre-filter that cannot change the output), so the md5-only
+    // oracle rule is not in play.
+    QueryDef("text_contamination_bloom", contaminationOracle) { (spark, dir) =>
+      graft.functions.VecExpressions.register(spark) // might_contain
+      val grams = gramArrays(spark, dir)
+      val bench = grams.filter(isBench)
+        .select(explode(col("gs")).as("g")).distinct()
+      bench.createOrReplaceTempView("graft_bench_grams")
+      grams.filter(!isBench)
+        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+          explode(col("gs")).as("g"))
+        .filter(expr(
+          "might_contain((SELECT bloom_filter_agg(xxhash64(g)) FROM graft_bench_grams), xxhash64(g))"))
+        // shuffle_hash hint: this path models a benchmark too big to
+        // broadcast, so the verify must stay a keyed join even where
+        // AQE would happily broadcast the local test set
+        .join(bench.hint("shuffle_hash"), "g")
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(lit(1)).as("n_hits"))
         .select(col("doc_id"), col("n_hits"), col("n_grams"),

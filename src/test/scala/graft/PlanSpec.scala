@@ -120,6 +120,17 @@ class PlanSpec extends SparkSuite {
       "no aggregate in this plan may materialize per-group state objects")
   }
 
+  test("text_contamination_bloom probes a scalar bloom and verifies with a keyed join") {
+    val p = plan("text_contamination_bloom")
+    assert(p.contains("might_contain"),
+      "the bloom probe must gate the corpus gram stream")
+    assert(p.contains("Subquery") || p.contains("bloom_filter_agg"),
+      "the bloom should be built once as a scalar subquery aggregate")
+    assert(p.contains("ShuffledHashJoin"),
+      "the exact verify join must stay keyed — this path models a " +
+        "benchmark too large to broadcast")
+  }
+
   test("corpus-sized running windows shard by range partition, never by the group alone") {
     // events_quantiles ranks values per event_type (~5 groups);
     // text_pack runs a token sum per lang (~5 groups). Every window

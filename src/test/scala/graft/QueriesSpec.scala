@@ -133,6 +133,28 @@ class QueriesSpec extends SparkSuite {
     assert(ck.join(r, "doc_id").filter(col("rep_pass") =!= col("r2")).count() === 0)
   }
 
+  test("bloom decontamination is bit-identical to the broadcast path") {
+    // the bloom is a pre-filter; the exact verify join must erase its
+    // false positives, leaving the two variants indistinguishable
+    val broad = SparkEntry.queries("text_contamination")(spark, sf0001)
+    val bloom = SparkEntry.queries("text_contamination_bloom")(spark, sf0001)
+    assert(broad.count() > 0)
+    assert(broad.exceptAll(bloom).count() === 0)
+    assert(bloom.exceptAll(broad).count() === 0)
+  }
+
+  test("corpus_keep's keyed contamination fallback matches the broadcast default") {
+    // a heavily contaminated corpus can't broadcast its flag set; the
+    // shuffle-hash fallback must produce the identical decision table
+    val broad = SparkEntry.queries("corpus_keep")(spark, sf0001)
+    val keyed = graft.operators.Corpus.decide(spark, sf0001, broadcastContam = false)
+    assert(broad.exceptAll(keyed).count() === 0)
+    assert(keyed.exceptAll(broad).count() === 0)
+    val p = keyed.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      "keyed fallback should plan a shuffle-hash contamination join")
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
