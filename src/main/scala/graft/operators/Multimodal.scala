@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` payloads + typed metadata, processed in batched
   * per-partition passes.
   *
-  * PNG decode is REAL (`decodeMedia`, via the JVM's own javax.imageio
-  * codec — pixel-stat features, golden-tested in MultimodalSpec).
-  * Audio (wav) has no JVM codec here, so that path is a clearly-marked
-  * deterministic stub (`decodeStub` / the fallback in `decodeMedia`);
-  * everything Spark owns — schema, partitioning, batch shape, the
-  * mapPartitions seam where a JNI/codec library would sit — is real
-  * and tested. At 100 TB the payloads stream through one narrow
-  * stage; nothing is collected and metadata travels columnar.
+  * Both codec paths are REAL and pure-JVM: PNG via javax.imageio
+  * (pixel-stat features, nearest-neighbor resize) and WAV via
+  * javax.sound.sampled (PCM16 amplitude features) — encode→decode
+  * roundtrips are golden-tested in MultimodalSpec. Undecodable or
+  * unknown-format payloads fall back to a deterministic byte-stat
+  * stub (`decodeStub`), so every stage is total. Everything Spark
+  * owns — schema, partitioning, batch shape, the mapPartitions seam
+  * where a heavier JNI codec would sit — is the same for all formats.
+  * At 100 TB the payloads stream through one narrow stage; nothing is
+  * collected and metadata travels columnar.
   */
 object Multimodal {
 
@@ -38,11 +40,14 @@ object Multimodal {
 
   /** REAL media payloads: for fmt=png an actually-encoded PNG (tiny
     * solid-color image deterministically derived from doc_id — PNG is
-    * lossless, so decode recovers the exact color), other formats keep
-    * the utf-8 text stand-in. Encoder runs in the same per-partition
-    * seam as decode. Dimensions are kept small (8..39 px) so the
-    * synthetic corpus encodes in milliseconds — the point is a true
-    * encode→decode roundtrip through a real codec, not image size. */
+    * lossless, so decode recovers the exact color); for fmt=wav an
+    * actually-encoded PCM16 WAVE file (deterministic integer triangle
+    * wave — lossless, so decode recovers the exact samples); other
+    * formats keep the utf-8 text stand-in. Encoders run in the same
+    * per-partition seam as decode. Payloads are kept small (8..39 px
+    * images, 64..255-sample clips) so the synthetic corpus encodes in
+    * milliseconds — the point is a true encode→decode roundtrip
+    * through real codecs, not media size. */
   def synthesizeMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     attachMedia(spark, dir)
@@ -66,9 +71,51 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(im, "png", bos)
             r.copy(payload = bos.toByteArray)
+          } else if (r.fmt == "wav") {
+            r.copy(payload = encodeWavPcm16(syntheticSamples(r.doc_id), WavRate))
           } else r
         }
       }
+  }
+
+  /** Sample rate for all synthetic wav clips. */
+  val WavRate: Float = 8000f
+
+  /** Deterministic per-doc PCM16 clip for [[synthesizeMedia]]: an
+    * integer triangle wave (no FP, no trig — bit-identical on any
+    * JVM) with doc-derived length, period, and amplitude. */
+  def syntheticSamples(docId: Long): Array[Short] = {
+    val n = 64 + (docId % 192).toInt
+    val period = 16 + (docId % 48).toInt
+    val amp = (1000 + (docId * 131) % 24000).toInt
+    val half = period / 2
+    Array.tabulate(n) { i =>
+      val ph = i % period
+      val v =
+        if (ph < half) -amp + (2 * amp * ph) / half
+        else amp - (2 * amp * (ph - half)) / half
+      v.toShort
+    }
+  }
+
+  /** Real WAVE encode via javax.sound.sampled: little-endian PCM16
+    * mono samples wrapped in an AudioInputStream and written through
+    * the JDK's own RIFF writer. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic per-doc fill color for [[synthesizeMedia]]. */
@@ -87,7 +134,8 @@ object Multimodal {
   }
 
   /** STUB features: deterministic byte statistics standing in for what
-    * a codec would produce, for formats with no JVM decoder here (wav). */
+    * a codec would produce — the total-stage fallback for unknown
+    * formats and undecodable payloads. */
   private def stubFeatures(bytes: Array[Byte]): Array[Double] =
     Array.tabulate(4) { k =>
       if (bytes.isEmpty) 0.0
@@ -109,12 +157,56 @@ object Multimodal {
     }
   }
 
-  /** REAL decode for PNG via the JVM's own codec (`javax.imageio` —
-    * no native library needed): width/height come from the decoded
-    * image and features are actual pixel statistics (mean R, G, B,
-    * luma, each in [0,1]). Formats without a JVM decoder (wav) and
+  /** Real PCM16 WAVE decode via javax.sound.sampled (pure JVM, like
+    * imageio): parses the RIFF container, streams the frames once, and
+    * returns (sampleRate, channels, amplitude features). Features —
+    * all normalized to [-1,1] full scale: mean |amplitude|, RMS, peak,
+    * zero-crossing rate. None on anything that is not decodable PCM16,
+    * so callers can fall back. */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        || f.getSampleSizeInBits != 16) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) None
+        else {
+          var sumAbs = 0.0; var sumSq = 0.0; var peak = 0; var zc = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s =
+              if (f.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            val a = math.abs(s)
+            sumAbs += a
+            sumSq += s.toDouble * s
+            if (a > peak) peak = a
+            if (i > 0 && ((s > 0 && prev <= 0) || (s < 0 && prev >= 0))) zc += 1
+            prev = s
+            i += 1
+          }
+          val fs = 32768.0
+          Some((f.getSampleRate.toInt, f.getChannels,
+            Array(sumAbs / n / fs, math.sqrt(sumSq / n) / fs, peak / fs,
+              zc.toDouble / n)))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL decode via the JVM's own codecs (`javax.imageio` for PNG,
+    * `javax.sound.sampled` for WAV — no native library needed). PNG:
+    * width/height come from the decoded image and features are actual
+    * pixel statistics (mean R, G, B, luma, each in [0,1]). WAV: width
+    * carries the decoded sample rate, height the channel count, and
+    * features are amplitude statistics (mean |a|, RMS, peak,
+    * zero-crossing rate, full-scale normalized). Unknown formats and
     * undecodable payloads fall back to the deterministic stub path, so
-    * the stage is total — a corrupt image degrades, never crashes the
+    * the stage is total — a corrupt file degrades, never crashes the
     * pipeline. Runs in the same per-partition seam where a JNI codec
     * context would sit. */
   def decodeMedia(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
@@ -149,8 +241,14 @@ object Multimodal {
             DecodedRow(r.doc_id, r.fmt, w, h, bytes.length.toLong,
               byteChecksum(bytes), Array(mr, mg, mb, luma))
           case None =>
-            DecodedRow(r.doc_id, r.fmt, r.width, r.height, bytes.length.toLong,
-              byteChecksum(bytes), stubFeatures(bytes))
+            (if (r.fmt == "wav") decodeWav(bytes) else None) match {
+              case Some((rate, channels, features)) =>
+                DecodedRow(r.doc_id, r.fmt, rate, channels, bytes.length.toLong,
+                  byteChecksum(bytes), features)
+              case None =>
+                DecodedRow(r.doc_id, r.fmt, r.width, r.height, bytes.length.toLong,
+                  byteChecksum(bytes), stubFeatures(bytes))
+            }
         }
       }
     }
