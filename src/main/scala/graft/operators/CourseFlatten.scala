@@ -104,8 +104,13 @@ object CourseFlatten {
         // R3 — array-of-struct → ", "-joined strings; partner_ids comes
         // from the entity's OWN partnerIds array (main.py:107-110 joins
         // entity["partnerIds"], not partners[].id — the two can differ
-        // in a real response)
-        array_join(transform(e.getField("partners"), p => p.getField("name")), ", ").as("partners"),
+        // in a real response). BOTH arrays coalesce to empty before the
+        // join: the reference's entity.get("partners", []) yields ""
+        // for an absent array, never null
+        array_join(transform(
+          coalesce(e.getField("partners"),
+            array().cast("array<struct<name:string,id:string>>")),
+          p => p.getField("name")), ", ").as("partners"),
         array_join(coalesce(e.getField("partnerIds"), array().cast("array<string>")), ", ").as("partner_ids"),
         // R5 — .get(..., "N/A") defaults; isPartOfCourseraPlus defaults
         // to false like the reference's .get(..., False) (main.py:126)
