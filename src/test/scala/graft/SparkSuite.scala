@@ -18,6 +18,12 @@ object SparkSuite {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every streaming test runs against the RocksDB state store —
+      // the provider a 100 TB deployment uses (state spills off-heap
+      // to local disk instead of living in executor memory) — so no
+      // operator can silently depend on the in-memory default
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -13,6 +13,14 @@ class StreamingSpec extends SparkSuite {
 
   private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
 
+  test("streaming state runs on the RocksDB provider, not the in-memory default") {
+    // every stateful test below exercises it; this guards the config
+    // from silently reverting to the in-memory provider
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    Class.forName("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+
   test("hourlyCounts aggregates windows with a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
