@@ -66,7 +66,7 @@ object Stress {
         col("label"))
       .write.mode("overwrite").parquet(s"$stressDir/embeddings.parquet")
 
-    def run(name: String, dir: String): (Double, Long) = {
+    def runOnce(name: String, dir: String): (Double, Long) = {
       spark.sharedState.cacheManager.clearCache()
       // plan building INSIDE the clock: iterative operators
       // (dedup_clusters) materialize checkpoints while constructing
@@ -77,6 +77,16 @@ object Stress {
       val rows = df.count() // cached — rows reported off the clock
       df.unpersist()
       (sec, rows)
+    }
+
+    // Bench's methodology: min of two timed runs per (query, corpus).
+    // Single-run stress timings have been observed to swing 4× on this
+    // box (VM host noise) — a ratio computed from two single samples
+    // is not evidence. The first run doubles as the JIT warm-up.
+    def run(name: String, dir: String): (Double, Long) = {
+      val (s1, rows) = runOnce(name, dir)
+      val (s2, _) = runOnce(name, dir)
+      (math.min(s1, s2), rows)
     }
 
     // one untimed query to take JVM/codegen warm-up off the first row
