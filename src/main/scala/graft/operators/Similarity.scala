@@ -86,6 +86,89 @@ object Similarity {
   private val RerankK = 4 * TopK // coarse candidates per query kept for exact rerank
   private val quantCos = "floor(list_cosine_similarity(%s, %s) * 1000000.0) / 1000000.0"
 
+  /** Fixed-K centroid sample: a distributed TakeOrdered (map-side
+    * per-partition top-K, K-row merge on the driver) — the centroid
+    * table is O(K) regardless of corpus size, so the assignment
+    * broadcast never grows with N. `emb` must carry (vec_id, v). */
+  def seedCentroids(emb: DataFrame): DataFrame =
+    emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** The IVF search stage against ANY (cid, cv) centroid table —
+    * shared by the oracle-checked query (seed centroids) and the
+    * k-means-refined variant ScaleSpec measures. */
+  def ivfSearch(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
+    // Argmax as an AGGREGATE, not a window: the N×K scored rows are
+    // collapsed to one partial per vector map-side (each vector's K
+    // centroid scores are born in one partition from the broadcast
+    // join), so the shuffle carries N rows — at 1B vectors × 1k
+    // centroids a window here would shuffle 1T rows to rank them.
+    // Tie-break matches the oracle: best score, then LOWEST cid.
+    val best = struct(col("score"), (-col("cid")).as("nc"))
+    val asn = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), qcos.as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), best).as("cid"))
+    // nProbe cells per query: same aggregate trick — top-nProbe kept
+    // via a K-bounded sorted list per key (partials merge map-side),
+    // never a rank over the joined rows.
+    val qprobe = emb.filter(col("vec_id") % 100 === 0)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("qid"), col("cid"), qcos.as("score"))
+      .groupBy(col("qid"))
+      .agg(slice(sort_array(collect_list(best), asc = false), 1, NumProbes).as("top"))
+      .select(col("qid"), explode(col("top")).as("p"))
+      .select(col("qid"), (-col("p.nc")).as("cid"))
+    val cand = qprobe.join(asn.withColumnRenamed("vec_id", "nid"), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        graft.functions.Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= TopK)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rn").cast("long").as("rank"), col("score"))
+  }
+
+  /** One Lloyd (k-means) iteration over the coarse centroids: assign
+    * every vector to its nearest centroid (the same map-side `max_by`
+    * aggregate shape the query uses), then recompute each centroid as
+    * its cell's element-wise mean. This is the refinement step the
+    * ann_ivf Scaladoc promises "slots in without changing the query
+    * shape": the output has the same (cid, cv) schema, so the
+    * assignment/probe stages are untouched. Kept OUT of the
+    * oracle-checked query — FP mean sums are partial-order-dependent
+    * across engines, which would break bit-parity — and measured
+    * instead in ScaleSpec (recall uplift vs the raw seed sample).
+    * Cost per iteration: one N×K broadcast-scored aggregate plus an
+    * N×dim (vec, dim-index) shuffle — linear in the corpus. */
+  def refineCentroids(emb: DataFrame, cent: DataFrame, iterations: Int = 1): DataFrame = {
+    var c = cent
+    (0 until iterations).foreach { _ =>
+      val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
+      val best = struct(col("score"), (-col("cid")).as("nc"))
+      val asn = emb.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("v"), col("cid"), qcos.as("score"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v")), best).as("a"))
+        .select(col("a.cid").as("cid"), col("a.v").as("v"))
+      c = asn
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+        .select(col("cid"), expr("transform(ms, e -> e.m)").as("cv"))
+    }
+    c
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // L7b — IVF-style ANN: assign every vector to its nearest coarse
@@ -124,48 +207,7 @@ object Similarity {
       ensureRegistered(spark)
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // fixed-K centroid sample: a distributed TakeOrdered (map-side
-      // per-partition top-K, K-row merge on the driver) — the centroid
-      // table is O(K) regardless of corpus size, so the broadcast below
-      // never grows with N
-      val cent = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(NumCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
-      // Argmax as an AGGREGATE, not a window: the N×K scored rows are
-      // collapsed to one partial per vector map-side (each vector's K
-      // centroid scores are born in one partition from the broadcast
-      // join), so the shuffle carries N rows — at 1B vectors × 1k
-      // centroids a window here would shuffle 1T rows to rank them.
-      // Tie-break matches the oracle: best score, then LOWEST cid.
-      val best = struct(col("score"), (-col("cid")).as("nc"))
-      val asn = emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), qcos.as("score"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), best).as("cid"))
-      // nProbe cells per query: same aggregate trick — top-2 kept via a
-      // K-bounded sorted list per key (partials merge map-side), never
-      // a rank over the joined rows.
-      val qprobe = emb.filter(col("vec_id") % 100 === 0)
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id").as("qid"), col("cid"), qcos.as("score"))
-        .groupBy(col("qid"))
-        .agg(slice(sort_array(collect_list(best), asc = false), 1, NumProbes).as("top"))
-        .select(col("qid"), explode(col("top")).as("p"))
-        .select(col("qid"), (-col("p.nc")).as("cid"))
-      val cand = qprobe.join(asn.withColumnRenamed("vec_id", "nid"), "cid")
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid")).distinct()
-      val scored = cand
-        .join(emb.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
-        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
-        .select(col("qid"), col("nid"),
-          graft.functions.Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      scored.withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= TopK)
-        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-          col("rn").cast("long").as("rank"), col("score"))
+      ivfSearch(emb, seedCentroids(emb))
     },
 
     // L7c — scalar-quantized (int8) ANN with exact rerank: the third

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Distributed
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed prefix-aggregation primitive behind
+  * events_quantiles and text_pack: range-sharded local windows +
+  * broadcast prefix offsets must reproduce the naive single-window
+  * computation exactly — including across shard boundaries, which is
+  * where an off-by-one in the offsets would hide. */
+class DistributedSpec extends SparkSuite {
+
+  test("globalRunning equals the single-window reference on unique order keys") {
+    import spark.implicits._
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ords = rnd.shuffle((0 until 500).toVector)
+      val rows = ords.map(o => (s"g${rnd.nextInt(4)}", o.toLong, rnd.nextInt(50).toLong))
+      val df = rows.toDF("g", "ord", "v")
+      val w = Window.partitionBy("g").orderBy("ord")
+      val ref = df
+        .withColumn("r_rank", row_number().over(w))
+        .withColumn("r_run", sum("v").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val got = Distributed.globalRunning(df, Seq("g"), Seq("ord"), Some("v"))
+      val joined = got.join(ref, Seq("g", "ord", "v")).cache()
+      assert(joined.count() === 500, s"seed $seed: row loss")
+      assert(joined.filter(col("g_rank") =!= col("r_rank")
+        || col("g_run") =!= col("r_run")).count() === 0,
+        s"seed $seed: rank/run mismatch vs the window reference")
+    }
+  }
+
+  test("globalRunning handles ties like the reference: value-at-rank is well-defined") {
+    import spark.implicits._
+    // heavy duplicate order keys (the events_quantiles case, where the
+    // order key IS the value): rank order among ties is arbitrary, but
+    // the value and running sum AT each rank are fully determined
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+    val df = rows.toDF("g", "ord").withColumn("v", col("ord"))
+    val w = Window.partitionBy("g").orderBy("ord")
+    val ref = df
+      .withColumn("rank", row_number().over(w))
+      .withColumn("r_run", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("g"), col("rank"), col("ord").as("r_ord"), col("r_run"))
+    val got = Distributed.globalRunning(df, Seq("g"), Seq("ord"), Some("v"))
+      .select(col("g"), col("g_rank").as("rank"), col("ord"), col("g_run"))
+    val joined = got.join(ref, Seq("g", "rank")).cache()
+    assert(joined.count() === 400)
+    assert(joined.filter(col("ord") =!= col("r_ord")
+      || col("g_run") =!= col("r_run")).count() === 0,
+      "value-at-rank or run-at-rank diverged from the window reference")
+  }
+
+  test("rank-only mode needs no value column and emits no g_run") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => ("g", i.toLong)).toDF("g", "ord")
+    val got = Distributed.globalRunning(df, Seq("g"), Seq("ord"))
+    assert(!got.columns.contains("g_run"))
+    assert(got.filter(col("g_rank") =!= col("ord") + 1).count() === 0)
+  }
+}
