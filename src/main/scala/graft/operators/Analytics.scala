@@ -144,6 +144,13 @@ object Analytics {
     },
 
     // A6 — window rank-per-group: top-3 parts per brand by price.
+    // p_brand has ~25 values, so a single rank window would pull a
+    // 25th of the part table through one reducer at scale. The salted
+    // TWO-PHASE window (ann_bruteforce's pattern) is exact because
+    // (p_retailprice desc, p_partkey) is a total order: any global
+    // top-3 row is also top-3 within its (brand, partkey%64) salt
+    // shard, so the pre-cut keeps every survivor while bounding each
+    // reducer to its shard.
     QueryDef(
       "window_rank",
       """SELECT p_brand, p_name, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
@@ -153,9 +160,13 @@ object Analytics {
         |                                ORDER BY p_retailprice DESC, p_partkey) AS rn
         |      FROM part) t
         |WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      val wSalted = Window.partitionBy(col("p_brand"), pmod(col("p_partkey"), lit(64)))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
       Tables.part(spark, dir)
+        .withColumn("srn", row_number().over(wSalted))
+        .filter(col("srn") <= 3)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("p_brand"), col("p_name"), col("p_partkey"),

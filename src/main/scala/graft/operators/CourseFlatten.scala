@@ -28,7 +28,16 @@ import org.apache.spark.sql.functions._
 object CourseFlatten {
 
   /** Nested "API response": one row per collection, entities packed as
-    * an array of structs, partners nested one level deeper. */
+    * an array of structs, partners nested one level deeper.
+    *
+    * Scale note: the collect_list here builds one row PER COLLECTION
+    * holding that collection's whole entity array — that is the data
+    * model of the reference's API response itself (a response document
+    * IS a bounded page of entities per collection,
+    * extract-service/main.py:46-145), not a corpus-sized aggregation.
+    * This constructor exists to synthesize test input for `flatten`
+    * from the star schema; production input arrives already nested
+    * (CourseraJson), bounded by the API page size. */
   def nestedCollections(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // partners of a part = suppliers it ships with in lineitem.
     // Broadcast-join the supplier dim first (no shuffle), then ONE

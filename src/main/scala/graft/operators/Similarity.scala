@@ -129,8 +129,17 @@ object Similarity {
       .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
       .select(col("qid"), col("nid"),
         graft.functions.Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
+    // candidates per query grow with the cell size (N/K), so the final
+    // top-k is the salted two-phase window (ann_bruteforce's pattern;
+    // exact under the (score desc, nid) total order) — no reducer ever
+    // holds a whole cell's scores for one query
+    val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
+      .orderBy(col("score").desc, col("nid"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(wTop))
+    scored
+      .withColumn("srn", row_number().over(wSalted))
+      .filter(col("srn") <= TopK)
+      .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= TopK)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         col("rn").cast("long").as("rank"), col("score"))
@@ -386,8 +395,16 @@ object Similarity {
         .join(emb.select(col("vec_id").as("nid"), col("emb").as("ne")), "nid")
         .select(col("qid"), col("nid"),
           graft.functions.Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
+      // sign buckets are a constant partition of the space (16 per
+      // table), so bucket size — and with it a query's candidate set —
+      // grows with N: salt the final top-k like every other ANN path
+      val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
+        .orderBy(col("score").desc, col("nid"))
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      scored.withColumn("rn", row_number().over(w))
+      scored
+        .withColumn("srn", row_number().over(wSalted))
+        .filter(col("srn") <= TopK)
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TopK)
         .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
           col("rn").cast("long").as("rank"), col("score"))

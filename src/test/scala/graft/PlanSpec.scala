@@ -120,6 +120,24 @@ class PlanSpec extends SparkSuite {
       "no aggregate in this plan may materialize per-group state objects")
   }
 
+  test("every growing top-k window carries a salted pre-cut and a group-limit pushdown") {
+    // ann candidates grow with the corpus (cell/bucket size ∝ N) and
+    // window_rank's p_brand has ~25 values: each final top-k must be
+    // preceded by a per-salt pre-top (pmod key, extracted by Catalyst
+    // into a _w projection) so no reducer ranks a whole group, and the
+    // rank filter must engage Spark's WindowGroupLimit pushdown (maps
+    // forward only k rows per group to the reducer). Exactness of the
+    // pre-cut comes from the total-order comparator.
+    Seq("ann_bruteforce", "ann_quantized", "ann_ivf", "ann_lsh", "window_rank")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("pmod("),
+          s"$q: expected a pmod-salted pre-top window in the plan")
+        assert(p.contains("WindowGroupLimit"),
+          s"$q: the rank filter should push down as a WindowGroupLimit")
+      }
+  }
+
   test("text_contamination_bloom probes a scalar bloom and verifies with a keyed join") {
     val p = plan("text_contamination_bloom")
     assert(p.contains("might_contain"),
