@@ -152,9 +152,13 @@ object Dedup {
       md5(concat(lit(s"$b:"), concat_ws("|", parts: _*)))
     }
     val bk = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    // no broadcast hint on the hot-key set: its size is corpus-shaped
+    // (up to N/MaxBucketDocs keys), so AQE picks broadcast while it is
+    // small and falls back to a keyed anti-join when it isn't — an
+    // explicit broadcast() would pin a driver-sized plan at 100 TB
     val hot = bk.groupBy(col("band_key")).agg(count(lit(1)).as("n"))
       .filter(col("n") > MaxBucketDocs).select(col("band_key"))
-    val bkc = bk.join(broadcast(hot), Seq("band_key"), "left_anti")
+    val bkc = bk.join(hot, Seq("band_key"), "left_anti")
 
     val cand = bkc.as("a")
       .join(bkc.as("b"),
@@ -162,9 +166,13 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
 
+    // candidate docs scale with the DUPLICATE MASS, not a constant:
+    // like the hot-key set above, the semi-join is left to AQE
+    // (broadcast while sparse, keyed when a dup-heavy corpus makes
+    // the candidate set corpus-sized)
     val candDocs = cand.select(col("da").as("doc_id"))
       .unionByName(cand.select(col("db").as("doc_id"))).distinct()
-    val shc = shingleWords(tok.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    val shc = shingleWords(tok.join(candDocs, Seq("doc_id"), "left_semi"))
       .cache()
     val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
 

@@ -272,7 +272,12 @@ object TextOps {
     },
 
     // L1 — exact dedup: normalize → hash → keep-first per group.
-    // At scale: one shuffle on the 128-bit text hash, never on raw text.
+    // At scale: one shuffle on the 128-bit text hash, never on raw
+    // text — and never a WINDOW over the hash groups: a viral document
+    // with a billion copies is one window partition through a single
+    // reducer, while the min_by keeper selection below is a partial
+    // aggregate that collapses each copy set map-side (doc_id is
+    // unique, so min_by is deterministic).
     QueryDef(
       "dedup_exact",
       """WITH r AS (SELECT doc_id, source,
@@ -284,15 +289,18 @@ object TextOps {
         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM r GROUP BY source""".stripMargin) { (spark, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
-          sum(when(col("rn") === 1, 0).otherwise(1)).cast("long").as("n_dropped"))
+      val g = Tables.documents(spark, dir)
+        .select(md5(lower(col("text"))).as("h"), col("doc_id"), col("source"))
+      // keeper of each copy set = the row with the min doc_id; its
+      // source is what the per-source kept count attributes
+      val kept = g.groupBy(col("h"))
+        .agg(min_by(col("source"), col("doc_id")).as("ksrc"))
+        .groupBy(col("ksrc"))
+        .agg(count(lit(1)).as("n_kept"))
+      g.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, col("source") === col("ksrc"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
     })
 }
