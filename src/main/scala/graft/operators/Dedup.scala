@@ -225,15 +225,34 @@ object Dedup {
     * iterations. On a production cluster with executor churn, swap for
     * reliable `checkpoint` with a checkpoint dir. */
   def clusterLabels(pairs: DataFrame): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists its row RDD in the block manager, and
+    // those blocks are NOT released by Dataset.unpersist or the cache
+    // manager — an iterative operator that leaks every superseded
+    // round keeps (rounds + 2) duplicate-mass-sized block sets alive
+    // until driver GC notices. Track each checkpoint's freshly
+    // persisted RDD (ids snapshot around the eager materialization;
+    // this operator runs single-threaded, so the diff is exactly the
+    // checkpoint's RDD) and free a round as soon as the next round has
+    // materialized past it. Only the RETURNED labels checkpoint stays.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val fresh = sc.getPersistentRDDs.view.filterKeys(!before.contains(_)).values.toSeq
+      (out, fresh)
+    }
+    def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+
     // cache first: edges references the pair plan twice (both edge
     // directions) — without this the whole pair-generation pipeline
     // executes twice inside the first materialization
     val fwd = pairs.cache().select(col("doc_a").as("s"), col("doc_b").as("d"))
-    val edges = fwd.unionByName(fwd.select(col("d").as("s"), col("s").as("d")))
-      .localCheckpoint(true)
-    var labels = edges.groupBy(col("s")).agg(min(col("d")).as("m"))
-      .select(col("s").as("doc_id"), least(col("s"), col("m")).as("label"))
-      .localCheckpoint(true)
+    val (edges, edgesRdds) = checkpointTracked(
+      fwd.unionByName(fwd.select(col("d").as("s"), col("s").as("d"))))
+    var (labels, labelsRdds) = checkpointTracked(
+      edges.groupBy(col("s")).agg(min(col("d")).as("m"))
+        .select(col("s").as("doc_id"), least(col("s"), col("m")).as("label")))
     for (_ <- 1 to PropagationRounds) {
       // 1-hop neighbor minimum over the previous round's labels
       val viaNbr = edges
@@ -246,10 +265,15 @@ object Dedup {
       val jumped = labels.select(col("doc_id"), col("label").as("mid"))
         .join(labels.select(col("doc_id").as("mid"), col("label").as("jl")), "mid")
         .select(col("doc_id"), col("jl").as("label"))
-      labels = labels.unionByName(viaNbr).unionByName(jumped)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val (next, nextRdds) = checkpointTracked(
+        labels.unionByName(viaNbr).unionByName(jumped)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+      free(labelsRdds) // round r-1 fed next's materialization; now dead
+      labels = next
+      labelsRdds = nextRdds
     }
+    free(edgesRdds) // no consumer left after the last round
+    pairs.unpersist(blocking = false) // checkpoints never re-read the pair plan
     labels
   }
 
