@@ -76,12 +76,18 @@ object Analytics {
         |JOIN nation   ON s_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin) { (spark, dir) =>
+      // region (5 rows) and nation (25) are constant-size dims —
+      // always broadcastable. The pre-joined dim chain is sized by
+      // SUPPLIER, which scales with SF, so the fact join carries no
+      // explicit hint: AQE broadcasts it while it fits (the plan
+      // PlanSpec asserts locally) and falls back to a keyed join when
+      // a 100 TB supplier dim outgrows the threshold.
       val dims = Tables.supplier(spark, dir)
-        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
-        .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("n_name"), col("r_name"))
       Tables.lineitem(spark, dir)
-        .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+        .join(dims, col("l_suppkey") === col("s_suppkey"))
         .groupBy("r_name", "n_name")
         .agg(
           revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),

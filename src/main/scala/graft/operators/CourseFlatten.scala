@@ -47,9 +47,11 @@ object CourseFlatten {
     // suppkey stays NUMERIC inside the sorted struct so the (name, key)
     // tie-break is numeric like the oracle's ORDER BY s_name, s_suppkey —
     // a string key would sort '10' before '9' when names collide.
+    // no explicit broadcast on supplier: it scales with SF, so AQE
+    // broadcasts while it fits and keys the join when it doesn't
     val partSupp = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sort_array(collect_set(struct(col("s_name").as("name"), col("s_suppkey").as("id")))).as("ps"))

@@ -196,8 +196,7 @@ object TextOps {
       (spark, dir) =>
         // cap matches the oracle's generate_series(0, 4095); cached —
         // the hot list, ns, and both join sides consume this
-        // explode+md5 stage. The hot list is tiny by construction, so
-        // dropping it is a broadcast anti-join over the cached stage.
+        // explode+md5 stage.
         // Tokenize once + repartition first (Dedup.tokenized rationale:
         // per-element split re-evaluation, single-file scan parallelism).
         val sh = Dedup.tokenized(
@@ -208,9 +207,11 @@ object TextOps {
                 "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
           .distinct()
           .cache()
+        // hot-shingle key set is corpus-shaped (∝ N/cap) — no explicit
+        // broadcast; AQE broadcasts while small (minhash rationale)
         val hot = sh.groupBy(col("source"), col("m")).agg(count(lit(1)).as("nd"))
           .filter(col("nd") > Dedup.MaxBucketDocs).select(col("source"), col("m"))
-        val shc = sh.join(broadcast(hot), Seq("source", "m"), "left_anti")
+        val shc = sh.join(hot, Seq("source", "m"), "left_anti")
         val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val j = shc.as("a")
           .join(shc.as("b"),
