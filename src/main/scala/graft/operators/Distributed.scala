@@ -29,12 +29,16 @@ import org.apache.spark.sql.functions._
 object Distributed {
 
   /** Adds `g_rank` (global 1-based row number per `grp` in `ord`
-    * order) and — when `valueCol` is set — `g_run` (inclusive global
+    * order), `g_n` (the group's total row count — free, from the same
+    * per-shard summary the offsets come from; a separate count would
+    * either rescan the input or duplicate this whole subtree, since
+    * spark_partition_id is nondeterministic and blocks exchange
+    * reuse), and — when `valueCol` is set — `g_run` (inclusive global
     * running sum of that column) to `df`. No window in the plan
-    * partitions by `grp` alone; every corpus-sized window is keyed by
-    * (grp, shard). The explicit shard count pins the range shuffle so
-    * AQE cannot re-coalesce it differently between the data pass and
-    * the offsets pass. */
+    * partitions by `grp` alone over row data; every corpus-sized
+    * window is keyed by (grp, shard). The explicit shard count pins
+    * the range shuffle so AQE cannot re-coalesce it differently
+    * between the data pass and the offsets pass. */
   def globalRunning(
       df: DataFrame,
       grp: Seq[String],
@@ -56,14 +60,20 @@ object Distributed {
       .agg(count(lit(1)).as("__c"),
         valueCol.fold(lit(0L).as("__s"))(v => sum(col(v)).as("__s")))
     val wOff = Window.partitionBy(grp.map(col): _*).orderBy(col("__pid"))
+    // group totals via aggregate+join on the tiny summary, not a
+    // whole-group window — keeps the "no window partitioned by the
+    // group alone" plan property uniform and assertable
+    val totals = per.groupBy(grp.map(col): _*).agg(sum(col("__c")).as("__n"))
     val off = per
       .withColumn("__coff", sum(col("__c")).over(wOff) - col("__c"))
       .withColumn("__soff", sum(col("__s")).over(wOff) - col("__s"))
-      .select((grp :+ "__pid").map(col) :+ col("__coff") :+ col("__soff"): _*)
+      .join(totals, grp)
+      .select((grp :+ "__pid").map(col) :+ col("__coff") :+ col("__soff") :+ col("__n"): _*)
 
     val out0 = local.join(broadcast(off), grp :+ "__pid")
       .withColumn("g_rank", (col("__coff") + col("__lr")).cast("long"))
+      .withColumn("g_n", col("__n"))
     val out = valueCol.fold(out0)(_ => out0.withColumn("g_run", col("__soff") + col("__ls")))
-    out.drop("__pid", "__lr", "__ls", "__coff", "__soff")
+    out.drop("__pid", "__lr", "__ls", "__coff", "__soff", "__n")
   }
 }

@@ -33,8 +33,11 @@ object SetQuantile {
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
       val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+      // g_n (the group size) rides along on every ranked row from the
+      // per-shard summary — no second events scan, no duplicated
+      // subtree for a count
       val ranked = Distributed.globalRunning(ev, Seq("event_type"), Seq("value"))
-      val nt = ev.groupBy(col("event_type")).agg(countAll.as("n"))
+        .withColumnRenamed("g_n", "n")
       // 0-based fractional position, exactly Spark percentile() /
       // DuckDB quantile_cont: pos = p * (n - 1); interpolate between
       // the two bracketing 1-based ranks floor(pos)+1 and ceil(pos)+1
@@ -48,7 +51,7 @@ object SetQuantile {
         when(floor(pos(p)) === ceil(pos(p)), vLo)
           .otherwise(vLo * (ceil(pos(p)).cast("double") - pos(p))
             + vHi * (pos(p) - floor(pos(p)).cast("double")))
-      ranked.join(broadcast(nt), "event_type")
+      ranked
         .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
         .groupBy(col("event_type"), col("n"))
         .agg(

@@ -23,12 +23,14 @@ class DistributedSpec extends SparkSuite {
         .withColumn("r_rank", row_number().over(w))
         .withColumn("r_run", sum("v").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("r_n", count(lit(1)).over(Window.partitionBy("g")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       val got = Distributed.globalRunning(df, Seq("g"), Seq("ord"), Some("v"))
       val joined = got.join(ref, Seq("g", "ord", "v")).cache()
       assert(joined.count() === 500, s"seed $seed: row loss")
       assert(joined.filter(col("g_rank") =!= col("r_rank")
-        || col("g_run") =!= col("r_run")).count() === 0,
-        s"seed $seed: rank/run mismatch vs the window reference")
+        || col("g_run") =!= col("r_run") || col("g_n") =!= col("r_n")).count() === 0,
+        s"seed $seed: rank/run/total mismatch vs the window reference")
     }
   }
 
