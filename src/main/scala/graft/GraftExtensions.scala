@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session extension registering graft's native expressions, so a
-  * cluster deployment gets `vec_dot` / `vec_cosine` in plain SQL via
+  * cluster deployment gets `vec_dot` / `vec_cosine` / `vec_dot_i8`
+  * and the bloom build/probe pair in plain SQL via
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
@@ -30,5 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDotI8].getName, "vec_dot_i8"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDotI8(exprs(0), exprs(1))))
+    // Spark's own bloom pair, promoted out of the catalyst-internal
+    // registry (they power AQE runtime filters but are invisible to
+    // SQL) — the decontamination bloom pre-filter needs both
+    e.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -29,6 +29,19 @@ class ExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("the bloom build/probe pair works from plain SQL") {
+    VecExpressions.register(spark)
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("g").createOrReplaceTempView("graft_bloom_probe_t")
+    val hits = spark.sql(
+      """SELECT g FROM VALUES ('a'), ('z') AS p(g)
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(g)) FROM graft_bloom_probe_t),
+        |  xxhash64(g))""".stripMargin).collect().map(_.getString(0))
+    assert(hits.contains("a")) // member always hits
+    // 'z' may false-positive by design; membership of 'a' is the contract
+  }
+
   test("vec_dot_i8 agrees with the interpreted fold over int8 arrays") {
     graft.functions.VecExpressions.register(spark)
     val row = spark.sql(
