@@ -38,13 +38,24 @@ object Distributed {
     * partitions by `grp` alone over row data; every corpus-sized
     * window is keyed by (grp, shard). The explicit shard count pins
     * the range shuffle so AQE cannot re-coalesce it differently
-    * between the data pass and the offsets pass. */
+    * between the data pass and the offsets pass. Group keys must be
+    * non-null: the offsets attach through an inner equi-join on `grp`,
+    * so null-keyed rows would drop (pre-filter or coalesce them). */
   def globalRunning(
       df: DataFrame,
       grp: Seq[String],
       ord: Seq[String],
       valueCol: Option[String] = None): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // Both consumers below (the ranked rows and the per-shard summary)
+    // MUST read the SAME materialized range shuffle: range bounds come
+    // from seeded sampling whose seed involves the instantiated RDD
+    // id, so two independently executed exchanges could draw different
+    // bounds and mismatch __pid between the branches. The subtrees are
+    // identical by construction (one `parts` val), so Spark's exchange
+    // reuse collapses them into one shuffle stage — PlanSpec asserts a
+    // single materialized rangepartitioning exchange plus a
+    // ReusedExchange in every consumer plan.
     val parts = df.repartitionByRange(nPart, (grp ++ ord).map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val shardKey = (grp :+ "__pid").map(col)
@@ -60,14 +71,16 @@ object Distributed {
       .agg(count(lit(1)).as("__c"),
         valueCol.fold(lit(0L).as("__s"))(v => sum(col(v)).as("__s")))
     val wOff = Window.partitionBy(grp.map(col): _*).orderBy(col("__pid"))
-    // group totals via aggregate+join on the tiny summary, not a
-    // whole-group window — keeps the "no window partitioned by the
-    // group alone" plan property uniform and assertable
-    val totals = per.groupBy(grp.map(col): _*).agg(sum(col("__c")).as("__n"))
+    // group totals from the SAME tiny off-table window pass (full
+    // frame over the per-shard rows): a separate aggregate branch gets
+    // column-pruned into a non-identical subtree, which defeats
+    // exchange reuse and materializes a THIRD range shuffle of the
+    // input just to count groups (observed in text_pack's plan)
+    val wTot = wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val off = per
       .withColumn("__coff", sum(col("__c")).over(wOff) - col("__c"))
       .withColumn("__soff", sum(col("__s")).over(wOff) - col("__s"))
-      .join(totals, grp)
+      .withColumn("__n", sum(col("__c")).over(wTot))
       .select((grp :+ "__pid").map(col) :+ col("__coff") :+ col("__soff") :+ col("__n"): _*)
 
     val out0 = local.join(broadcast(off), grp :+ "__pid")

@@ -149,6 +149,26 @@ class PlanSpec extends SparkSuite {
         "benchmark too large to broadcast")
   }
 
+  test("the prefix primitive's branches share ONE materialized range shuffle") {
+    // load-bearing for correctness, not just cost: range bounds come
+    // from seeded sampling (seed involves the instantiated RDD id), so
+    // if the ranked-rows branch and the offsets branch executed
+    // separate range exchanges they could draw different bounds and
+    // disagree on __pid. Exchange reuse must collapse them.
+    Seq("events_quantiles", "text_pack").foreach { q =>
+      val finalPlan = plan(q).split("== Initial Plan ==")(0)
+      val lines = finalPlan.split("\n")
+      val materialized = lines.count(l =>
+        l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+      val reused = lines.count(l =>
+        l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+      assert(materialized === 1,
+        s"$q: expected exactly one materialized range shuffle, saw $materialized")
+      assert(reused >= 1,
+        s"$q: the second consumer must read the range shuffle via ReusedExchange")
+    }
+  }
+
   test("corpus-sized running windows shard by range partition, never by the group alone") {
     // events_quantiles ranks values per event_type (~5 groups);
     // text_pack runs a token sum per lang (~5 groups). Every window
