@@ -57,6 +57,26 @@ class DistributedSpec extends SparkSuite {
       "value-at-rank or run-at-rank diverged from the window reference")
   }
 
+  test("multi-column group keys partition independently") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ords = rnd.shuffle((0 until 300).toVector)
+    val rows = ords.map(o =>
+      (s"a${rnd.nextInt(2)}", s"b${rnd.nextInt(3)}", o.toLong, rnd.nextInt(20).toLong))
+    val df = rows.toDF("g1", "g2", "ord", "v")
+    val w = Window.partitionBy("g1", "g2").orderBy("ord")
+    val ref = df
+      .withColumn("r_rank", row_number().over(w))
+      .withColumn("r_run", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Distributed.globalRunning(df, Seq("g1", "g2"), Seq("ord"), Some("v"))
+    val joined = got.join(ref, Seq("g1", "g2", "ord", "v")).cache()
+    assert(joined.count() === 300)
+    assert(joined.filter(col("g_rank") =!= col("r_rank")
+      || col("g_run") =!= col("r_run")).count() === 0,
+      "composite-group rank/run mismatch vs the window reference")
+  }
+
   test("rank-only mode needs no value column and emits no g_run") {
     import spark.implicits._
     val df = (0 until 100).map(i => ("g", i.toLong)).toDF("g", "ord")
