@@ -26,7 +26,7 @@ object Stress {
   private val StressQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_clusters",
     "text_ngram_jaccard", "text_tokens", "text_quality",
-    "ann_lsh", "ann_ivf", "ann_bruteforce", "dedup_embed")
+    "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_quantized", "ann_bruteforce", "dedup_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,37 +1,58 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Portable
 import graft.functions.VectorOps._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space operators over `embeddings` (SURVEY.md §2.3 L5–L7):
   * cosine near-duplicate pairs and approximate-nearest-neighbor top-k.
   *
+  * The QUERY SET is a parameter everywhere (`queries`: a (vec_id, v)
+  * relation). It is a workload input — bounded by the caller, not a
+  * corpus fraction — and each search takes an explicit strategy flag
+  * for how to pair it with the corpus:
+  *  - `broadcastQueries = true` (default): one broadcast pass. Right
+  *    while the query set is small, which an ANN query batch should be.
+  *  - `broadcastQueries = false`: fragment-and-replicate — the corpus
+  *    keeps its partitioning keyed by `pmod(vec_id, F)`, each query row
+  *    is replicated F ways, and the pairing is a keyed equi-join on the
+  *    fragment id. No driver-sized broadcast at ANY query-set size
+  *    (identical output, spec-asserted), the same strategy-parameter
+  *    shape as `Corpus.decide`'s contamination join.
+  * The oracle-checked queries use the deterministic `vec_id % 100`
+  * sample ([[defaultQueries]]) — harness scaffolding standing in for a
+  * real workload's query batch.
+  *
   * Scale shapes (100 TB contract):
-  *  - `ann_bruteforce`: the query set is tiny and broadcast; the big
-  *    side is scanned once, top-k kept per query — one narrow stage
-  *    plus a k-row-per-query shuffle. This is the exact baseline and
-  *    is itself scalable when |queries| is small.
+  *  - `ann_bruteforce`: scan × query set, salted exact top-k — the
+  *    exact baseline every approximate path is measured against.
   *  - `ann_lsh` / `dedup_embed`: random-hyperplane sign buckets (4
   *    tables × 4 planes) generate candidates via a shuffle on the
   *    bucket key; cosine runs only within buckets. No CartesianProduct
-  *    in any plan. Table/probe counts are the recall knob — measured
-  *    in ScaleSpec against the exact baseline (recall@5 ≈ 0.52 for
-  *    both approximate paths on the random synthetic vectors, ~25% of
-  *    the corpus probed per query; random data is ANN's worst case —
-  *    clustered real embeddings bucket far better at the same cost).
+  *    in any plan. Recall@5 ≈ 0.52 measured on the worst-case random
+  *    synthetic vectors (ScaleSpec).
+  *  - `ann_ivf`: fixed-K coarse centroids, nProbe cells searched; the
+  *    cell join is salted ([[CellSalt]]) so K small never serializes
+  *    the corpus into K reducers.
+  *  - `ann_quantized`: flat SQ8 — int8 coarse scan + exact rerank.
+  *  - `ann_ivf_sq8`: the IVFADC composition — the int8 coarse pass runs
+  *    ONLY inside the query's probed IVF cells, the shape real
+  *    billion-vector systems use (Jegou et al.).
   *
   * Hyperplanes are md5-derived constants (VectorOps.hyperplane) so the
   * DuckDB oracle rebuilds them bit-identically (SURVEY.md §4).
   *
   * Methods (public literature): random-hyperplane cosine LSH
   * (Charikar, STOC 2002); multi-table LSH (Indyk & Motwani, 1998);
-  * IVF coarse quantization (Jegou/Douze/Schmid, "Product quantization
-  * for nearest neighbor search", TPAMI 2011 — the inverted-file part,
-  * without PQ refinement).
+  * IVF coarse quantization and the IVFADC search cascade
+  * (Jegou/Douze/Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011 — inverted file + asymmetric distance, with
+  * scalar instead of product quantization); fragment-and-replicate
+  * join distribution (DeWitt & Gerber, VLDB 1985).
   */
 object Similarity {
 
@@ -40,6 +61,29 @@ object Similarity {
   private val Dims = 64
   private val CosThreshold = 0.4 // driver data is random vectors; ~top-dozen pairs
   private val TopK = 5
+
+  /** Fragment count for the keyed (non-broadcast) query pairing: the
+    * corpus fragments by `pmod(vec_id, F)`, queries replicate F ways.
+    * Locally = 2× shuffle partitions; on a cluster this would be ~2-3×
+    * total cores so every reducer holds 1/F of the corpus. */
+  private val QueryFragments = 64
+
+  /** Probe-replication salt for the IVF cell join: the probe⋈assignment
+    * equi-join keys on (cid, pmod(nid, CellSalt)) instead of the K≈16
+    * distinct cids alone — K·CellSalt shuffle keys, so a small K can
+    * never serialize the whole corpus into K reducers. Probes replicate
+    * CellSalt ways (Q·nProbe·CellSalt rows — workload-sized); each
+    * corpus row still matches exactly one replica, so output is
+    * identical (spec-asserted). At production K≈√N the salt is belt and
+    * braces; at small K it is the difference between 16 and 256
+    * reducers carrying the corpus. */
+  private val CellSalt = 16
+
+  /** The deterministic query sample the oracle-checked queries use —
+    * harness scaffolding for the DuckDB twin, NOT part of the operator:
+    * a real caller passes its own bounded query batch. */
+  def defaultQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 === 0)
 
   /** DuckDB CTEs rebuilding the same sign-buckets: planes from md5,
     * per-element dots, bucket = packed sign bits. */
@@ -77,72 +121,205 @@ object Similarity {
     * the corpus: the assignment broadcasts the centroid table and
     * scores N×K dots, so K must not grow with N (a `vec_id % 97`-style
     * seed makes the broadcast O(N) and the coarse pass O(N²) — the
-    * classic IVF scale mistake). At production scale K≈√N_target with
-    * a k-means refinement; the deterministic md5-order sample here
-    * keeps the oracle bit-identical. Recall@5 = 0.60 measured at
+    * classic IVF scale mistake). At production scale K≈√N with a
+    * k-means refinement; the deterministic md5-order sample here keeps
+    * the oracle bit-identical. Recall@5 = 0.60 measured at
     * K=16/nProbe=4 on the random sf0.001 vectors (ScaleSpec floor 0.4). */
   private val NumCentroids = 16
-  private val NumProbes = 4 // IVF cells searched per query
+  private val NumProbes = 4 // IVF cells searched per query (ann_ivf)
   private val RerankK = 4 * TopK // coarse candidates per query kept for exact rerank
+  // ann_ivf_sq8 probes more cells than ann_ivf: the int8 coarse pass
+  // makes a probed cell ~8× cheaper to scan than the float64 column,
+  // so the IVFADC composition spends that saving on recall (>= 0.9
+  // floor in ScaleSpec, vs 0.60 at nProbe=4). The production tradeoff
+  // is the same curve: nProbe/K buys recall at linear coarse cost.
+  private val SqNumProbes = 10
   private val quantCos = "floor(list_cosine_similarity(%s, %s) * 1000000.0) / 1000000.0"
 
   /** Fixed-K centroid sample: a distributed TakeOrdered (map-side
     * per-partition top-K, K-row merge on the driver) — the centroid
     * table is O(K) regardless of corpus size, so the assignment
     * broadcast never grows with N. `emb` must carry (vec_id, v). */
-  def seedCentroids(emb: DataFrame): DataFrame =
+  def seedCentroids(emb: DataFrame, k: Int = NumCentroids): DataFrame =
     emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(NumCentroids)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** quant6-floored cosine against a centroid — shared by assignment
+    * and probe selection so both engines agree bit-for-bit. */
+  private def centScore: Column = Portable.quant6(cosine(col("v"), col("cv")))
+  private def bestCent: Column = struct(col("score"), (-col("cid")).as("nc"))
+
+  /** Nearest-centroid assignment as an AGGREGATE, not a window: the
+    * N×K scored rows are collapsed to one partial per vector map-side
+    * (each vector's K centroid scores are born in one partition from
+    * the broadcast join), so the shuffle carries N rows — at 1B
+    * vectors × 1k centroids a window here would shuffle 1T rows to
+    * rank them. Tie-break matches the oracle: best score, LOWEST cid. */
+  private def assign(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), centScore.as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), bestCent).as("cid"))
+
+  /** Each query's nProbe nearest cells: same aggregate trick — top-n
+    * kept via a bounded sorted list per key (partials merge map-side),
+    * never a rank over the joined rows. */
+  private def probeCells(queries: DataFrame, cent: DataFrame, nProbes: Int): DataFrame =
+    queries.crossJoin(broadcast(cent))
+      .select(col("vec_id").as("qid"), col("cid"), centScore.as("score"))
+      .groupBy(col("qid"))
+      .agg(slice(sort_array(collect_list(bestCent), asc = false), 1, nProbes).as("top"))
+      .select(col("qid"), explode(col("top")).as("p"))
+      .select(col("qid"), (-col("p.nc")).as("cid"))
+
+  /** Corpus × query pairing for the flat (all-pairs) search paths.
+    * Broadcast for a bounded workload batch; fragment-and-replicate
+    * (keyed equi-join on `pmod(vec_id, F)`, queries replicated F ways)
+    * when the batch outgrows a comfortable broadcast — every pair
+    * still appears exactly once because a corpus row matches only the
+    * replica carrying its own fragment id. */
+  private def pairQueries(
+      corpus: DataFrame, queries: DataFrame, broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) corpus.crossJoin(broadcast(queries))
+    else corpus
+      .withColumn("__qs", pmod(col("vec_id"), lit(QueryFragments)).cast("int"))
+      .join(queries.withColumn("__qs",
+        explode(sequence(lit(0), lit(QueryFragments - 1)))), "__qs")
+      .drop("__qs")
+
+  /** Exact top-k per query via the salted two-phase window: per-(qid,
+    * nid%64) pre-top first, then the true top-k over the 64·k
+    * survivors. nid is unique, so the (score desc, nid) comparator is
+    * a total order and the pre-cut provably preserves the global
+    * top-k — and no reducer ever holds all the scores of one query
+    * (the single-window form shuffles a query's whole candidate set
+    * to one task: the growing-top-k scale-killer). Spark additionally
+    * pushes both rank filters down as WindowGroupLimit. */
+  private def saltedTopK(scored: DataFrame, score: Column, k: Int): DataFrame = {
+    val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
+      .orderBy(score.desc, col("nid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(score.desc, col("nid"))
+    scored
+      .withColumn("srn", row_number().over(wSalted))
+      .filter(col("srn") <= k)
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("srn")
+  }
+
+  private def finish(ranked: DataFrame): DataFrame =
+    ranked.select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+      col("rn").cast("long").as("rank"), col("score"))
+
+  /** int8 storage: floor-scale to [-128, 127], kept as tinyint — the
+    * 8×-narrower column the SQ8 coarse passes scan. */
+  private def quantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("v"), x =>
+        greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
+
+  /** L6 — exact brute-force cosine top-k for a query batch. */
+  def bruteForce(
+      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qe"))
+    val scored = pairQueries(emb, q, broadcastQueries)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.quant6(cosine(col("v"), col("qe"))).as("score"))
+    finish(saltedTopK(scored, col("score"), TopK))
+  }
+
+  /** L7c — flat SQ8: integer-dot coarse pass over the int8 column
+    * (exact in both engines, codegen'd vec_dot_i8 — a
+    * zip_with/aggregate fold here evaluates interpreted, see the
+    * dedup_simhash negative result in PLANS.md), salted top-R, exact
+    * cosine rerank on the R survivors only. */
+  def quantizedSearch(
+      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true): DataFrame = {
+    val qz = quantize(emb)
+    val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val idot = call_function("vec_dot_i8", col("qv"), col("qq"))
+    val coarse = pairQueries(qz, q8, broadcastQueries)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), idot.as("cscore"))
+    rerank(saltedTopK(coarse, col("cscore"), RerankK).select(col("qid"), col("nid")),
+      emb, queries)
+  }
+
+  /** Exact full-precision rerank of a bounded (≤ RerankK per query)
+    * candidate set, then the final top-k — shared by both SQ8 paths.
+    * Candidates are keyed joins against the float column; the final
+    * window is per-query over ≤ RerankK rows (bounded, no salt
+    * needed). */
+  private def rerank(cand: DataFrame, emb: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = cand
+      .join(queries.select(col("vec_id").as("qid"), col("v").as("qv2")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+      .select(col("qid"), col("nid"),
+        Portable.quant6(cosine(col("qv2"), col("nv"))).as("score"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    finish(scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= TopK))
+  }
 
   /** The IVF search stage against ANY (cid, cv) centroid table —
     * shared by the oracle-checked query (seed centroids) and the
-    * k-means-refined variant ScaleSpec measures. */
-  def ivfSearch(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
-    // Argmax as an AGGREGATE, not a window: the N×K scored rows are
-    // collapsed to one partial per vector map-side (each vector's K
-    // centroid scores are born in one partition from the broadcast
-    // join), so the shuffle carries N rows — at 1B vectors × 1k
-    // centroids a window here would shuffle 1T rows to rank them.
-    // Tie-break matches the oracle: best score, then LOWEST cid.
-    val best = struct(col("score"), (-col("cid")).as("nc"))
-    val asn = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), qcos.as("score"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), best).as("cid"))
-    // nProbe cells per query: same aggregate trick — top-nProbe kept
-    // via a K-bounded sorted list per key (partials merge map-side),
-    // never a rank over the joined rows.
-    val qprobe = emb.filter(col("vec_id") % 100 === 0)
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id").as("qid"), col("cid"), qcos.as("score"))
-      .groupBy(col("qid"))
-      .agg(slice(sort_array(collect_list(best), asc = false), 1, NumProbes).as("top"))
-      .select(col("qid"), explode(col("top")).as("p"))
-      .select(col("qid"), (-col("p.nc")).as("cid"))
-    val cand = qprobe.join(asn.withColumnRenamed("vec_id", "nid"), "cid")
+    * k-means-refined variant ScaleSpec measures. Candidate generation
+    * is the salted cell equi-join; exact cosine runs only on in-cell
+    * candidates; the final top-k is the salted two-phase window
+    * (candidates per query grow with cell size ∝ N/K). */
+  def ivfSearch(
+      emb: DataFrame, cent: DataFrame, queries: DataFrame,
+      nProbes: Int = NumProbes): DataFrame = {
+    val asnS = assign(emb, cent)
+      .select(col("vec_id").as("nid"), col("cid"),
+        pmod(col("vec_id"), lit(CellSalt)).cast("int").as("__cs"))
+    val cand = probeCells(queries, cent, nProbes)
+      .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
+      .join(asnS, Seq("cid", "__cs"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid")).distinct()
     val scored = cand
-      .join(emb.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .join(queries.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
       .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
       .select(col("qid"), col("nid"),
-        graft.functions.Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
-    // candidates per query grow with the cell size (N/K), so the final
-    // top-k is the salted two-phase window (ann_bruteforce's pattern;
-    // exact under the (score desc, nid) total order) — no reducer ever
-    // holds a whole cell's scores for one query
-    val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
-      .orderBy(col("score").desc, col("nid"))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    scored
-      .withColumn("srn", row_number().over(wSalted))
-      .filter(col("srn") <= TopK)
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= TopK)
-      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-        col("rn").cast("long").as("rank"), col("score"))
+        Portable.quant6(cosine(col("qv"), col("nv"))).as("score"))
+    finish(saltedTopK(scored, col("score"), TopK))
+  }
+
+  /** L7d — IVFADC (IVF × SQ8): the int8 coarse pass runs ONLY inside
+    * the query's nProbe probed cells — the search cascade real
+    * billion-vector systems use (Jegou et al.: inverted file to cut
+    * the candidate space, asymmetric/quantized distance to scan it,
+    * exact rerank on the survivors). vs `ann_quantized`, the coarse
+    * scan shrinks from N to nProbe/K·N rows; vs `ann_ivf`, the in-cell
+    * scan reads the 8×-narrower int8 column and pays full-precision
+    * cosine only for RerankK survivors per query, which is what lets
+    * it probe 2.5× more cells for recall at similar cost.
+    *
+    * Stage shapes: assignment O(N·K) map-side aggregate; ONE keyed
+    * join attaches each corpus row's int8 vector to its cell; probes
+    * replicate by [[CellSalt]] and equi-join on (cid, salt) — AQE
+    * broadcasts the workload-sized probe table while it fits, keys the
+    * join when it doesn't (no explicit hint: the probe table is
+    * Q-shaped); coarse top-R is the salted window; rerank is keyed. */
+  def ivfSq8Search(
+      emb: DataFrame, cent: DataFrame, queries: DataFrame,
+      nProbes: Int = SqNumProbes): DataFrame = {
+    val cells = assign(emb, cent)
+      .join(quantize(emb), "vec_id")
+      .select(col("vec_id").as("nid"), col("cid"), col("qv").as("nv8"),
+        pmod(col("vec_id"), lit(CellSalt)).cast("int").as("__cs"))
+    val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq8"))
+    val probes = probeCells(queries, cent, nProbes)
+      .join(q8, "qid")
+      .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
+    val coarse = cells.join(probes, Seq("cid", "__cs"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        call_function("vec_dot_i8", col("nv8"), col("qq8")).as("cscore"))
+    rerank(saltedTopK(coarse, col("cscore"), RerankK).select(col("qid"), col("nid")),
+      emb, queries)
   }
 
   /** One Lloyd (k-means) iteration over the coarse centroids: assign
@@ -160,12 +337,10 @@ object Similarity {
   def refineCentroids(emb: DataFrame, cent: DataFrame, iterations: Int = 1): DataFrame = {
     var c = cent
     (0 until iterations).foreach { _ =>
-      val qcos = graft.functions.Portable.quant6(cosine(col("v"), col("cv")))
-      val best = struct(col("score"), (-col("cid")).as("nc"))
       val asn = emb.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("v"), col("cid"), qcos.as("score"))
+        .select(col("vec_id"), col("v"), col("cid"), centScore.as("score"))
         .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cid"), col("v")), best).as("a"))
+        .agg(max_by(struct(col("cid"), col("v")), bestCent).as("a"))
         .select(col("a.cid").as("cid"), col("a.v").as("v"))
       c = asn
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
@@ -178,45 +353,89 @@ object Similarity {
     c
   }
 
+  private def embV(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  /** Oracle CTEs shared by the IVF family: float vectors `e`, the
+    * fixed-K centroid sample `c`, the nearest-cell assignment `asn`,
+    * and the query probe list `qprobe` over `nProbes` cells. */
+  private def ivfCtes(nProbes: Int): String = {
+    val qc = quantCos.format("e.v", "c.cv")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
+       |asn AS (SELECT vec_id, cid FROM (
+       |   SELECT e.vec_id, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+       |   FROM e, c) t WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS qid, cid FROM (
+       |   SELECT e.vec_id, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+       |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $nProbes)""".stripMargin
+  }
+
+  /** Oracle CTE for the int8 column — DuckDB lists of integer-valued
+    * doubles; `list_inner_product` on them is exact like vec_dot_i8. */
+  private val qzCte: String =
+    """qz AS (SELECT vec_id,
+      |              list_transform(v, x -> greatest(least(floor(x * 127.0), 127.0), -128.0)) AS qv
+      |       FROM e)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // L7b — IVF-style ANN: assign every vector to its nearest coarse
     // centroid (a FIXED-K deterministic md5-order sample; a k-means
     // refinement would slot in here without changing the query shape),
     // then search only the query's nProbe nearest cells. The inverted
-    // index is the (cell -> vectors) shuffle; candidates are an
+    // index is the (cell -> vectors) shuffle; candidates are a salted
     // equi-join on cell id — the other standard ANN family next to
     // the sign-bucket LSH of ann_lsh.
     QueryDef(
-      "ann_ivf", {
-        val qc = quantCos.format("e.v", "c.cv")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM e
-           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
-           |asn AS (SELECT vec_id, cid FROM (
-           |   SELECT e.vec_id, c.cid,
-           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-           |   FROM e, c) t WHERE rn = 1),
-           |qprobe AS (SELECT vec_id AS qid, cid FROM (
-           |   SELECT e.vec_id, c.cid,
-           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-           |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $NumProbes),
-           |cand AS (SELECT DISTINCT q.qid, a.vec_id AS nid
-           |         FROM qprobe q JOIN asn a ON a.cid = q.cid WHERE a.vec_id <> q.qid),
-           |sc AS (SELECT cand.qid, cand.nid,
-           |              ${quantCos.format("eq.v", "en.v")} AS score
-           |       FROM cand JOIN e eq ON eq.vec_id = cand.qid
-           |                 JOIN e en ON en.vec_id = cand.nid),
-           |r AS (SELECT qid, nid, score,
-           |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
-           |      FROM sc)
-           |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
-           |FROM r WHERE rn <= $TopK""".stripMargin
-      }) { (spark, dir) =>
-      ensureRegistered(spark)
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      ivfSearch(emb, seedCentroids(emb))
+      "ann_ivf",
+      s"""WITH ${ivfCtes(NumProbes)},
+         |cand AS (SELECT DISTINCT q.qid, a.vec_id AS nid
+         |         FROM qprobe q JOIN asn a ON a.cid = q.cid WHERE a.vec_id <> q.qid),
+         |sc AS (SELECT cand.qid, cand.nid,
+         |              ${quantCos.format("eq.v", "en.v")} AS score
+         |       FROM cand JOIN e eq ON eq.vec_id = cand.qid
+         |                 JOIN e en ON en.vec_id = cand.nid),
+         |r AS (SELECT qid, nid, score,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+         |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      ivfSearch(emb, seedCentroids(emb), defaultQueries(emb))
+    },
+
+    // L7d — IVFADC: int8 coarse scan inside probed cells only, exact
+    // rerank on the coarse top-R (see ivfSq8Search).
+    QueryDef(
+      "ann_ivf_sq8",
+      s"""WITH ${ivfCtes(SqNumProbes)},
+         |$qzCte,
+         |co AS (SELECT q.qid, a.vec_id AS nid, list_inner_product(z.qv, zq.qv) AS cscore
+         |       FROM qprobe q
+         |       JOIN asn a ON a.cid = q.cid AND a.vec_id <> q.qid
+         |       JOIN qz z ON z.vec_id = a.vec_id
+         |       JOIN qz zq ON zq.vec_id = q.qid),
+         |ck AS (SELECT qid, nid FROM (
+         |   SELECT qid, nid,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
+         |   FROM co) t WHERE crn <= $RerankK),
+         |sc AS (SELECT ck.qid, ck.nid,
+         |              ${quantCos.format("eq.v", "en.v")} AS score
+         |       FROM ck JOIN e eq ON eq.vec_id = ck.qid JOIN e en ON en.vec_id = ck.nid),
+         |r AS (SELECT qid, nid, score,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+         |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      ivfSq8Search(emb, seedCentroids(emb), defaultQueries(emb))
     },
 
     // L7c — scalar-quantized (int8) ANN with exact rerank: the third
@@ -225,73 +444,28 @@ object Similarity {
     // float64 column, integer dots exact in both engines — and only
     // the coarse top-4k candidates per query touch the full-precision
     // embeddings for the exact cosine rerank. At 100 TB the quantized
-    // column is what streams through memory bandwidth; the coarse
-    // top-R selection shares ann_bruteforce's window shape (the
-    // baseline's known cost), which the rerank then amortizes.
+    // column is what streams through memory bandwidth.
     QueryDef(
-      "ann_quantized", {
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |qz AS (SELECT vec_id,
-           |              list_transform(v, x -> greatest(least(floor(x * 127.0), 127.0), -128.0)) AS qv
-           |       FROM e),
-           |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id % 100 = 0),
-           |co AS (SELECT q.qid, z.vec_id AS nid, list_inner_product(z.qv, q.qq) AS cscore
-           |       FROM qz z, q WHERE z.vec_id <> q.qid),
-           |ck AS (SELECT qid, nid FROM (
-           |   SELECT qid, nid,
-           |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
-           |   FROM co) t WHERE crn <= $RerankK),
-           |sc AS (SELECT ck.qid, ck.nid,
-           |              floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0) / 1000000.0 AS score
-           |       FROM ck JOIN e ea ON ea.vec_id = ck.qid JOIN e eb ON eb.vec_id = ck.nid),
-           |r AS (SELECT qid, nid, score,
-           |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
-           |      FROM sc)
-           |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
-           |FROM r WHERE rn <= $TopK""".stripMargin
-      }) { (spark, dir) =>
-      ensureRegistered(spark)
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // int8 storage: floor-scale to [-128, 127], kept as tinyint —
-      // the 8×-narrower column the coarse pass scans
-      val qz = emb.select(col("vec_id"),
-        transform(col("v"), x =>
-          greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
-      val q = qz.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("qv").as("qq"))
-      // integer dot — exact, order-independent, portable; codegen'd
-      // Catalyst expression (a zip_with/aggregate fold here evaluates
-      // interpreted — see the dedup_simhash negative result in PLANS)
-      val idot = call_function("vec_dot_i8", col("qv"), col("qq"))
-      // salted two-phase top-R: per-(qid, salt) top-R first, then the
-      // true top-R over the 64·R survivors. nid is unique, so the
-      // (score desc, nid) comparator is a total order and the salted
-      // pre-cut provably preserves the global top-R — and no reducer
-      // ever holds all N coarse scores of one query (the single-window
-      // form shuffles N rows PER QUERY to one task: the same
-      // scale-killer the IVF assignment had).
-      val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
-        .orderBy(col("cscore").desc, col("nid"))
-      val wCoarse = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("nid"))
-      val cand = qz.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"), idot.as("cscore"))
-        .withColumn("srn", row_number().over(wSalted))
-        .filter(col("srn") <= RerankK)
-        .withColumn("crn", row_number().over(wCoarse))
-        .filter(col("crn") <= RerankK)
-        .select(col("qid"), col("nid"))
-      val scored = cand
-        .join(emb.select(col("vec_id").as("qid"), col("v").as("qv2")), "qid")
-        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
-        .select(col("qid"), col("nid"),
-          graft.functions.Portable.quant6(cosine(col("qv2"), col("nv"))).as("score"))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      scored.withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= TopK)
-        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-          col("rn").cast("long").as("rank"), col("score"))
+      "ann_quantized",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$qzCte,
+         |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id % 100 = 0),
+         |co AS (SELECT q.qid, z.vec_id AS nid, list_inner_product(z.qv, q.qq) AS cscore
+         |       FROM qz z, q WHERE z.vec_id <> q.qid),
+         |ck AS (SELECT qid, nid FROM (
+         |   SELECT qid, nid,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
+         |   FROM co) t WHERE crn <= $RerankK),
+         |sc AS (SELECT ck.qid, ck.nid,
+         |              floor(list_cosine_similarity(ea.v, eb.v) * 1000000.0) / 1000000.0 AS score
+         |       FROM ck JOIN e ea ON ea.vec_id = ck.qid JOIN e eb ON eb.vec_id = ck.nid),
+         |r AS (SELECT qid, nid, score,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+         |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      quantizedSearch(emb, defaultQueries(emb))
     },
 
     // L5 — embedding-cosine near-dup pairs, LSH-bucketed.
@@ -322,10 +496,10 @@ object Similarity {
         .join(emb.select(col("vec_id").as("vb"), col("emb").as("eb")), "vb")
         .filter(cos >= CosThreshold)
         .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-          graft.functions.Portable.quant6(cos).as("cosine"))
+          Portable.quant6(cos).as("cosine"))
     },
 
-    // L6 — exact brute-force cosine top-k for a broadcast query set.
+    // L6 — exact brute-force cosine top-k for the query batch.
     QueryDef(
       "ann_bruteforce",
       s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -338,28 +512,8 @@ object Similarity {
          |      FROM c)
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
          |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
-      ensureRegistered(spark)
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val q = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("emb").as("qe"))
-      val scored = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          graft.functions.Portable.quant6(cosine(col("emb"), col("qe"))).as("score"))
-      // salted two-phase top-k (ann_quantized rationale): per-salt
-      // pre-top keeps any row the global (score desc, nid) total order
-      // would keep, so no reducer holds all N scores of one query
-      val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
-        .orderBy(col("score").desc, col("nid"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      scored
-        .withColumn("srn", row_number().over(wSalted))
-        .filter(col("srn") <= TopK)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
-        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-          col("rn").cast("long").as("rank"), col("score"))
+      val emb = embV(spark, dir)
+      bruteForce(emb, defaultQueries(emb))
     },
 
     // L7 — LSH-bucketed ANN: candidates share a sign-bucket with the
@@ -394,19 +548,10 @@ object Similarity {
         .join(emb.select(col("vec_id").as("qid"), col("emb").as("qe")), "qid")
         .join(emb.select(col("vec_id").as("nid"), col("emb").as("ne")), "nid")
         .select(col("qid"), col("nid"),
-          graft.functions.Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
+          Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
       // sign buckets are a constant partition of the space (16 per
       // table), so bucket size — and with it a query's candidate set —
       // grows with N: salt the final top-k like every other ANN path
-      val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
-        .orderBy(col("score").desc, col("nid"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-      scored
-        .withColumn("srn", row_number().over(wSalted))
-        .filter(col("srn") <= TopK)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
-        .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-          col("rn").cast("long").as("rank"), col("score"))
+      finish(saltedTopK(scored, col("score"), TopK))
     })
 }

@@ -20,10 +20,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("ann_bruteforce broadcasts the query set, not the corpus") {
+  test("ann_bruteforce broadcasts the query set by default, not the corpus") {
+    // the query set is a bounded workload input — broadcast is the
+    // default strategy; the keyed fragment-and-replicate alternative is
+    // asserted (plan + equivalence) in ScaleSpec
     val p = plan("ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "query set should be broadcast")
+  }
+
+  test("the IVF cell join is salted — K cells never mean K reducers") {
+    // the probe⋈assignment equi-join must key on (cid, __cs), not the
+    // K≈16 distinct cids alone: without the salt at most K shuffle
+    // partitions carry the whole corpus
+    Seq("ann_ivf", "ann_ivf_sq8").foreach { q =>
+      assert(plan(q).contains("__cs"),
+        s"$q: expected the cell join to carry the __cs probe-replication salt")
+    }
   }
 
   test("join_star broadcasts the dimension chain") {
@@ -128,7 +141,7 @@ class PlanSpec extends SparkSuite {
     // rank filter must engage Spark's WindowGroupLimit pushdown (maps
     // forward only k rows per group to the reducer). Exactness of the
     // pre-cut comes from the total-order comparator.
-    Seq("ann_bruteforce", "ann_quantized", "ann_ivf", "ann_lsh", "window_rank")
+    Seq("ann_bruteforce", "ann_quantized", "ann_ivf", "ann_ivf_sq8", "ann_lsh", "window_rank")
       .foreach { q =>
         val p = plan(q)
         assert(p.contains("pmod("),
