@@ -33,6 +33,60 @@ object Audit {
     * (SURVEY.md §4). */
   private val cls = substring(md5(col("o_orderkey").cast("string")), 1, 1)
 
+  /** The two synthesized snapshot versions, (key, price) each — shared
+    * by snapshot_diff (classification) and snapshot_merge (apply), so
+    * the merge invariant "applying the diff to OLD reproduces NEW"
+    * (QueriesSpec-asserted) can never drift between the two queries. */
+  private[graft] def snapshots(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), cls.as("cls"))
+    val old = base.filter(!col("cls").isin("0", "1"))
+      .select(col("o_orderkey").as("old_key"), col("o_totalprice").as("old_price"))
+    val neu = base.filter(!col("cls").isin("2", "3"))
+      .select(col("o_orderkey").as("new_key"),
+        when(col("cls").isin("4", "5"), col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    (old, neu)
+  }
+
+  /** A21 classification (the snapshot_diff query body). */
+  private[graft] def snapshotDiff(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (snapOld, snapNew) = snapshots(spark, dir)
+    snapOld
+      .join(snapNew, col("old_key") === col("new_key"), "full_outer")
+      .filter(col("old_key").isNull || col("new_key").isNull
+        || col("old_price") =!= col("new_price"))
+      .select(
+        coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
+        when(col("old_key").isNull, "insert")
+          .when(col("new_key").isNull, "delete")
+          .otherwise("update").as("change"),
+        col("old_price"), col("new_price"))
+  }
+
+  /** Oracle CTEs shared by snapshot_diff / snapshot_merge: the two
+    * snapshot versions plus the classified change set. */
+  private val snapshotCtes =
+    """c AS (SELECT o_orderkey, o_totalprice,
+      |             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS cls
+      |      FROM orders),
+      |snap_old AS (SELECT o_orderkey, o_totalprice AS p FROM c
+      |             WHERE cls NOT IN ('0', '1')),
+      |snap_new AS (SELECT o_orderkey,
+      |                    CASE WHEN cls IN ('4', '5') THEN o_totalprice + 10
+      |                         ELSE o_totalprice END AS p
+      |             FROM c WHERE cls NOT IN ('2', '3')),
+      |diff AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |                CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+      |                     WHEN n.o_orderkey IS NULL THEN 'delete'
+      |                     ELSE 'update' END AS change,
+      |                o.p AS old_price, n.p AS new_price
+      |         FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+      |         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.p <> n.p)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // A21 — CDC-style snapshot reconciliation: full-outer join of two
@@ -40,41 +94,42 @@ object Audit {
     // drop unchanged rows.
     QueryDef(
       "snapshot_diff",
-      """WITH c AS (SELECT o_orderkey, o_totalprice,
-        |                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS cls
-        |           FROM orders),
-        |snap_old AS (SELECT o_orderkey, o_totalprice AS p FROM c
-        |             WHERE cls NOT IN ('0', '1')),
-        |snap_new AS (SELECT o_orderkey,
-        |                    CASE WHEN cls IN ('4', '5') THEN o_totalprice + 10
-        |                         ELSE o_totalprice END AS p
-        |             FROM c WHERE cls NOT IN ('2', '3'))
-        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-        |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-        |            WHEN n.o_orderkey IS NULL THEN 'delete'
-        |            ELSE 'update' END AS change,
-        |       o.p AS old_price, n.p AS new_price
-        |FROM snap_old o FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
-        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.p <> n.p""".stripMargin) {
+      s"""WITH $snapshotCtes
+         |SELECT o_orderkey, change, old_price, new_price FROM diff""".stripMargin) {
+      (spark, dir) => snapshotDiff(spark, dir)
+    },
+
+    // A21b — CDC APPLY: materialize the classification into the merged
+    // next-version table (MERGE-INTO semantics: inserts and updates
+    // take the changed row, deletes drop, untouched keys keep the base
+    // row). The plan is the reconciliation shape again — base and
+    // change set shuffle once on the key into a full-outer sort-merge
+    // join, the apply rule is a per-row projection. No broadcast (the
+    // change set scales with churn, the base with the table), no
+    // driver state; at 100 TB this is one co-partitioned
+    // shuffle-and-rewrite, the same cost envelope as a warehouse
+    // MERGE INTO. QueriesSpec asserts the invariant that makes it CDC:
+    // applying the diff to OLD reproduces NEW bit-for-bit.
+    QueryDef(
+      "snapshot_merge",
+      s"""WITH $snapshotCtes
+         |SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+         |       CASE WHEN d.change IS NULL THEN b.p ELSE d.new_price END AS o_totalprice,
+         |       COALESCE(d.change, 'keep') AS action
+         |FROM snap_old b FULL OUTER JOIN diff d ON b.o_orderkey = d.o_orderkey
+         |WHERE d.change IS NULL OR d.change <> 'delete'""".stripMargin) {
       (spark, dir) =>
-        val base = Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_totalprice"), cls.as("cls"))
-        val snapOld = base.filter(!col("cls").isin("0", "1"))
-          .select(col("o_orderkey").as("old_key"), col("o_totalprice").as("old_price"))
-        val snapNew = base.filter(!col("cls").isin("2", "3"))
-          .select(col("o_orderkey").as("new_key"),
-            when(col("cls").isin("4", "5"), col("o_totalprice") + 10)
-              .otherwise(col("o_totalprice")).as("new_price"))
+        val (snapOld, _) = snapshots(spark, dir)
+        val diff = snapshotDiff(spark, dir)
+          .select(col("o_orderkey").as("d_key"), col("change"), col("new_price"))
         snapOld
-          .join(snapNew, col("old_key") === col("new_key"), "full_outer")
-          .filter(col("old_key").isNull || col("new_key").isNull
-            || col("old_price") =!= col("new_price"))
+          .join(diff, col("old_key") === col("d_key"), "full_outer")
+          .filter(col("change").isNull || col("change") =!= "delete")
           .select(
-            coalesce(col("old_key"), col("new_key")).as("o_orderkey"),
-            when(col("old_key").isNull, "insert")
-              .when(col("new_key").isNull, "delete")
-              .otherwise("update").as("change"),
-            col("old_price"), col("new_price"))
+            coalesce(col("old_key"), col("d_key")).as("o_orderkey"),
+            when(col("change").isNull, col("old_price"))
+              .otherwise(col("new_price")).as("o_totalprice"),
+            coalesce(col("change"), lit("keep")).as("action"))
     },
 
     // A23 — incremental aggregate maintenance: yesterday's materialized

@@ -83,10 +83,12 @@ class PlanSpec extends SparkSuite {
     assert(scans === 1, s"expected a single lineitem scan, saw $scans")
   }
 
-  test("snapshot_diff reconciles via an equi-join, not a nested loop") {
-    val p = plan("snapshot_diff")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "snapshot reconciliation must be a keyed full-outer equi-join")
+  test("snapshot_diff/snapshot_merge reconcile via equi-joins, not nested loops") {
+    Seq("snapshot_diff", "snapshot_merge").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: snapshot reconciliation must be keyed full-outer equi-joins")
+    }
   }
 
   test("incremental_agg pushes both branch cuts into the events scan") {

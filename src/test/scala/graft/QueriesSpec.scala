@@ -68,6 +68,26 @@ class QueriesSpec extends SparkSuite {
     assert(df.select("o_orderkey").distinct().count() === df.count())
   }
 
+  test("snapshot_merge applies the diff: merged table equals the new snapshot") {
+    // the CDC invariant — OLD + diff = NEW, bit-for-bit — plus action
+    // provenance agreeing with snapshot_diff's classification
+    val merged = SparkEntry.queries("snapshot_merge")(spark, sf0001).cache()
+    val (_, snapNew) = graft.operators.Audit.snapshots(spark, sf0001)
+    val got = merged.select(col("o_orderkey"), col("o_totalprice").cast("double"))
+    val want = snapNew.select(col("new_key").as("o_orderkey"),
+      col("new_price").cast("double"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    val diff = SparkEntry.queries("snapshot_diff")(spark, sf0001).cache()
+    val mergedByAction = merged.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val diffByChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!mergedByAction.contains("delete")) // deletes are dropped, not carried
+    assert(mergedByAction("insert") === diffByChange("insert"))
+    assert(mergedByAction("update") === diffByChange("update"))
+  }
+
   test("events_moving frames always include the current event") {
     val df = SparkEntry.queries("events_moving")(spark, sf0001)
     assert(df.filter(col("n_1h") < 1).count() === 0)
