@@ -56,6 +56,28 @@ object Sinks {
   def appendFormat(df: DataFrame, path: String, format: String): Unit =
     df.write.mode("append").format(format).save(path)
 
+  /** R8 at scale — append with OUTPUT-FILE SIZING. An unsized append
+    * writes one file per task: a wide job appending every hour turns
+    * the warehouse into millions of KB-files, and every later reader
+    * pays listing + footer overhead per file — the classic 100 TB sink
+    * failure. Two bounds compose:
+    *  - `targetFiles` caps file COUNT via a pre-write round-robin
+    *    repartition — deliberately NOT `coalesce(n)`: coalesce fuses
+    *    into the write stage and would throttle the PRODUCING
+    *    computation to n tasks, while the repartition costs one extra
+    *    pass of the output data and leaves upstream stages wide.
+    *  - `maxRecordsPerFile` caps file SIZE: a writer task that exceeds
+    *    it rolls to a new file, so a skewed or miscounted partition
+    *    can never produce one unsplittable multi-GB file.
+    * On a cluster the count knob is sized as output-bytes ÷ target
+    * file size (~128-512 MB for parquet); SinksSpec pins both bounds. */
+  def appendParquetSized(df: DataFrame, path: String,
+      targetFiles: Int, maxRecordsPerFile: Long): Unit =
+    df.repartition(targetFiles)
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** R9 — timestamped snapshot dir under a base path. */
   def writeSnapshot(df: DataFrame, base: String, ts: String): Unit =
     df.write.mode("overwrite").parquet(s"$base/snapshot=$ts")

@@ -68,12 +68,41 @@ object EventsStreaming {
   /** Streaming → warehouse: append each micro-batch through the SAME
     * batch sink the reference's load side uses (R8, WRITE_APPEND) —
     * `foreachBatch` is the bridge that reuses batch writers from a
-    * stream. Returns the started query. */
+    * stream. Returns the started query.
+    *
+    * Delivery is AT-LEAST-ONCE: a crash after the append commits but
+    * before the checkpoint records the batch replays the batch into a
+    * SECOND append on restart. Use [[warehouseSinkExactlyOnce]] when
+    * duplicates matter (StreamingSpec demonstrates both behaviors
+    * under a forced replay). */
   def warehouseSink(events: DataFrame, path: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.Sinks.appendParquet(batch, path)
+      }
+      .start()
+
+  /** EXACTLY-ONCE streaming → warehouse: checkpointed offsets +
+    * IDEMPOTENT batch writes. Spark guarantees foreachBatch replays a
+    * batch with the SAME batchId and the SAME rows (file-source
+    * offsets are logged before execution), so landing each batch in
+    * its own deterministic partition directory with mode=overwrite
+    * makes the replay overwrite itself instead of appending a
+    * duplicate — the standard idempotent-sink recipe, and the same
+    * end-to-end contract Delta's transactional sink provides. The
+    * warehouse stays one parquet table partitioned by `batch_id`
+    * (directory-pruned like any partition column; compact with
+    * [[graft.sources.Sinks.appendParquetSized]] downstream when batch
+    * dirs accumulate). */
+  def warehouseSinkExactlyOnce(
+      events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
       }
       .start()
 

@@ -47,5 +47,14 @@ class DedupClustersSpec extends SparkSuite {
     assert(byCluster.filter(col("min_doc") =!= col("cluster_id")).count() === 0)
     // the corpus actually contains duplicates → at least one multi-doc cluster
     assert(df.filter(!col("kept")).count() > 0)
+    // CONVERGENCE is asserted, not assumed: the fixed PropagationRounds
+    // bound silently mislabels if a component's diameter exceeds it, and
+    // the fixpoint test is one tiny self-join — a row whose label's own
+    // label differs is an unconverged chain
+    val l = df.select(col("doc_id").as("b_doc"), col("cluster_id").as("b_lbl"))
+    val unconverged = df
+      .join(l, col("cluster_id") === col("b_doc"))
+      .filter(col("b_lbl") =!= col("cluster_id")).count()
+    assert(unconverged === 0, s"$unconverged labels did not reach their fixpoint")
   }
 }

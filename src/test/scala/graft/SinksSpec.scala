@@ -74,6 +74,37 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() === 20)
   }
 
+  test("R8-sizing: the sized append bounds file count AND file size") {
+    import graft.sources.Tables
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // a 16-partition producer appends 16 files unsized — the problem
+    val orders = Tables.orders(spark, sf0001).repartition(16).cache()
+    val n = orders.count()
+    val naive = s"${tmp()}/naive"
+    Sinks.appendParquet(orders, naive)
+    assert(parquetFiles(naive).size === 16, "unsized append should write one file per task")
+    // count bound: same producer, 2 target files
+    val sized = s"${tmp()}/sized"
+    Sinks.appendParquetSized(orders, sized, targetFiles = 2, maxRecordsPerFile = 1000000)
+    assert(parquetFiles(sized).size === 2,
+      s"sized append wrote ${parquetFiles(sized).size} files, wanted 2")
+    assert(spark.read.parquet(sized).count() === n) // nothing lost in the re-shape
+    // size bound: the per-file record cap rolls files past the target
+    val capped = s"${tmp()}/capped"
+    val cap = 200L
+    Sinks.appendParquetSized(orders, capped, targetFiles = 2, maxRecordsPerFile = cap)
+    val files = parquetFiles(capped)
+    assert(files.size >= (n / cap).toInt, "record cap should roll to extra files")
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath).count()
+      assert(rows <= cap, s"${f.getName} holds $rows rows > cap $cap")
+    }
+    assert(spark.read.parquet(capped).count() === n)
+    orders.unpersist()
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
