@@ -1,0 +1,11 @@
+#!/bin/bash
+# Measured IVF recall-vs-K curve on the x10 stress corpus (PLANS.md
+# "K ~ sqrt(N)" guidance as data). Usage: dev/recall.sh [sfdir] [copies]
+set -e
+SF=${1:-/root/testdata/sf0.1}
+COPIES=${2:-10}
+CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_STRESS_COPIES="$COPIES" \
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  java $ADD_OPENS -Xmx48g -cp "$CP" graft.RecallCurve 2>/dev/null

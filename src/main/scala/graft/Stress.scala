@@ -28,19 +28,11 @@ object Stress {
     "text_ngram_jaccard", "text_tokens", "text_quality",
     "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_quantized", "ann_bruteforce", "dedup_embed")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** The worst-case ×copies corpus (shared with [[RecallCurve]]):
+    * every document and embedding tiled `copies` times with a small
+    * deterministic perturbation. Returns the temp sf-dir. */
+  private[graft] def buildStressCorpus(
+      spark: SparkSession, sfDir: String, copies: Int): String = {
     val stressDir = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val cp = spark.range(copies).select(col("id").cast("int").as("cp"))
 
@@ -65,6 +57,27 @@ object Stress {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$stressDir/embeddings.parquet")
+    stressDir
+  }
+
+  private[graft] def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
+    val spark = session()
+    val stressDir = buildStressCorpus(spark, sfDir, copies)
 
     def runOnce(name: String, dir: String): (Double, Long) = {
       spark.sharedState.cacheManager.clearCache()
