@@ -305,11 +305,21 @@ object Similarity {
     * Q-shaped); coarse top-R is the salted window; rerank is keyed. */
   def ivfSq8Search(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
-      nProbes: Int = SqNumProbes): DataFrame = {
-    val cells = assign(emb, cent)
-      .join(quantize(emb), "vec_id")
-      .select(col("vec_id").as("nid"), col("cid"), col("qv").as("nv8"),
-        pmod(col("vec_id"), lit(CellSalt)).cast("int").as("__cs"))
+      nProbes: Int = SqNumProbes): DataFrame =
+    sq8SearchCells(
+      assign(emb, cent)
+        .join(quantize(emb), "vec_id")
+        .select(col("vec_id").as("nid"), col("cid"), col("qv").as("nv8")),
+      emb, cent, queries, nProbes)
+
+  /** The IVFADC search from a materialized (nid, cid, nv8) cell table
+    * on — shared by the dynamic path ([[ivfSq8Search]]) and the
+    * persisted index ([[searchIvfIndex]]). */
+  private def sq8SearchCells(
+      cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
+      queries: DataFrame, nProbes: Int): DataFrame = {
+    val cells = cellTable.withColumn("__cs",
+      pmod(col("nid"), lit(CellSalt)).cast("int"))
     val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq8"))
     val probes = probeCells(queries, cent, nProbes)
       .join(q8, "qid")
@@ -320,6 +330,37 @@ object Similarity {
         call_function("vec_dot_i8", col("nv8"), col("qq8")).as("cscore"))
     rerank(saltedTopK(coarse, col("cscore"), RerankK).select(col("qid"), col("nid")),
       emb, queries)
+  }
+
+  /** BUILD-ONCE lifecycle for the inverted file: persist the
+    * assignment + quantized vectors as a parquet table PARTITIONED BY
+    * CELL ID, plus the centroid table beside it. This is what a real
+    * ANN deployment does — the O(N·K) assignment and the int8
+    * quantization are paid once at index-build time, and the inverted
+    * file IS the directory layout: `cid=<cell>/` dirs mean a search
+    * touches only its probed cells' FILES (dynamic partition pruning
+    * from the probe join), not just probed cells' rows. Rebuild when
+    * the corpus or centroids change; at 100 TB this is the same
+    * build/serve split as the warehouse's bucketed tables. */
+  def buildIvfIndex(emb: DataFrame, cent: DataFrame, path: String): Unit = {
+    assign(emb, cent)
+      .join(quantize(emb), "vec_id")
+      .select(col("vec_id").as("nid"), col("qv").as("nv8"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a [[buildIvfIndex]]-persisted index: identical results to
+    * the dynamic [[ivfSq8Search]] (ScaleSpec-asserted), but the plan
+    * has NO assignment stage and scans only probed `cid=` partitions —
+    * Spark's dynamic partition pruning turns the probe join into a
+    * runtime partition filter on the index scan. */
+  def searchIvfIndex(
+      spark: SparkSession, path: String, emb: DataFrame, queries: DataFrame,
+      nProbes: Int = SqNumProbes): DataFrame = {
+    ensureRegistered(spark)
+    val cent = spark.read.parquet(s"$path/centroids")
+    sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes)
   }
 
   /** One Lloyd (k-means) iteration over the coarse centroids: assign

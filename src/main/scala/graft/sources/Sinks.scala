@@ -78,6 +78,22 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Small-files COMPACTION for an append-accumulated table: rewrite
+    * `src` into `dst` under the sized bounds. Append sinks (R8 and the
+    * streaming batch dirs) accumulate one file per task per batch by
+    * design; compaction is the periodic maintenance job that restores
+    * scan efficiency. Rewrite-to-fresh-directory (not in place): a
+    * production deployment swaps the table pointer (metastore
+    * location / view) after the rewrite lands, so readers never see a
+    * half-compacted directory. Returns the rewritten row count so the
+    * caller can gate the swap on it. */
+  def compactParquet(spark: SparkSession, src: String, dst: String,
+      targetFiles: Int, maxRecordsPerFile: Long): Long = {
+    val df = spark.read.parquet(src)
+    appendParquetSized(df, dst, targetFiles, maxRecordsPerFile)
+    spark.read.parquet(dst).count()
+  }
+
   /** R9 — timestamped snapshot dir under a base path. */
   def writeSnapshot(df: DataFrame, base: String, ts: String): Unit =
     df.write.mode("overwrite").parquet(s"$base/snapshot=$ts")

@@ -121,6 +121,32 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("the persisted IVF index searches identically, skipping assignment, pruning to probed cells") {
+    // build-once lifecycle: the O(N·K) assignment + quantization are
+    // paid at index-build time; the searcher reads the cid-partitioned
+    // layout and must (a) return bit-identical results, (b) plan no
+    // assignment aggregate, (c) prune the scan to probed cells at
+    // runtime (dynamic partition pruning from the probe join)
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val queries = graft.operators.Similarity.defaultQueries(emb)
+    val cent = graft.operators.Similarity.seedCentroids(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    graft.operators.Similarity.buildIvfIndex(emb, cent, s"$dir/idx")
+    val dynamic = graft.operators.Similarity.ivfSq8Search(emb, cent, queries)
+    val indexed = graft.operators.Similarity.searchIvfIndex(spark, s"$dir/idx", emb, queries)
+    assert(dynamic.exceptAll(indexed).count() === 0)
+    assert(indexed.exceptAll(dynamic).count() === 0)
+    indexed.collect()
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(!p.contains("partial_max_by"),
+      "index search must not recompute the centroid assignment")
+    assert(p.contains("dynamicpruning"),
+      "the probe join should prune index partitions at runtime (DPP)")
+  }
+
   test("salted aggregation matches the plain aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSum(ev, col("user_id"), col("event_id"),

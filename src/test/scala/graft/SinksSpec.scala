@@ -105,6 +105,24 @@ class SinksSpec extends SparkSuite {
     orders.unpersist()
   }
 
+  test("R8-compaction: accumulated small files rewrite into the sized bounds") {
+    import graft.sources.Tables
+    val base = tmp()
+    val orders = Tables.orders(spark, sf0001).repartition(8)
+    // three append batches accumulate 24 small files — the append
+    // sink's designed-in debt
+    (1 to 3).foreach(_ => Sinks.appendParquet(orders, s"$base/src"))
+    def nFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nFiles(s"$base/src") === 24)
+    val n = Sinks.compactParquet(spark, s"$base/src", s"$base/dst", 2, 1000000)
+    assert(nFiles(s"$base/dst") === 2)
+    assert(n === orders.count() * 3)
+    val src = spark.read.parquet(s"$base/src")
+    val dst = spark.read.parquet(s"$base/dst")
+    assert(src.exceptAll(dst).count() === 0 && dst.exceptAll(src).count() === 0)
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
