@@ -196,7 +196,7 @@ object Similarity {
     * (the single-window form shuffles a query's whole candidate set
     * to one task: the growing-top-k scale-killer). Spark additionally
     * pushes both rank filters down as WindowGroupLimit. */
-  private def saltedTopK(scored: DataFrame, score: Column, k: Int): DataFrame = {
+  private[graft] def saltedTopK(scored: DataFrame, score: Column, k: Int): DataFrame = {
     val wSalted = Window.partitionBy(col("qid"), pmod(col("nid"), lit(64)))
       .orderBy(score.desc, col("nid"))
     val wTop = Window.partitionBy(col("qid")).orderBy(score.desc, col("nid"))

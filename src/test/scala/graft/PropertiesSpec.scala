@@ -74,6 +74,35 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("the salted two-phase top-k equals the naive single window under heavy ties") {
+    // the load-bearing primitive behind every ANN top-k: the per-salt
+    // pre-cut provably keeps any row the global (score desc, nid)
+    // order would keep BECAUSE nid makes the comparator total. Stress
+    // the argument where it is sharpest — 5 distinct scores over 300
+    // rows per case, so nearly every comparison is a tie broken only
+    // by nid — and vary k across cases.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, floor => _, _}
+    val scoreGen = Gen.chooseNum(0, 4)
+    (0 until 8).foreach { c =>
+      val rows = (0 until 300).flatMap { i =>
+        scoreGen.apply(genParams, Seed(c * 1000L + i))
+          .map(s => (i % 3L, i.toLong, s.toDouble))
+      }
+      val df = rows.toDF("qid", "nid", "score")
+      val k = 1 + c * 3 % 11
+      val salted = graft.operators.Similarity.saltedTopK(df, col("score"), k)
+        .select("qid", "nid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+      val naive = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("qid", "nid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(salted === naive, s"case $c (k=$k): salted pre-cut diverged")
+    }
+  }
+
   test("md5Hex is stable and 32 lowercase hex chars for any string") {
     forAll(Gen.asciiPrintableStr) { s =>
       val h = Portable.md5Hex(s)
