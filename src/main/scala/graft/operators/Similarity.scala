@@ -306,11 +306,24 @@ object Similarity {
   def ivfSq8Search(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
       nProbes: Int = SqNumProbes): DataFrame =
-    sq8SearchCells(
-      assign(emb, cent)
-        .join(quantize(emb), "vec_id")
-        .select(col("vec_id").as("nid"), col("cid"), col("qv").as("nv8")),
-      emb, cent, queries, nProbes)
+    sq8SearchCells(quantizedCells(emb, cent), emb, cent, queries, nProbes)
+
+  /** Each corpus row's (cell, int8 vector) in ONE scan and ONE
+    * shuffle: the quantization is a per-row projection BEFORE the
+    * broadcast centroid expansion, and the int8 vector rides the
+    * assignment aggregate (all K scored rows of a vector carry the
+    * same qv, so `first` is deterministic) — vs assigning and
+    * quantizing separately, which costs a second corpus scan plus a
+    * sort-merge join's two shuffles to reunite them. */
+  private def quantizedCells(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("v"),
+      transform(col("v"), x =>
+        greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qv"), col("cid"), centScore.as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), bestCent).as("cid"), first(col("qv")).as("nv8"))
+      .select(col("vec_id").as("nid"), col("cid"), col("nv8"))
 
   /** The IVFADC search from a materialized (nid, cid, nv8) cell table
     * on — shared by the dynamic path ([[ivfSq8Search]]) and the
@@ -343,9 +356,8 @@ object Similarity {
     * the corpus or centroids change; at 100 TB this is the same
     * build/serve split as the warehouse's bucketed tables. */
   def buildIvfIndex(emb: DataFrame, cent: DataFrame, path: String): Unit = {
-    assign(emb, cent)
-      .join(quantize(emb), "vec_id")
-      .select(col("vec_id").as("nid"), col("qv").as("nv8"), col("cid"))
+    quantizedCells(emb, cent)
+      .select(col("nid"), col("nv8"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
   }
