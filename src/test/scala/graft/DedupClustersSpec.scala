@@ -29,6 +29,26 @@ class DedupClustersSpec extends SparkSuite {
     assert(labels === ids.map(_ -> 1L).toMap)
   }
 
+  test("the hot-bucket cap drops boilerplate floods; sub-cap buckets still pair") {
+    // the 100 TB guard made observable: a band bucket holding more
+    // docs than MaxBucketDocs (200) fans out quadratically and carries
+    // no NEAR-dup signal (such floods are exact dups — L1's job), so
+    // LSH must drop it; the same corpus under the cap must produce
+    // every pair
+    import spark.implicits._
+    def corpus(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+      (1 to n).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    assert(Dedup.minhashPairs(spark, corpus(250)).count() === 0,
+      "an over-cap bucket must be dropped before the self-join")
+    assert(Dedup.minhashPairs(spark, corpus(100)).count() === 100L * 99 / 2,
+      "a sub-cap bucket must yield every verified pair")
+  }
+
   test("separate components keep separate cluster ids") {
     val labels = Dedup.clusterLabels(pairsDf((10L, 20L), (20L, 15L), (30L, 40L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -220,6 +220,35 @@ class StreamingSpec extends SparkSuite {
     assert(nb.distinct().count() === 30)
   }
 
+  test("dedup STATE survives a restart: repeats arriving after it are still dropped") {
+    // sink idempotence (test above) is half the exactly-once story;
+    // the other half is the RocksDB state store restoring across
+    // restart — a repeat arriving in the post-restart half must hit
+    // the pre-restart dedup state
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    def addFile(ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.map(i => (i, ts(i.toInt))).toDF("event_id", "ts")
+        .repartition(1).write.mode("append").parquet(s"$root/drop")
+    }
+    def deduped() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/drop")
+      .withWatermark("ts", "10 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    addFile(1L to 10L)
+    val q1 = EventsStreaming.warehouseSinkExactlyOnce(deduped(), s"$root/wh", s"$root/ck")
+    q1.processAllAvailable(); q1.stop()
+    addFile(6L to 15L) // 6-10 are repeats only the RESTORED state can drop
+    val q2 = EventsStreaming.warehouseSinkExactlyOnce(deduped(), s"$root/wh", s"$root/ck")
+    q2.processAllAvailable(); q2.stop()
+    val back = spark.read.parquet(s"$root/wh").select("event_id")
+    assert(back.count() === 15, "restored dedup state must drop cross-restart repeats")
+    assert(back.collect().map(_.getLong(0)).toSet === (1L to 15L).toSet)
+  }
+
   test("streaming sessionize agrees with the batch sessionize query on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
