@@ -214,10 +214,12 @@ object Similarity {
 
   /** int8 storage: floor-scale to [-128, 127], kept as tinyint — the
     * 8×-narrower column the SQ8 coarse passes scan. */
+  private def quantizeExpr(v: Column): Column =
+    transform(v, x =>
+      greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint"))
+
   private def quantize(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      transform(col("v"), x =>
-        greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
+    emb.select(col("vec_id"), quantizeExpr(col("v")).as("qv"))
 
   /** L6 — exact brute-force cosine top-k for a query batch. */
   def bruteForce(
@@ -316,9 +318,7 @@ object Similarity {
     * quantizing separately, which costs a second corpus scan plus a
     * sort-merge join's two shuffles to reunite them. */
   private def quantizedCells(emb: DataFrame, cent: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("v"),
-      transform(col("v"), x =>
-        greatest(least(floor(x * 127.0), lit(127.0)), lit(-128.0)).cast("tinyint")).as("qv"))
+    emb.select(col("vec_id"), col("v"), quantizeExpr(col("v")).as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qv"), col("cid"), centScore.as("score"))
       .groupBy(col("vec_id"))
