@@ -98,6 +98,45 @@ object TextStats {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("total_tokens"))
     },
 
+    // L23 — unigram-LM familiarity scoring: the engine shape of a
+    // CCNet-style LM quality gate (corpus statistics → per-token
+    // probability → per-doc aggregate score), with the per-token
+    // quantity kept RATIONAL for oracle parity. mean_p is the doc's
+    // token-frequency-weighted mean unigram probability Σ tf_d·n_k /
+    // (len · N): every sum is a BIGINT (order-independent, exact in
+    // both engines) and the single double division happens once at
+    // the end — the same reason tf-idf uses N/df instead of ln. A
+    // real deployment swaps the frequency table for n-gram/KenLM
+    // logprobs (same join-back shape); docs of rare tokens score low
+    // either way. Scale shape: reuses the (doc, token) partial-agg
+    // shuffle; the frequency join is corpus-vocabulary-shaped, so it
+    // carries no broadcast hint (AQE decides, Zipf-hot tokens are
+    // AQE's skew case); the total-token count is a broadcast scalar.
+    QueryDef(
+      "text_lm_score",
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT doc_id, token, COUNT(*) AS tf_d FROM t GROUP BY doc_id, token),
+        |f AS (SELECT token, CAST(SUM(tf_d) AS BIGINT) AS n_k FROM g GROUP BY token),
+        |n AS (SELECT CAST(SUM(tf_d) AS BIGINT) AS n_total FROM g),
+        |s AS (SELECT g.doc_id, CAST(SUM(g.tf_d) AS BIGINT) AS n_tokens,
+        |             CAST(SUM(g.tf_d * f.n_k) AS BIGINT) AS s
+        |      FROM g JOIN f USING (token) GROUP BY g.doc_id)
+        |SELECT doc_id, n_tokens,
+        |       floor(CAST(s AS DOUBLE) / CAST(n_tokens * n.n_total AS DOUBLE) * 1000000.0) / 1000000.0 AS mean_p
+        |FROM s, n""".stripMargin) { (spark, dir) =>
+      val g = docTerms(Tables.documents(spark, dir)).cache()
+      val f = g.groupBy(col("token")).agg(sum(col("tf_d")).cast("long").as("n_k"))
+      val n = g.agg(sum(col("tf_d")).cast("long").as("n_total"))
+      g.join(f, "token")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf_d")).cast("long").as("n_tokens"),
+          sum(col("tf_d") * col("n_k")).cast("long").as("s"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_tokens"),
+          quant6(col("s").cast("double") / (col("n_tokens") * col("n_total")).cast("double"))
+            .as("mean_p"))
+    },
+
     // L17 — per-document top-K terms by tf-idf. The idf is the
     // RATIONAL form N/df (not ln(N/df)): integer-derived double math
     // is bit-identical across engines, while ln() may differ in the

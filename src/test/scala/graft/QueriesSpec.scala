@@ -175,6 +175,14 @@ class QueriesSpec extends SparkSuite {
       "keyed fallback should plan a shuffle-hash contamination join")
   }
 
+  test("text_lm_score covers the corpus with probabilities in (0, 1]") {
+    val df = SparkEntry.queries("text_lm_score")(spark, sf0001).cache()
+    assert(df.count() === 500)
+    assert(df.filter(col("mean_p") <= 0.0 || col("mean_p") > 1.0).count() === 0)
+    // frequency weighting must discriminate: the corpus is not uniform
+    assert(df.select("mean_p").distinct().count() > 1)
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
