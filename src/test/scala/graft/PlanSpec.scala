@@ -126,6 +126,17 @@ class PlanSpec extends SparkSuite {
       "centroid seeding should be a constant-K distributed top-K")
   }
 
+  test("text_vocab/text_lm_score derive df and frequencies without a count-distinct Expand") {
+    // each (doc, token) row appears exactly once after the shared
+    // partial aggregation, so count(*) IS the document frequency —
+    // a countDistinct here would put an Expand over the exploded
+    // token relation (multiplying the corpus-sized stream)
+    Seq("text_vocab", "text_lm_score").foreach { q =>
+      val p = plan(q).split("== Initial Plan ==")(0)
+      assert(!p.contains("Expand"), s"$q must not plan a count-distinct Expand")
+    }
+  }
+
   test("events_quantiles never buffers a whole group (no percentile aggregate)") {
     val p = plan("events_quantiles")
     assert(!p.contains("percentile("),
