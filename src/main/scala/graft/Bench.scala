@@ -8,8 +8,32 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the noop sink (count() would
   * let Catalyst prune work). Failures are loud: the failing query is
   * reported at -1 and the process exits non-zero after the JSON line.
+  *
+  * Next to seconds, the artifact carries per-query SHUFFLE-WRITE and
+  * SPILL megabytes (a listener sums task metrics around each timed
+  * run): seconds say a query got slower, shuffle bytes say WHY — a
+  * plan regression moves bytes (a lost broadcast, a new exchange), box
+  * contention doesn't, so the two failure modes are distinguishable
+  * from the artifact alone. Spill > 0 flags partitions outgrowing
+  * executor memory before any timing shows it. Values are best-effort
+  * (listener events can trail a job by a beat) and informational —
+  * the timing contract is unchanged.
   */
 object Bench {
+
+  /** Running totals of task-level shuffle write + spill bytes. */
+  private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,6 +53,8 @@ object Bench {
     // Unset (the driver's invocation) = the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -55,6 +81,10 @@ object Bench {
         once()
         (System.nanoTime() - t0) / 1e9
       }
+      // metric counters snapshot around the LAST timed run: the delta
+      // attributes that run's shuffle/spill to this query (best-effort
+      // — trailing listener events land on the next query's account)
+      val sw0 = metrics.shuffleWrite.get(); val sp0 = metrics.spill.get()
       val runs =
         if (!ok) Seq(-1.0)
         else try Seq(timedOnce(), timedOnce())
@@ -64,13 +94,18 @@ object Bench {
             failed ::= name
             Seq(-1.0)
         }
-      name -> runs
+      val shuffleMb = (metrics.shuffleWrite.get() - sw0) / 2.0 / 1048576.0 // per-run mean
+      val spillMb = (metrics.spill.get() - sp0) / 2.0 / 1048576.0
+      (name, runs, shuffleMb, spillMb)
     }
-    val qs = results.map { case (k, rs) => "\"" + k + "\":" + rs.min }.mkString("{", ",", "}")
-    val rr = results.map { case (k, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+    val qs = results.map { case (k, rs, _, _) => "\"" + k + "\":" + rs.min }.mkString("{", ",", "}")
+    val rr = results.map { case (k, rs, _, _) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, rs) if rs.min >= 0 => rs.min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, _, s, _) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _, _, s) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, rs, _, _) if rs.min >= 0 => rs.min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,""" +
+      s""""shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.mkString(", ")}")
