@@ -39,6 +39,24 @@ object TextOps {
   /** The text_quality score as a self-contained per-row expression
     * over a `text` column — shared verbatim by text_quality and the
     * corpus_keep gate so the two can never drift. */
+  /** The text_quality projection over ANY (doc_id, text) relation —
+    * batch or STREAMING: every gate is a pure per-row expression, so
+    * the same projection serves `text_quality` and a readStream over a
+    * document drop-zone unchanged (StreamingSpec proves the outputs
+    * identical). This is the hygiene-gate deployment story at 100 TB:
+    * score documents as they land, not in a nightly rescan. */
+  private[graft] def scoreQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nTok = size(toks)
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
+    val stopRatio = hits(stopwords).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      quant6(avgTokLen).as("avg_tok_len"),
+      quant6(stopRatio).as("stop_ratio"),
+      quant6(qualityExpr).as("quality"))
+  }
+
   private[operators] def qualityExpr: Column = {
     val nTok = size(toks)
     val stopRatio = hits(stopwords).cast("double") / nTok
@@ -138,16 +156,7 @@ object TextOps {
          |             len(string_split(text, ' ')) AS n_tok,
          |             ${hitsSql(stopwords)} AS h_stop
          |      FROM documents) t""".stripMargin) { (spark, dir) =>
-      val nTok = size(toks)
-      val hStop = hits(stopwords)
-      val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTok
-      val stopRatio = hStop.cast("double") / nTok
-      Tables.documents(spark, dir).select(
-        col("doc_id"),
-        nTok.cast("long").as("n_tokens"),
-        quant6(avgTokLen).as("avg_tok_len"),
-        quant6(stopRatio).as("stop_ratio"),
-        quant6(qualityExpr).as("quality"))
+      scoreQuality(Tables.documents(spark, dir))
     },
 
     // L11 — document fingerprinting: content hash + prefix rolling hash.

@@ -220,6 +220,26 @@ class StreamingSpec extends SparkSuite {
     assert(nb.distinct().count() === 30)
   }
 
+  test("the per-row quality gate scores a document stream identically to batch") {
+    // the hygiene gates are pure projections, so ONE projection serves
+    // text_quality and a readStream over a drop-zone — score documents
+    // as they land instead of nightly rescans
+    val docs = graft.sources.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    docs.write.mode("overwrite").parquet(s"$dir/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/drop")
+    val q = graft.operators.TextOps.scoreQuality(stream)
+      .writeStream.outputMode("append").format("memory").queryName("qstream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qstream")
+    val batch = SparkEntry.queries("text_quality")(spark, sf0001)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("dedup STATE survives a restart: repeats arriving after it are still dropped") {
     // sink idempotence (test above) is half the exactly-once story;
     // the other half is the RocksDB state store restoring across
