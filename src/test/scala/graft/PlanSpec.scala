@@ -6,17 +6,23 @@ package graft
 class PlanSpec extends SparkSuite {
 
   /** Final (post-AQE) physical plan: materialize THIS QueryExecution
-    * (a noop write would plan a separate one), then inspect. */
-  private def plan(name: String): String = {
+    * (a noop write would plan a separate one), then inspect. Memoized —
+    * several tests audit the same query, and a plan doesn't change
+    * between tests of one suite run. */
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def plan(name: String): String = planCache.getOrElseUpdate(name, {
     val df = SparkEntry.queries(name)(spark, sf0001)
     df.collect()
     df.queryExecution.executedPlan.toString
-  }
+  })
 
-  test("no cartesian product in any bucketed similarity/dedup plan") {
-    Seq("dedup_minhash", "dedup_simhash", "dedup_embed", "ann_lsh", "dedup_clusters").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+  test("NO query in the entire surface plans a cartesian product") {
+    // the blanket form of the scale contract: every pairing in every
+    // operator must come from a keyed/bucketed/broadcast join — a
+    // CartesianProduct anywhere is a 100 TB failure regardless of
+    // whether the rows match
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
 
