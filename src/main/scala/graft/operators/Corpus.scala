@@ -63,23 +63,32 @@ object Corpus {
          |LEFT JOIN rep r ON r.doc_id = d.doc_id
          |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
          |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
-      decide(spark, dir, broadcastContam = true)
+      decide(spark, dir, Broadcast)
     })
 
-  /** The corpus_keep decision with the contamination-join strategy
-    * explicit. `broadcastContam = true` (the query default) broadcasts
-    * the contaminated-doc flag set — right while contamination is
-    * sparse, which a decontamination gate should be. A heavily
-    * contaminated corpus makes that flag set corpus-sized and would
-    * blow the driver's broadcast; `broadcastContam = false` routes the
-    * same join through a keyed shuffle-hash join instead (identical
-    * output, spec-asserted), which is safe at ANY contamination rate.
-    * At 100 TB the switch is a size estimate on the flag set; both
-    * shapes are exercised in tests so the fallback can't rot. */
+  /** Contamination-gate strategy for [[decide]]:
+    *  - [[Broadcast]] (the query default): broadcast the contaminated
+    *    flag set — right while contamination is sparse, which a
+    *    decontamination gate should be.
+    *  - [[Keyed]]: a heavily contaminated corpus makes the flag set
+    *    corpus-sized and would blow the driver's broadcast; the same
+    *    join runs as a keyed shuffle-hash join — safe at ANY
+    *    contamination rate.
+    *  - [[Bloom]]: the flag set is built through the fixed-size
+    *    bloom + exact-verify path (text_contamination_bloom's
+    *    machinery) — the shape for a benchmark gram set too large to
+    *    broadcast, with the flag join keyed like [[Keyed]].
+    * All three produce the identical decision table (spec-asserted);
+    * at 100 TB the choice is a size estimate on the flag/gram sets. */
+  private[graft] sealed trait ContamStrategy
+  private[graft] case object Broadcast extends ContamStrategy
+  private[graft] case object Keyed extends ContamStrategy
+  private[graft] case object Bloom extends ContamStrategy
+
   private[graft] def decide(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      broadcastContam: Boolean): org.apache.spark.sql.DataFrame = {
+      contamStrategy: ContamStrategy): org.apache.spark.sql.DataFrame = {
       // ONE tokenized+cached scan feeds all three sub-pipelines: the
       // per-row gates, the decontamination grams, and the minhash
       // dedup stages (each standalone query tokenizes for itself; the
@@ -104,13 +113,16 @@ object Corpus {
       // contamination flags are tiny → broadcast; dedup labels are
       // sized by duplicate mass → keyed join
       val tok = base.drop("text")
-      val contam = Decontam.contaminatedDocIdsFrom(
-        Decontam.gramArraysFrom(tok).cache()) // both contamination branches read it
-        .withColumnRenamed("doc_id", "c_doc")
+      val grams = Decontam.gramArraysFrom(tok).cache() // both contamination branches read it
+      val contam = (contamStrategy match {
+        case Bloom => Decontam.contaminatedDocIdsBloomFrom(spark, grams)
+        case _ => Decontam.contaminatedDocIdsFrom(grams)
+      }).withColumnRenamed("doc_id", "c_doc")
       val labels = Dedup.clusterLabels(Dedup.minhashPairsFrom(tok))
         .select(col("doc_id").as("l_doc"), col("label"))
       val dedupKeep = coalesce(col("label"), col("doc_id")) === col("doc_id")
-      val contamSide = if (broadcastContam) broadcast(contam) else contam.hint("shuffle_hash")
+      val contamSide =
+        if (contamStrategy == Broadcast) broadcast(contam) else contam.hint("shuffle_hash")
       perRow
         .join(contamSide, col("doc_id") === col("c_doc"), "left")
         .join(labels, col("doc_id") === col("l_doc"), "left")

@@ -64,6 +64,27 @@ object Decontam {
       .select(col("doc_id")).distinct()
   }
 
+  /** The bloom twin of [[contaminatedDocIdsFrom]] — identical output
+    * (the exact keyed verify removes the bloom's false positives),
+    * built for the corpus_keep strategy where the benchmark gram set
+    * outgrows a broadcast: a fixed-size `bloom_filter_agg` scalar
+    * gates the corpus gram stream at scan speed, then the keyed
+    * verify join is sized by the survivors. Same machinery as
+    * text_contamination_bloom. */
+  private[operators] def contaminatedDocIdsBloomFrom(
+      spark: SparkSession, grams: DataFrame): DataFrame = {
+    graft.functions.VecExpressions.register(spark) // might_contain
+    val bench = grams.filter(isBench)
+      .select(explode(col("gs")).as("g")).distinct()
+    bench.createOrReplaceTempView("graft_bench_grams_keep")
+    grams.filter(!isBench)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .filter(expr(
+        "might_contain((SELECT bloom_filter_agg(xxhash64(g)) FROM graft_bench_grams_keep), xxhash64(g))"))
+      .join(bench.hint("shuffle_hash"), "g")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Oracle CTEs ending in `contam(doc_id)` — the SQL twin of
     * [[contaminatedDocIdsFrom]]; CTE names are prefixed `c` to compose
     * with the dedup chain inside corpus_keep. */

@@ -163,16 +163,23 @@ class QueriesSpec extends SparkSuite {
     assert(bloom.exceptAll(broad).count() === 0)
   }
 
-  test("corpus_keep's keyed contamination fallback matches the broadcast default") {
-    // a heavily contaminated corpus can't broadcast its flag set; the
-    // shuffle-hash fallback must produce the identical decision table
-    val broad = SparkEntry.queries("corpus_keep")(spark, sf0001)
-    val keyed = graft.operators.Corpus.decide(spark, sf0001, broadcastContam = false)
+  test("corpus_keep's keyed and bloom contamination strategies match the broadcast default") {
+    // a heavily contaminated corpus can't broadcast its flag set, and
+    // an oversized benchmark can't broadcast its gram set; both
+    // at-scale strategies must produce the identical decision table
+    val broad = SparkEntry.queries("corpus_keep")(spark, sf0001).cache()
+    val keyed = graft.operators.Corpus.decide(spark, sf0001, graft.operators.Corpus.Keyed)
     assert(broad.exceptAll(keyed).count() === 0)
     assert(keyed.exceptAll(broad).count() === 0)
     val p = keyed.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"),
       "keyed fallback should plan a shuffle-hash contamination join")
+    val bloom = graft.operators.Corpus.decide(spark, sf0001, graft.operators.Corpus.Bloom)
+    assert(broad.exceptAll(bloom).count() === 0)
+    assert(bloom.exceptAll(broad).count() === 0)
+    val pb = bloom.queryExecution.executedPlan.toString
+    assert(pb.contains("might_contain"),
+      "bloom strategy should gate the gram stream with the bloom probe")
   }
 
   test("text_lm_score covers the corpus with probabilities in (0, 1]") {
