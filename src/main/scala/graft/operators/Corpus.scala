@@ -66,6 +66,29 @@ object Corpus {
       decide(spark, dir, Broadcast)
     })
 
+  /** END-TO-END materialization: run the keep/drop decision and land
+    * the kept documents (full rows, decision flags attached) as a
+    * sized parquet corpus — the one call a user makes to go from raw
+    * documents to a training set on disk. The write goes through the
+    * sized sink (bounded file count AND size), because a corpus
+    * written once and read by every downstream training job is
+    * exactly where small-files debt hurts most. Returns (docs in,
+    * docs kept). */
+  def materialize(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      outPath: String,
+      targetFiles: Int = 8,
+      maxRecordsPerFile: Long = 4 * 1000 * 1000,
+      contamStrategy: ContamStrategy = Broadcast): (Long, Long) = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val kept = docs.join(
+      decide(spark, dir, contamStrategy).filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"))
+    graft.sources.Sinks.appendParquetSized(kept, outPath, targetFiles, maxRecordsPerFile)
+    (docs.count(), spark.read.parquet(outPath).count())
+  }
+
   /** Contamination-gate strategy for [[decide]]:
     *  - [[Broadcast]] (the query default): broadcast the contaminated
     *    flag set — right while contamination is sparse, which a

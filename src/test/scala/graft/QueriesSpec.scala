@@ -190,6 +190,24 @@ class QueriesSpec extends SparkSuite {
     assert(df.select("mean_p").distinct().count() > 1)
   }
 
+  test("materialize lands exactly the kept docs as a sized corpus") {
+    val out = s"${java.nio.file.Files.createTempDirectory("graft_mat").toString}/corpus"
+    val (nIn, nKept) = graft.operators.Corpus.materialize(
+      spark, sf0001, out, targetFiles = 2, maxRecordsPerFile = 1000000)
+    val expected = SparkEntry.queries("corpus_keep")(spark, sf0001)
+      .filter(col("keep")).select("doc_id")
+    assert(nIn === 500L)
+    assert(nKept === expected.count())
+    val landed = spark.read.parquet(out)
+    assert(landed.select("doc_id").exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(landed.select("doc_id")).count() === 0)
+    // full document rows, sized write
+    assert(landed.columns.contains("text"))
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files === 2)
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
