@@ -269,6 +269,42 @@ class StreamingSpec extends SparkSuite {
     assert(back.collect().map(_.getLong(0)).toSet === (1L to 15L).toSet)
   }
 
+  test("a session spanning a restart closes exactly once from restored state") {
+    // flatMapGroupsWithState keeps (session, timer) state in RocksDB;
+    // a restart must restore BOTH: the pre-restart open session has to
+    // close via the gap rule when the post-restart event arrives. Lost
+    // state would swallow the first session; replayed state would
+    // emit it twice.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_restart").toString
+    def addFile(evs: Seq[Event]): Unit =
+      evs.toDF().repartition(1).write.mode("append").parquet(s"$root/drop")
+    def query() = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/drop").as[Event]
+      EventsStreaming.sessionize(stream, 30, "30 minutes").toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$root/wh/batch_id=$id")
+        }.start()
+    }
+    // pre-restart: user 7 opens a session (0..10); nothing closes
+    addFile(Seq(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0)))
+    val q1 = query(); q1.processAllAvailable(); q1.stop()
+    // post-restart: ts(60) passes the 30-min gap → the RESTORED session
+    // must close; ts(300) advances the watermark well past it
+    addFile(Seq(Event(3, ts(60), 7, "view", 5.0), Event(4, ts(300), 8, "click", 1.0)))
+    val q2 = query(); q2.processAllAvailable(); q2.stop()
+    val sessions = spark.read.parquet(s"$root/wh")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .filter(col("user_id") === 7 && col("session_start") === ts(0)).collect()
+    assert(sessions.length === 1, "the spanning session must close exactly once")
+    assert(sessions(0).getTimestamp(2) === ts(10))
+    assert(sessions(0).getLong(3) === 2L)
+  }
+
   test("streaming sessionize agrees with the batch sessionize query on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
