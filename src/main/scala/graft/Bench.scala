@@ -101,8 +101,11 @@ object Bench {
     val qs = results.map { case (k, rs, _, _) => "\"" + k + "\":" + rs.min }.mkString("{", ",", "}")
     val rr = results.map { case (k, rs, _, _) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s, _) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
-    val sp = results.map { case (k, _, _, s) => f""""$k":$s%.1f""" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator follows the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON artifact
+    def mb(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val sh = results.map { case (k, _, s, _) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
     val total = results.collect { case (_, rs, _, _) if rs.min >= 0 => rs.min }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,""" +
       s""""shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}""")

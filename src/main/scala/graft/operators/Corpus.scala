@@ -72,8 +72,9 @@ object Corpus {
     * documents to a training set on disk. The write goes through the
     * sized sink (bounded file count AND size), because a corpus
     * written once and read by every downstream training job is
-    * exactly where small-files debt hurts most. Returns (docs in,
-    * docs kept). */
+    * exactly where small-files debt hurts most — and it is an
+    * idempotent sized OVERWRITE, so a retried job rewrites the corpus
+    * instead of silently doubling it. Returns (docs in, docs kept). */
   def materialize(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -85,7 +86,7 @@ object Corpus {
     val kept = docs.join(
       decide(spark, dir, contamStrategy).filter(col("keep")).select(col("doc_id")),
       Seq("doc_id"))
-    graft.sources.Sinks.appendParquetSized(kept, outPath, targetFiles, maxRecordsPerFile)
+    graft.sources.Sinks.writeParquetSized(kept, outPath, targetFiles, maxRecordsPerFile)
     (docs.count(), spark.read.parquet(outPath).count())
   }
 

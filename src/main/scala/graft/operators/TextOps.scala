@@ -36,9 +36,6 @@ object TextOps {
   private val deM = Seq("der", "und", "das", "ist")
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** The text_quality score as a self-contained per-row expression
-    * over a `text` column — shared verbatim by text_quality and the
-    * corpus_keep gate so the two can never drift. */
   /** The text_quality projection over ANY (doc_id, text) relation —
     * batch or STREAMING: every gate is a pure per-row expression, so
     * the same projection serves `text_quality` and a readStream over a
@@ -57,6 +54,9 @@ object TextOps {
       quant6(qualityExpr).as("quality"))
   }
 
+  /** The text_quality score as a self-contained per-row expression
+    * over a `text` column — shared verbatim by text_quality and the
+    * corpus_keep gate so the two can never drift. */
   private[operators] def qualityExpr: Column = {
     val nTok = size(toks)
     val stopRatio = hits(stopwords).cast("double") / nTok

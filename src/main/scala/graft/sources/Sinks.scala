@@ -78,6 +78,18 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** The sized OVERWRITE twin of [[appendParquetSized]] — same two
+    * bounds, idempotent: a retried materialization or compaction
+    * REWRITES its output instead of appending a duplicate copy. Use
+    * this for produce-a-table jobs; the append form is for
+    * accumulating loads. */
+  def writeParquetSized(df: DataFrame, path: String,
+      targetFiles: Int, maxRecordsPerFile: Long): Unit =
+    df.repartition(targetFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Small-files COMPACTION for an append-accumulated table: rewrite
     * `src` into `dst` under the sized bounds. Append sinks (R8 and the
     * streaming batch dirs) accumulate one file per task per batch by
@@ -85,12 +97,13 @@ object Sinks {
     * scan efficiency. Rewrite-to-fresh-directory (not in place): a
     * production deployment swaps the table pointer (metastore
     * location / view) after the rewrite lands, so readers never see a
-    * half-compacted directory. Returns the rewritten row count so the
-    * caller can gate the swap on it. */
+    * half-compacted directory. The write is an idempotent sized
+    * OVERWRITE — a crashed-and-retried compaction rewrites dst rather
+    * than stacking a second copy on a partial one. Returns the
+    * rewritten row count so the caller can gate the swap on it. */
   def compactParquet(spark: SparkSession, src: String, dst: String,
       targetFiles: Int, maxRecordsPerFile: Long): Long = {
-    val df = spark.read.parquet(src)
-    appendParquetSized(df, dst, targetFiles, maxRecordsPerFile)
+    writeParquetSized(spark.read.parquet(src), dst, targetFiles, maxRecordsPerFile)
     spark.read.parquet(dst).count()
   }
 

@@ -206,6 +206,10 @@ class QueriesSpec extends SparkSuite {
     val files = new java.io.File(out).listFiles()
       .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     assert(files === 2)
+    // IDEMPOTENT: a retried materialization rewrites, never doubles
+    val (_, nKept2) = graft.operators.Corpus.materialize(
+      spark, sf0001, out, targetFiles = 2, maxRecordsPerFile = 1000000)
+    assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
   test("minhash pairs are ordered and above threshold") {

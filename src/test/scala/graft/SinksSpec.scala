@@ -118,6 +118,10 @@ class SinksSpec extends SparkSuite {
     val n = Sinks.compactParquet(spark, s"$base/src", s"$base/dst", 2, 1000000)
     assert(nFiles(s"$base/dst") === 2)
     assert(n === orders.count() * 3)
+    // IDEMPOTENT: a crashed-and-retried compaction rewrites dst, never
+    // stacks a second copy — the count gating the table swap stays true
+    val n2 = Sinks.compactParquet(spark, s"$base/src", s"$base/dst", 2, 1000000)
+    assert(n2 === n, "re-running compaction must not duplicate rows")
     val src = spark.read.parquet(s"$base/src")
     val dst = spark.read.parquet(s"$base/dst")
     assert(src.exceptAll(dst).count() === 0 && dst.exceptAll(src).count() === 0)

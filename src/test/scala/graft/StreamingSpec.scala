@@ -283,12 +283,10 @@ class StreamingSpec extends SparkSuite {
       val stream = spark.readStream
         .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/drop").as[Event]
-      EventsStreaming.sessionize(stream, 30, "30 minutes").toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$root/ck")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          b.write.mode("overwrite").parquet(s"$root/wh/batch_id=$id")
-        }.start()
+      // the SHIPPED exactly-once sink, so this test keeps covering it
+      EventsStreaming.warehouseSinkExactlyOnce(
+        EventsStreaming.sessionize(stream, 30, "30 minutes").toDF(),
+        s"$root/wh", s"$root/ck")
     }
     // pre-restart: user 7 opens a session (0..10); nothing closes
     addFile(Seq(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0)))
