@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *    shape as `Corpus.decide`'s contamination join.
   * The oracle-checked queries use the deterministic `vec_id % 100`
   * sample ([[defaultQueries]]) — harness scaffolding standing in for a
-  * real workload's query batch.
+  * real workload's query batch. Because that sample IS a corpus
+  * subset, the searches default to `excludeSelf = true` (a query must
+  * not return its own vector); an external batch whose ids are not
+  * corpus ids passes `excludeSelf = false`, since there id equality
+  * is coincidence and would drop an unrelated neighbor.
   *
   * Scale shapes (100 TB contract):
   *  - `ann_bruteforce`: scan × query set, salted exact top-k — the
@@ -85,18 +89,23 @@ object Similarity {
   def defaultQueries(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 100 === 0)
 
-  /** DuckDB CTEs rebuilding the same sign-buckets: planes from md5,
-    * per-element dots, bucket = packed sign bits. */
+  /** DuckDB CTEs rebuilding the same sign-buckets: planes from md5 as
+    * ORDERED LISTS, dots via `list_inner_product` (element-order
+    * iteration, like the Spark side's left-to-right vec_dot fold),
+    * bucket = packed sign bits. The dot must NOT be a SQL `SUM` over
+    * exploded elements: a hash-aggregate accumulates doubles in
+    * nondeterministic partial order, and a dot within ulps of zero
+    * could then flip the `dot > 0` sign test between engines — or
+    * between two runs of the same engine (Portable rule 1). */
   private val bucketCtes: String =
-    s"""pl AS (SELECT t.t, p.p, i.i,
-       |             CAST('0x' || substr(md5('plane_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 6) AS BIGINT) / 16777216.0 - 0.5 AS w
+    s"""pl AS (SELECT t.t, p.p,
+       |             list_transform(generate_series(0, ${Dims - 1}),
+       |               i -> CAST('0x' || substr(md5('plane_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6) AS BIGINT) / 16777216.0 - 0.5) AS wv
        |      FROM generate_series(0, ${NumTables - 1}) t(t),
-       |           generate_series(0, ${NumPlanes - 1}) p(p),
-       |           generate_series(0, ${Dims - 1}) i(i)),
-       |ed AS (SELECT vec_id, i.i, CAST(embedding[i.i + 1] AS DOUBLE) AS x
-       |       FROM embeddings, generate_series(0, ${Dims - 1}) i(i)),
-       |dots AS (SELECT ed.vec_id, pl.t, pl.p, SUM(ed.x * pl.w) AS dot
-       |         FROM ed JOIN pl ON ed.i = pl.i GROUP BY ed.vec_id, pl.t, pl.p),
+       |           generate_series(0, ${NumPlanes - 1}) p(p)),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dots AS (SELECT ev.vec_id, pl.t, pl.p, list_inner_product(ev.v, pl.wv) AS dot
+       |         FROM ev, pl),
        |bkt AS (SELECT vec_id, t,
        |               CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2.0, p) AS INT) ELSE 0 END) AS INT) AS bucket
        |        FROM dots GROUP BY vec_id, t)""".stripMargin
@@ -104,18 +113,18 @@ object Similarity {
   private val cosSql =
     "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
 
-  /** (vec_id, t, bucket) rows — NumTables rows per vector. Cached:
-    * both sides of the candidate self-join consume it, and the 8
-    * hyperplane dots per vector shouldn't run twice. */
-  private def buckets(spark: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(spark)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    (0 until NumTables).map { t =>
-      emb.select(col("vec_id"), col("emb"), lit(t).as("t"),
-        signBucket(col("emb"), t, NumPlanes, Dims).as("bucket"))
-    }.reduce(_ unionByName _).cache()
-  }
+  /** (vec_id, v, t, bucket) rows — NumTables rows per vector from ONE
+    * corpus scan (all 4 tables' buckets are projected per row, then
+    * posexploded — the unioned-scans form read the parquet 4 times to
+    * fill this cache). Cached: both sides of the candidate self-join
+    * consume it, and the 16 hyperplane dots per vector shouldn't run
+    * twice. */
+  private def buckets(spark: SparkSession, dir: String): DataFrame =
+    embV(spark, dir)
+      .select(col("vec_id"), col("v"),
+        posexplode(array((0 until NumTables).map(t =>
+          signBucket(col("v"), t, NumPlanes, Dims)): _*)).as(Seq("t", "bucket")))
+      .cache()
 
   /** IVF coarse-centroid count — a FIXED constant, never a fraction of
     * the corpus: the assignment broadcasts the centroid table and
@@ -150,6 +159,15 @@ object Similarity {
   private def centScore: Column = Portable.quant6(cosine(col("v"), col("cv")))
   private def bestCent: Column = struct(col("score"), (-col("cid")).as("nc"))
 
+  /** The N×K broadcast-scored relation (vec_id, cid, score [,extras])
+    * every centroid stage starts from — ONE definition of the
+    * crossJoin + scoring + tie-break inputs, so assignment, probe
+    * selection, quantized cells, and refinement can never drift on
+    * the scoring or the broadcast shape. */
+  private def scoredByCent(rows: DataFrame, cent: DataFrame, extras: Column*): DataFrame =
+    rows.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id"), col("cid"), centScore.as("score")) ++ extras: _*)
+
   /** Nearest-centroid assignment as an AGGREGATE, not a window: the
     * N×K scored rows are collapsed to one partial per vector map-side
     * (each vector's K centroid scores are born in one partition from
@@ -157,20 +175,19 @@ object Similarity {
     * vectors × 1k centroids a window here would shuffle 1T rows to
     * rank them. Tie-break matches the oracle: best score, LOWEST cid. */
   private def assign(emb: DataFrame, cent: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), centScore.as("score"))
+    scoredByCent(emb, cent)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), bestCent).as("cid"))
 
   /** Each query's nProbe nearest cells: same aggregate trick — top-n
-    * kept via a bounded sorted list per key (partials merge map-side),
-    * never a rank over the joined rows. */
+    * kept via a bounded sorted list per key (partials merge map-side,
+    * state is O(K) per QUERY — workload-bounded), never a rank over
+    * the joined rows. */
   private def probeCells(queries: DataFrame, cent: DataFrame, nProbes: Int): DataFrame =
-    queries.crossJoin(broadcast(cent))
-      .select(col("vec_id").as("qid"), col("cid"), centScore.as("score"))
-      .groupBy(col("qid"))
+    scoredByCent(queries, cent)
+      .groupBy(col("vec_id"))
       .agg(slice(sort_array(collect_list(bestCent), asc = false), 1, nProbes).as("top"))
-      .select(col("qid"), explode(col("top")).as("p"))
+      .select(col("vec_id").as("qid"), explode(col("top")).as("p"))
       .select(col("qid"), (-col("p.nc")).as("cid"))
 
   /** Corpus × query pairing for the flat (all-pairs) search paths.
@@ -212,6 +229,15 @@ object Similarity {
     ranked.select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
       col("rn").cast("long").as("rank"), col("score"))
 
+  /** The self-match rule behind every search path's `excludeSelf`
+    * parameter: a query drawn FROM the corpus (the oracle's %100
+    * sample) must not return itself, so id equality drops that one
+    * row. For an EXTERNAL query batch whose ids are not corpus ids,
+    * pass excludeSelf = false — there, id equality is coincidence and
+    * the default would silently drop an unrelated true neighbor. */
+  private def dropSelf(pairs: DataFrame, on: Boolean, qid: String, nid: String): DataFrame =
+    if (on) pairs.filter(col(nid) =!= col(qid)) else pairs
+
   /** int8 storage: floor-scale to [-128, 127], kept as tinyint — the
     * 8×-narrower column the SQ8 coarse passes scan. */
   private def quantizeExpr(v: Column): Column =
@@ -223,10 +249,10 @@ object Similarity {
 
   /** L6 — exact brute-force cosine top-k for a query batch. */
   def bruteForce(
-      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true): DataFrame = {
+      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("v").as("qe"))
-    val scored = pairQueries(emb, q, broadcastQueries)
-      .filter(col("vec_id") =!= col("qid"))
+    val scored = dropSelf(pairQueries(emb, q, broadcastQueries), excludeSelf, "qid", "vec_id")
       .select(col("qid"), col("vec_id").as("nid"),
         Portable.quant6(cosine(col("v"), col("qe"))).as("score"))
     finish(saltedTopK(scored, col("score"), TopK))
@@ -238,12 +264,12 @@ object Similarity {
     * dedup_simhash negative result in PLANS.md), salted top-R, exact
     * cosine rerank on the R survivors only. */
   def quantizedSearch(
-      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true): DataFrame = {
+      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     val qz = quantize(emb)
     val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq"))
     val idot = call_function("vec_dot_i8", col("qv"), col("qq"))
-    val coarse = pairQueries(qz, q8, broadcastQueries)
-      .filter(col("vec_id") =!= col("qid"))
+    val coarse = dropSelf(pairQueries(qz, q8, broadcastQueries), excludeSelf, "qid", "vec_id")
       .select(col("qid"), col("vec_id").as("nid"), idot.as("cscore"))
     rerank(saltedTopK(coarse, col("cscore"), RerankK).select(col("qid"), col("nid")),
       emb, queries)
@@ -272,14 +298,14 @@ object Similarity {
     * (candidates per query grow with cell size ∝ N/K). */
   def ivfSearch(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
-      nProbes: Int = NumProbes): DataFrame = {
+      nProbes: Int = NumProbes, excludeSelf: Boolean = true): DataFrame = {
     val asnS = assign(emb, cent)
       .select(col("vec_id").as("nid"), col("cid"),
         pmod(col("vec_id"), lit(CellSalt)).cast("int").as("__cs"))
-    val cand = probeCells(queries, cent, nProbes)
-      .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
-      .join(asnS, Seq("cid", "__cs"))
-      .filter(col("nid") =!= col("qid"))
+    val cand = dropSelf(
+      probeCells(queries, cent, nProbes)
+        .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
+        .join(asnS, Seq("cid", "__cs")), excludeSelf, "qid", "nid")
       .select(col("qid"), col("nid")).distinct()
     val scored = cand
       .join(queries.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
@@ -307,8 +333,8 @@ object Similarity {
     * Q-shaped); coarse top-R is the salted window; rerank is keyed. */
   def ivfSq8Search(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
-      nProbes: Int = SqNumProbes): DataFrame =
-    sq8SearchCells(quantizedCells(emb, cent), emb, cent, queries, nProbes)
+      nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame =
+    sq8SearchCells(quantizedCells(emb, cent), emb, cent, queries, nProbes, excludeSelf)
 
   /** Each corpus row's (cell, int8 vector) in ONE scan and ONE
     * shuffle: the quantization is a per-row projection BEFORE the
@@ -318,9 +344,9 @@ object Similarity {
     * quantizing separately, which costs a second corpus scan plus a
     * sort-merge join's two shuffles to reunite them. */
   private def quantizedCells(emb: DataFrame, cent: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("v"), quantizeExpr(col("v")).as("qv"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("qv"), col("cid"), centScore.as("score"))
+    scoredByCent(
+      emb.select(col("vec_id"), col("v"), quantizeExpr(col("v")).as("qv")),
+      cent, col("qv"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), bestCent).as("cid"), first(col("qv")).as("nv8"))
       .select(col("vec_id").as("nid"), col("cid"), col("nv8"))
@@ -330,15 +356,14 @@ object Similarity {
     * persisted index ([[searchIvfIndex]]). */
   private def sq8SearchCells(
       cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
-      queries: DataFrame, nProbes: Int): DataFrame = {
+      queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame = {
     val cells = cellTable.withColumn("__cs",
       pmod(col("nid"), lit(CellSalt)).cast("int"))
     val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq8"))
     val probes = probeCells(queries, cent, nProbes)
       .join(q8, "qid")
       .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
-    val coarse = cells.join(probes, Seq("cid", "__cs"))
-      .filter(col("nid") =!= col("qid"))
+    val coarse = dropSelf(cells.join(probes, Seq("cid", "__cs")), excludeSelf, "qid", "nid")
       .select(col("qid"), col("nid"),
         call_function("vec_dot_i8", col("nv8"), col("qq8")).as("cscore"))
     rerank(saltedTopK(coarse, col("cscore"), RerankK).select(col("qid"), col("nid")),
@@ -369,10 +394,10 @@ object Similarity {
     * runtime partition filter on the index scan. */
   def searchIvfIndex(
       spark: SparkSession, path: String, emb: DataFrame, queries: DataFrame,
-      nProbes: Int = SqNumProbes): DataFrame = {
+      nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame = {
     ensureRegistered(spark)
     val cent = spark.read.parquet(s"$path/centroids")
-    sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes)
+    sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes, excludeSelf)
   }
 
   /** One Lloyd (k-means) iteration over the coarse centroids: assign
@@ -390,18 +415,23 @@ object Similarity {
   def refineCentroids(emb: DataFrame, cent: DataFrame, iterations: Int = 1): DataFrame = {
     var c = cent
     (0 until iterations).foreach { _ =>
-      val asn = emb.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("v"), col("cid"), centScore.as("score"))
+      val asn = scoredByCent(emb, c, col("v"))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cid"), col("v")), bestCent).as("a"))
         .select(col("a.cid").as("cid"), col("a.v").as("v"))
-      c = asn
+      val means = asn
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
-        .select(col("cid"), expr("transform(ms, e -> e.m)").as("cv"))
+        .select(col("cid"), expr("transform(ms, e -> e.m)").as("mean_v"))
+      // a centroid whose cell attracted no vectors has no mean row —
+      // KEEP its previous position (the standard empty-cluster rule)
+      // so the table stays exactly K rows across iterations instead of
+      // silently shrinking
+      c = c.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mean_v"), col("cv")).as("cv"))
     }
     c
   }
@@ -521,18 +551,22 @@ object Similarity {
       quantizedSearch(emb, defaultQueries(emb))
     },
 
-    // L5 — embedding-cosine near-dup pairs, LSH-bucketed.
+    // L5 — embedding-cosine near-dup pairs, LSH-bucketed. The τ filter
+    // compares the QUANTIZED cosine in both engines: raw vec_cosine vs
+    // list_cosine_similarity parity is only promised after 6dp
+    // quantization, so a raw-value threshold could pass a boundary
+    // pair in one engine only.
     QueryDef(
       "dedup_embed",
       s"""WITH $bucketCtes,
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
          |         FROM bkt a JOIN bkt b
          |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT c.va AS vec_a, c.vb AS vec_b, floor(($cosSql) * 1000000.0) / 1000000.0 AS cosine
+         |SELECT c.va AS vec_a, c.vb AS vec_b, ${Portable.Quant6Sql(cosSql)} AS cosine
          |FROM cand c
          |JOIN embeddings ea ON ea.vec_id = c.va
          |JOIN embeddings eb ON eb.vec_id = c.vb
-         |WHERE $cosSql >= $CosThreshold""".stripMargin) { (spark, dir) =>
+         |WHERE ${Portable.Quant6Sql(cosSql)} >= $CosThreshold""".stripMargin) { (spark, dir) =>
       val bk = buckets(spark, dir)
       // distinct on the id pair only — never shuffle the vectors twice
       val cand = bk.as("a")
@@ -541,15 +575,13 @@ object Similarity {
             && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .distinct()
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val cos = cosine(col("ea"), col("eb"))
+      val emb = embV(spark, dir)
+      val qcos = Portable.quant6(cosine(col("ea"), col("eb")))
       cand
-        .join(emb.select(col("vec_id").as("va"), col("emb").as("ea")), "va")
-        .join(emb.select(col("vec_id").as("vb"), col("emb").as("eb")), "vb")
-        .filter(cos >= CosThreshold)
-        .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-          Portable.quant6(cos).as("cosine"))
+        .join(emb.select(col("vec_id").as("va"), col("v").as("ea")), "va")
+        .join(emb.select(col("vec_id").as("vb"), col("v").as("eb")), "vb")
+        .filter(qcos >= CosThreshold)
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"), qcos.as("cosine"))
     },
 
     // L6 — exact brute-force cosine top-k for the query batch.
@@ -578,7 +610,7 @@ object Similarity {
          |         FROM bkt qb JOIN bkt vb
          |           ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
          |         WHERE qb.vec_id % 100 = 0),
-         |sc AS (SELECT c.qid, c.nid, floor(($cosSql) * 1000000.0) / 1000000.0 AS score
+         |sc AS (SELECT c.qid, c.nid, ${Portable.Quant6Sql(cosSql)} AS score
          |       FROM cand c
          |       JOIN embeddings ea ON ea.vec_id = c.qid
          |       JOIN embeddings eb ON eb.vec_id = c.nid),
@@ -595,11 +627,10 @@ object Similarity {
             && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
         .distinct()
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val emb = embV(spark, dir)
       val scored = cand
-        .join(emb.select(col("vec_id").as("qid"), col("emb").as("qe")), "qid")
-        .join(emb.select(col("vec_id").as("nid"), col("emb").as("ne")), "nid")
+        .join(emb.select(col("vec_id").as("qid"), col("v").as("qe")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("v").as("ne")), "nid")
         .select(col("qid"), col("nid"),
           Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
       // sign buckets are a constant partition of the space (16 per

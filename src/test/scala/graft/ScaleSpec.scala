@@ -91,8 +91,12 @@ class ScaleSpec extends SparkSuite {
     val seed = graft.operators.Similarity.seedCentroids(emb)
     val r0 = recall(seed)
     val r1 = recall(graft.operators.Similarity.refineCentroids(emb, seed, 1))
-    val seed64 = graft.operators.Similarity.seedCentroids(emb, 64)
-    val r64 = recall(graft.operators.Similarity.refineCentroids(emb, seed64, 1))
+    val refined64 = graft.operators.Similarity.refineCentroids(
+      emb, graft.operators.Similarity.seedCentroids(emb, 64), 2)
+    // empty cells keep their previous centroid — refinement must not
+    // silently shrink K across iterations
+    assert(refined64.count() === 64L, "refinement shrank the centroid table")
+    val r64 = recall(refined64)
     info(f"ivf recall@k: K=16 seed=$r0%.3f refined=$r1%.3f; K=64 refined=$r64%.3f")
     assert(r1 >= 0.4, f"refined recall $r1%.3f fell below the 0.4 floor")
     // more, finer cells at the same nProbe → candidates shrink ∝ nProbe/K;
@@ -119,6 +123,25 @@ class ScaleSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$name keyed variant plans a cartesian")
       assert(p.contains("__qs"), s"$name keyed variant should join on the fragment id")
     }
+  }
+
+  test("excludeSelf=false serves external query batches without dropping id-colliding neighbors") {
+    // an external batch's ids are not corpus ids: a query that happens
+    // to carry id 7 must still receive corpus vector 7 when it is the
+    // true nearest neighbor (here: the identical vector)
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 7)
+    val kept = graft.operators.Similarity.bruteForce(emb, q, excludeSelf = false)
+      .filter(col("rank") === 1).collect()
+    assert(kept.length === 1)
+    assert(kept(0).getAs[Long]("neighbor_id") === 7L,
+      "the identical corpus twin must rank first for an external query")
+    val dropped = graft.operators.Similarity.bruteForce(emb, q)
+      .filter(col("neighbor_id") === 7).count()
+    assert(dropped === 0L, "the corpus-subset default must still exclude self")
   }
 
   test("the persisted IVF index searches identically, skipping assignment, pruning to probed cells") {
