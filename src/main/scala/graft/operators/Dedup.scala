@@ -56,18 +56,21 @@ object Dedup {
   // which 4 rounds do NOT resolve but 5 do). Near-dup clusters are
   // dense — LSH links most member pairs directly, so real diameters
   // are 1-2 (the sf0.01 corpus maxes at 2); this is generous headroom
-  // while keeping the iteration count FIXED (no driver-side
-  // convergence loop, no unbounded lineage) and the materialization
-  // count LOW (5 checkpoints, vs 8 for linear propagation — each eager
-  // checkpoint is a full job round-trip, and they dominated
-  // dedup_clusters' wall time at bench scale).
+  // while keeping the common-case iteration count FIXED and the
+  // materialization count LOW (5 checkpoints, vs 8 for linear
+  // propagation — each eager checkpoint is a full job round-trip, and
+  // they dominated dedup_clusters' wall time at bench scale). The
+  // fixed rounds are backstopped by a FIXPOINT CHECK + bounded
+  // adaptive tail in clusterLabels — an outlier component can buy up
+  // to MaxExtraRounds more, and true non-convergence is a loud error,
+  // never silently split clusters.
   private[operators] val PropagationRounds = 5
 
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + $ShingleLen], ' ') AS shingle
-       |       FROM t, generate_series(0, 4095) i(i)
+       |       FROM t, generate_series(0, ${MaxShingleStarts - 1}) i(i)
        |       WHERE i.i <= greatest(len(tk) - $ShingleLen, 0)),
        |hs AS (SELECT doc_id,
        |              CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
@@ -97,13 +100,18 @@ object Dedup {
   private def hashWords(docs: DataFrame): DataFrame =
     shingleWords(tokenized(docs))
 
+  /** The per-doc shingle-md5 array expression over a `tk` column — ONE
+    * definition shared by the signature stage and the verify stage (the
+    * oracle mirrors it bit-for-bit, so the two Spark copies must never
+    * drift from each other either). */
+  private val shingleMd5Transform: String =
+    s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
+      s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))"
+
   /** Same, over an already-tokenized (doc_id, tk) relation. */
   private def shingleWords(tok: DataFrame): DataFrame =
     tok
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
-            s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))")).as("m"))
+      .select(col("doc_id"), explode(expr(shingleMd5Transform)).as("m"))
       .select(col("doc_id"),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
@@ -136,9 +144,7 @@ object Dedup {
     * dedup, decontamination, and per-row gate pipelines). */
   private[operators] def minhashPairsFrom(tok: DataFrame): DataFrame = {
     val hsArr = tok
-      .select(col("doc_id"),
-        expr(s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
-          s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))").as("ms"))
+      .select(col("doc_id"), expr(shingleMd5Transform).as("ms"))
       .select(col("doc_id"),
         expr("transform(ms, m -> named_struct(" +
           "'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint), " +
@@ -224,44 +230,55 @@ object Dedup {
     * be truncated, the same reason GraphX/GraphFrames checkpoint their
     * iterations. On a production cluster with executor churn, swap for
     * reliable `checkpoint` with a checkpoint dir. */
+  /** Extra adaptive rounds allowed past [[PropagationRounds]] when the
+    * fixpoint check still finds unconverged labels — each one covers
+    * at least one more hop (neighbor-min progress is unconditional),
+    * and the bound keeps the iteration count fixed-ish rather than
+    * data-dependent without limit. */
+  private[operators] val MaxExtraRounds = 5
+
   def clusterLabels(pairs: DataFrame): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
     // localCheckpoint persists its row RDD in the block manager, and
     // those blocks are NOT released by Dataset.unpersist or the cache
     // manager — an iterative operator that leaks every superseded
     // round keeps (rounds + 2) duplicate-mass-sized block sets alive
-    // until driver GC notices. Track each checkpoint's freshly
-    // persisted RDD (ids snapshot around the eager materialization;
-    // this operator runs single-threaded, so the diff is exactly the
-    // checkpoint's RDD) and free a round as soon as the next round has
-    // materialized past it. Only the RETURNED labels checkpoint stays.
+    // until driver GC notices. Track each checkpoint's EXACT persisted
+    // RDD (the LogicalRDD the checkpointed Dataset wraps — a
+    // before/after diff of sc.getPersistentRDDs would also sweep up
+    // caller-owned caches whose buffers happen to persist during the
+    // same job, e.g. corpus_keep's shared tokenized scan) and free a
+    // round as soon as the next round has materialized past it. Only
+    // the RETURNED labels checkpoint stays.
     def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      val fresh = sc.getPersistentRDDs.view.filterKeys(!before.contains(_)).values.toSeq
-      (out, fresh)
+      val own = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (out, own)
     }
     def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(_.unpersist(blocking = false))
 
-    // cache first: edges references the pair plan twice (both edge
-    // directions) — without this the whole pair-generation pipeline
-    // executes twice inside the first materialization
-    val fwd = pairs.cache().select(col("doc_a").as("s"), col("doc_b").as("d"))
+    // cache (NON-destructively: a caller that cached pairs for its own
+    // reuse keeps its cache): edges references the pair plan twice —
+    // both edge directions — and without a cache the whole
+    // pair-generation pipeline executes twice inside the first
+    // materialization
+    val ownPairsCache = pairs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPairsCache) pairs.cache()
+    val fwd = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
     val (edges, edgesRdds) = checkpointTracked(
       fwd.unionByName(fwd.select(col("d").as("s"), col("s").as("d"))))
     var (labels, labelsRdds) = checkpointTracked(
       edges.groupBy(col("s")).agg(min(col("d")).as("m"))
         .select(col("s").as("doc_id"), least(col("s"), col("m")).as("label")))
-    for (_ <- 1 to PropagationRounds) {
-      // 1-hop neighbor minimum over the previous round's labels
+    // one propagation round: neighbor-min (>= 1 hop unconditionally)
+    // + pointer jump (label := my label's label — composes hops found
+    // so far; doubles covered distance on chain layouts)
+    def round(): Unit = {
       val viaNbr = edges
         .join(labels.select(col("doc_id").as("s"), col("label")), "s")
         .select(col("d").as("doc_id"), col("label"))
-      // pointer jump on the previous (checkpointed) label table: my
-      // label's own label. Self-join of the RDD-backed checkpoint, so
-      // the plan stays small and analysis-safe; inner join suffices —
-      // every label value is a doc_id with its own label row.
       val jumped = labels.select(col("doc_id"), col("label").as("mid"))
         .join(labels.select(col("doc_id").as("mid"), col("label").as("jl")), "mid")
         .select(col("doc_id"), col("jl").as("label"))
@@ -272,8 +289,25 @@ object Dedup {
       labels = next
       labelsRdds = nextRdds
     }
+    (1 to PropagationRounds).foreach(_ => round())
+    // CONVERGENCE IS CHECKED, not assumed: the pointer-jump doubling
+    // argument is layout-dependent, so a component whose diameter (or
+    // adversarial id order) outruns the fixed rounds would otherwise
+    // ship silently split clusters. The fixpoint test is one keyed
+    // self-join over the checkpointed duplicate-mass-sized label
+    // table — cheap next to a propagation round; unconverged labels
+    // buy bounded extra rounds, and running out is a LOUD error.
+    def unconverged(): Long = labels
+      .join(labels.select(col("doc_id").as("mid"), col("label").as("jl")),
+        col("label") === col("mid"))
+      .filter(col("jl") =!= col("label")).count()
+    var extra = 0
+    while (unconverged() > 0 && extra < MaxExtraRounds) { round(); extra += 1 }
+    if (extra == MaxExtraRounds && unconverged() > 0)
+      throw new IllegalStateException(
+        s"dedup cluster labels did not converge within ${PropagationRounds + MaxExtraRounds} rounds")
     free(edgesRdds) // no consumer left after the last round
-    pairs.unpersist(blocking = false) // checkpoints never re-read the pair plan
+    if (ownPairsCache) pairs.unpersist(blocking = false) // checkpoints never re-read the pair plan
     labels
   }
 

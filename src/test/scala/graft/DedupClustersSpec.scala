@@ -49,10 +49,36 @@ class DedupClustersSpec extends SparkSuite {
       "a sub-cap bucket must yield every verified pair")
   }
 
+  test("a chain past the fixed-round bound converges via the adaptive tail") {
+    // diameter 40 outruns the 5 fixed rounds (2^5 = 32 on ascending
+    // chains); the fixpoint check must detect it and buy the extra
+    // rounds instead of shipping silently split clusters
+    val chain = pairsDf((1L to 40L).map(i => (i, i + 1)): _*)
+    val labels = Dedup.clusterLabels(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (1L to 41L).map(_ -> 1L).toMap)
+  }
+
   test("separate components keep separate cluster ids") {
     val labels = Dedup.clusterLabels(pairsDf((10L, 20L), (20L, 15L), (30L, 40L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(10L -> 10L, 20L -> 10L, 15L -> 10L, 30L -> 30L, 40L -> 30L))
+  }
+
+  test("clusterLabels frees every superseded checkpoint and never sweeps caller caches") {
+    // each round localCheckpoints; superseded rounds must release
+    // their block-manager storage (only the RETURNED labels checkpoint
+    // may stay), and the freeing must target exactly the operator's
+    // own checkpoint RDDs — a pre-existing caller cache survives
+    val sc = spark.sparkContext
+    val base = pairsDf((1L to 100L).map(i => (i, i + 1)): _*).cache()
+    base.count() // caller-owned, materialized cache
+    val before = sc.getPersistentRDDs.keySet
+    Dedup.clusterLabels(base).count()
+    val fresh = sc.getPersistentRDDs.keySet -- before
+    assert(fresh.size <= 1, s"leaked ${fresh.size} checkpoint RDD block sets")
+    assert(base.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "the caller's cache must survive clusterLabels")
+    base.unpersist()
   }
 
   test("dedup_clusters covers the whole corpus with one kept doc per cluster") {
