@@ -40,12 +40,31 @@ object Distributed {
     * the range shuffle so AQE cannot re-coalesce it differently
     * between the data pass and the offsets pass. Group keys must be
     * non-null: the offsets attach through an inner equi-join on `grp`,
-    * so null-keyed rows would drop (pre-filter or coalesce them). */
+    * so null-keyed rows would drop (pre-filter or coalesce them).
+    *
+    * CONTRACT — `df` must carry EXACTLY the grp/ord/value columns (a
+    * hard require, not a convention): any passenger column makes the
+    * offsets branch's subtree column-prune into a NON-identical copy
+    * of the ranked-rows branch, which defeats exchange reuse and
+    * materializes two independently-sampled range shuffles — the two
+    * could then disagree on `__pid` and the ranks would be silently
+    * wrong. Join passengers back by (grp, ord) afterwards. The group
+    * key must also be LOW-cardinality (that is the case where a plain
+    * window is the scale hazard this primitive replaces): the offsets
+    * table is (groups × shards) rows and is broadcast — a
+    * high-cardinality group key belongs in a plain keyed window. */
   def globalRunning(
       df: DataFrame,
       grp: Seq[String],
       ord: Seq[String],
       valueCol: Option[String] = None): DataFrame = {
+    val expected = (grp ++ ord ++ valueCol).toSet
+    require(df.columns.toSet == expected,
+      s"globalRunning needs exactly the grp/ord/value columns ${expected.mkString(", ")} " +
+        s"(got ${df.columns.mkString(", ")}): passenger columns break the single-range-" +
+        "shuffle invariant — join them back by the (grp, ord) key afterwards")
+    require(expected.forall(c => !c.startsWith("__") && !c.startsWith("g_")),
+      "column names starting with __ or g_ are reserved by globalRunning")
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // Both consumers below (the ranked rows and the per-shard summary)
     // MUST read the SAME materialized range shuffle: range bounds come
@@ -77,16 +96,27 @@ object Distributed {
     // exchange reuse and materializes a THIRD range shuffle of the
     // input just to count groups (observed in text_pack's plan)
     val wTot = wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // offsets come from an EXCLUSIVE preceding-shards frame, not the
+    // inclusive-sum-minus-own form: with nullable values an all-null
+    // shard has __s = null, and `sum - null` would null-poison its
+    // offset where the window-SUM reference (which null-skips) carries
+    // the prior shards' total through
+    val wPrev = wOff.rowsBetween(Window.unboundedPreceding, -1)
     val off = per
-      .withColumn("__coff", sum(col("__c")).over(wOff) - col("__c"))
-      .withColumn("__soff", sum(col("__s")).over(wOff) - col("__s"))
+      .withColumn("__coff", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .withColumn("__soff", sum(col("__s")).over(wPrev))
       .withColumn("__n", sum(col("__c")).over(wTot))
       .select((grp :+ "__pid").map(col) :+ col("__coff") :+ col("__soff") :+ col("__n"): _*)
 
     val out0 = local.join(broadcast(off), grp :+ "__pid")
       .withColumn("g_rank", (col("__coff") + col("__lr")).cast("long"))
       .withColumn("g_n", col("__n"))
-    val out = valueCol.fold(out0)(_ => out0.withColumn("g_run", col("__soff") + col("__ls")))
+    // null semantics must match window SUM exactly: null only while NO
+    // non-null value has occurred yet (local prefix all-null AND no
+    // prior-shard sum), otherwise the null side contributes zero
+    val out = valueCol.fold(out0)(_ => out0.withColumn("g_run",
+      when(col("__ls").isNull && col("__soff").isNull, lit(null))
+        .otherwise(coalesce(col("__soff"), lit(0)) + coalesce(col("__ls"), lit(0)))))
     out.drop("__pid", "__lr", "__ls", "__coff", "__soff", "__n")
   }
 }

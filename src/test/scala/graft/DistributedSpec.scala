@@ -77,6 +77,38 @@ class DistributedSpec extends SparkSuite {
       "composite-group rank/run mismatch vs the window reference")
   }
 
+  test("null values follow window-SUM semantics: skipped, not poisoning") {
+    import spark.implicits._
+    // nulls clustered so whole shards can be all-null — the layout
+    // where an inclusive-minus-own offset null-poisons entire shards
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map { i =>
+      val v: java.lang.Long = if (rnd.nextInt(3) == 0) null else rnd.nextInt(20).toLong
+      (s"g${rnd.nextInt(3)}", i.toLong, v)
+    }
+    val df = rows.toDF("g", "ord", "v")
+    val w = Window.partitionBy("g").orderBy("ord")
+    val ref = df.withColumn("r_run", sum("v").over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Distributed.globalRunning(df, Seq("g"), Seq("ord"), Some("v"))
+    val joined = got.join(ref, Seq("g", "ord")).cache()
+    assert(joined.count() === 400)
+    assert(joined.filter(!(col("g_run") <=> col("r_run"))).count() === 0,
+      "running sum over nullable values diverged from the window reference")
+  }
+
+  test("passenger columns are rejected loudly, not silently mis-ranked") {
+    import spark.implicits._
+    // an extra column would let column pruning split the single range
+    // shuffle into two independently-sampled ones (mismatched __pid)
+    val df = (0 until 10).map(i => ("g", i.toLong, i.toLong, s"doc$i"))
+      .toDF("g", "ord", "v", "passenger")
+    val e = intercept[IllegalArgumentException] {
+      Distributed.globalRunning(df, Seq("g"), Seq("ord"), Some("v"))
+    }
+    assert(e.getMessage.contains("passenger"))
+  }
+
   test("rank-only mode needs no value column and emits no g_run") {
     import spark.implicits._
     val df = (0 until 100).map(i => ("g", i.toLong)).toDF("g", "ord")
