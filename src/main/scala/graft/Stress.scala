@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Stress {
 
   private val StressQueries = Seq(
-    "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_clusters",
+    "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_incremental", "dedup_clusters",
     "text_ngram_jaccard", "text_tokens", "text_quality",
     "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_quantized", "ann_bruteforce", "dedup_embed")
 

@@ -305,6 +305,19 @@ object Dedup {
       tokAll.filter(col("doc_id") % DeltaMod === 0)))
   }
 
+  /** Public delta-screening entry (the continuous-ingestion building
+    * block, see [[graft.streaming.CorpusIngest]]): verdict rows for
+    * `delta` docs that near-duplicate an indexed doc or an EARLIER
+    * delta doc (arrival order = doc_id within the delta). `oldKeys`
+    * is the persisted (doc_id, band_key) index; `corpus` must hold
+    * the indexed docs' (doc_id, text) — only candidate docs' text is
+    * ever read from it (the semi-join prunes the rest). */
+  def screenDelta(oldKeys: DataFrame, corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val d = delta.select(col("doc_id"), col("text"))
+    val tokAll = tokenized(corpus.select(col("doc_id"), col("text")).unionByName(d))
+    incrementalVerdict(incrementalPairs(oldKeys, tokAll, tokenized(d)))
+  }
+
   /** Resolve verified pairs into duplicate clusters by iterative
     * min-label propagation over the (bidirected) pair edges — a fixed
     * [[PropagationRounds]] rounds, each a keyed shuffle on doc_id over

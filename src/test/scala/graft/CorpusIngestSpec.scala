@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.CorpusIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming closure of the L2c loop: per-batch online near-dedup
+  * against the evolving persisted index. */
+class CorpusIngestSpec extends SparkSuite {
+
+  // five-token-plus texts so every doc clears the shingle length;
+  // distinct docs share no tokens at all
+  private val texts = Map(
+    1L -> "alpha bravo charlie delta echo foxtrot golf hotel",
+    2L -> "india juliett kilo lima mike november oscar papa",
+    3L -> "quebec romeo sierra tango uniform victor whiskey xray",
+    4L -> "yankee zulu one two three four five six",
+    7L -> "seven eight nine ten eleven twelve thirteen fourteen")
+
+  private def state(): String =
+    java.nio.file.Files.createTempDirectory("graft_ingest").toString
+
+  private def readState(path: String, sub: String) =
+    spark.read.parquet(s"$path/$sub")
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("batches screen against the evolving index; novel docs extend corpus and index") {
+    val st = state()
+    // batch 0: docs 1-4 novel, doc 5 an exact copy of doc 2 (later id)
+    CorpusIngest.ingestBatch(
+      docsDf(1L -> texts(1), 2L -> texts(2), 3L -> texts(3), 4L -> texts(4), 5L -> texts(2)),
+      0L, st)
+    // batch 1: doc 6 copies the INDEXED doc 1; doc 7 is novel
+    CorpusIngest.ingestBatch(docsDf(6L -> texts(1), 7L -> texts(7)), 1L, st)
+
+    val dups = readState(st, "dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups === Map(5L -> 2L, 6L -> 1L))
+    val corpus = readState(st, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus === Set(1L, 2L, 3L, 4L, 7L))
+    // the index covers exactly the kept corpus, 4 band keys per doc
+    val idx = readState(st, "index")
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(idx.map(_.getLong(0)).toSet === corpus)
+    assert(idx.forall(_.getLong(1) === 4L))
+  }
+
+  test("a replayed batch overwrites itself and sees only prior-batch state") {
+    val st = state()
+    CorpusIngest.ingestBatch(docsDf(1L -> texts(1), 2L -> texts(2)), 0L, st)
+    CorpusIngest.ingestBatch(docsDf(3L -> texts(3), 6L -> texts(1)), 1L, st)
+    def snapshot() = Seq("dups", "corpus", "index")
+      .map(s => readState(st, s).collect().map(_.toSeq).toSet)
+    val before = snapshot()
+    // exactly-once under foreachBatch replay: same rows, same batchId
+    CorpusIngest.ingestBatch(docsDf(3L -> texts(3), 6L -> texts(1)), 1L, st)
+    assert(snapshot() === before)
+    val d = readState(st, "dups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(d === Set((6L, 1L, 1.0)),
+      "doc 6 must be quarantined as an exact duplicate of indexed doc 1")
+  }
+
+  test("the streaming wiring drives the same per-batch path end-to-end") {
+    val st = state()
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)]
+    val q = CorpusIngest.start(
+      src.toDF().toDF("doc_id", "text"), st,
+      java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString)
+    try {
+      src.addData(1L -> texts(1), 2L -> texts(2), 5L -> texts(2))
+      q.processAllAvailable()
+      src.addData(6L -> texts(1), 7L -> texts(7))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dups = readState(st, "dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups === Map(5L -> 2L, 6L -> 1L))
+    assert(readState(st, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 7L))
+  }
+}
