@@ -71,6 +71,47 @@ object CorpusIngest {
       s"$statePath/index/batch_id=$batchId")
   }
 
+  /** Compact accumulated `batch_id` partitions — the small-files
+    * maintenance every per-batch-partitioned sink eventually needs
+    * (thousands of batches × 3 tables × shuffle-partition files each
+    * would otherwise dominate listing and open() cost at 100 TB).
+    * Batches `<= upTo` collapse into ONE `batch_id=upTo` partition per
+    * table, preserving the state the reads depend on: any batch
+    * `N > upTo` filters `batch_id < N`, which still covers the
+    * compacted partition, and a replay of batch `upTo + 1` sees
+    * exactly the state its first attempt saw. Any `upTo` at most the
+    * latest COMMITTED batch is safe: Spark only ever replays the
+    * batch after the last committed one, and that replay reads
+    * `batch_id < upTo + 1` — the compacted partition verbatim.
+    * Rewrite-then-swap via a dot-prefix
+    * temp dir (invisible to parquet readers); a crash between delete
+    * and rename is recovered by re-running with the same `upTo`. */
+  def compactState(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      upTo: Long, targetFiles: Int = 1): Unit =
+    Seq("corpus", "index", "dups").foreach { sub =>
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) {
+        val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
+        val dest = new org.apache.hadoop.fs.Path(root, s"batch_id=$upTo")
+        def olds() = fs.listStatus(root).toSeq.map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= upTo
+          }
+        if (fs.exists(tmp) && !fs.exists(dest)) {
+          // recover a crash that deleted the olds but missed the swap
+          fs.rename(tmp, dest)
+        } else if (olds().size > 1) {
+          spark.read.parquet(olds().map(_.toString): _*)
+            .repartition(targetFiles)
+            .write.mode("overwrite").parquet(tmp.toString)
+          olds().foreach(p => fs.delete(p, true))
+          fs.rename(tmp, dest)
+        }
+      }
+    }
+
   /** Start the ingestion stream over a (doc_id, text) source. */
   def start(docs: DataFrame, statePath: String, checkpoint: String): StreamingQuery =
     docs.writeStream

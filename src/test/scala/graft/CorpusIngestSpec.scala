@@ -66,6 +66,33 @@ class CorpusIngestSpec extends SparkSuite {
       "doc 6 must be quarantined as an exact duplicate of indexed doc 1")
   }
 
+  test("state compaction preserves reads and the replay contract while cutting dirs") {
+    val st = state()
+    CorpusIngest.ingestBatch(docsDf(1L -> texts(1), 2L -> texts(2)), 0L, st)
+    CorpusIngest.ingestBatch(docsDf(3L -> texts(3), 5L -> texts(2)), 1L, st)
+    CorpusIngest.ingestBatch(docsDf(4L -> texts(4), 6L -> texts(1)), 2L, st)
+    def content(sub: String) = readState(st, sub).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    def dirs(sub: String) = new java.io.File(s"$st/$sub").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    val before = Seq("corpus", "index", "dups").map(content)
+    // batches 0..2 are committed; collapse 0..1
+    CorpusIngest.compactState(spark, st, upTo = 1L)
+    assert(Seq("corpus", "index", "dups").map(content) === before,
+      "compaction must not change any table's content")
+    assert(Seq("corpus", "index", "dups").map(dirs) === Seq(2, 2, 2),
+      "batches 0..1 must collapse into one partition each")
+    // a batch arriving AFTER compaction still screens against all
+    // kept state: doc 8 copies doc 3 (kept in the compacted range)
+    CorpusIngest.ingestBatch(docsDf(8L -> texts(3)), 3L, st)
+    val dups = readState(st, "dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups === Map(5L -> 2L, 6L -> 1L, 8L -> 3L))
+    // idempotent recovery: re-running the same compaction is a no-op
+    CorpusIngest.compactState(spark, st, upTo = 1L)
+    assert(Seq("corpus", "index", "dups").map(content).head === before.head)
+  }
+
   test("the streaming wiring drives the same per-batch path end-to-end") {
     val st = state()
     implicit val sqlCtx = spark.sqlContext
