@@ -387,6 +387,25 @@ object Similarity {
     cent.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** INCREMENTAL index maintenance — the ANN twin of
+    * [[graft.operators.Dedup.buildDedupIndex]]'s delta lifecycle:
+    * assign + quantize ONLY the delta vectors against the index's
+    * frozen centroid table and append them into the same `cid=`
+    * partition layout. Daily embedding ingestion then costs
+    * O(|delta|·K), never an O(N·K) rebuild, and searches after an
+    * append are bit-identical to a full rebuild over the combined
+    * corpus (spec-asserted): cell assignment depends only on
+    * (vector, centroids), and parquet append into a partition dir is
+    * set-union at the reader. Re-seed/refine centroids and rebuild
+    * only when drift erodes the measured recall (dev/recall.sh). */
+  def appendToIvfIndex(spark: SparkSession, embDelta: DataFrame, path: String): Unit = {
+    ensureRegistered(spark)
+    val cent = spark.read.parquet(s"$path/centroids")
+    quantizedCells(embDelta, cent)
+      .select(col("nid"), col("nv8"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+  }
+
   /** Search a [[buildIvfIndex]]-persisted index: identical results to
     * the dynamic [[ivfSq8Search]] (ScaleSpec-asserted), but the plan
     * has NO assignment stage and scans only probed `cid=` partitions —

@@ -170,6 +170,30 @@ class ScaleSpec extends SparkSuite {
       "the probe join should prune index partitions at runtime (DPP)")
   }
 
+  test("appending delta vectors to the IVF index equals a full rebuild") {
+    // incremental maintenance: the delta is assigned + quantized
+    // against the index's FROZEN centroids and appended into the cid=
+    // layout — searches must be bit-identical to rebuilding over the
+    // combined corpus with the same centroids
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val cent = graft.operators.Similarity.seedCentroids(emb)
+    val queries = graft.operators.Similarity.defaultQueries(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    graft.operators.Similarity.buildIvfIndex(old, cent, s"$dir/inc")
+    graft.operators.Similarity.appendToIvfIndex(spark, delta, s"$dir/inc")
+    graft.operators.Similarity.buildIvfIndex(emb, cent, s"$dir/full")
+    val inc = graft.operators.Similarity.searchIvfIndex(spark, s"$dir/inc", emb, queries)
+    val full = graft.operators.Similarity.searchIvfIndex(spark, s"$dir/full", emb, queries)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    assert(inc.count() > 0)
+  }
+
   test("salted aggregation matches the plain aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSum(ev, col("user_id"), col("event_id"),
