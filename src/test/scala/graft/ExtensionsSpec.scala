@@ -80,4 +80,32 @@ class ExtensionsSpec extends SparkSuite {
     val approx = row.getLong(1).toDouble
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("A14b: count_min_sketch bounds heavy-hitter token counts") {
+    // the frequency sketch beside A14's cardinality sketch: CMS merges
+    // map-side in FIXED space (width x depth counters), so per-token
+    // frequency over 100 TB never shuffles the token relation — the
+    // estimate can only OVERcount, by at most eps*N with probability
+    // >= confidence per probe (Cormode & Muthukrishnan, 2005). Seed
+    // and corpus are fixed, so the bound check is deterministic.
+    val eps = 0.001
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok")).cache()
+    val n = toks.count()
+    val bytes = toks
+      .agg(expr(s"count_min_sketch(tok, ${eps}d, 0.99d, 42)").as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val top = toks.groupBy("tok").count().orderBy(desc("count")).limit(20).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (tok, exact) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(tok)
+      assert(est >= exact, s"CMS undercounted '$tok': est=$est exact=$exact")
+      assert(est <= exact + (eps * n).toLong + 1,
+        s"CMS overshot the eps*N bound for '$tok': est=$est exact=$exact n=$n")
+    }
+    toks.unpersist()
+  }
 }
