@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.SetQuantile.defs ++
+      operators.Stats.defs ++
       operators.Skew.defs ++
       operators.Audit.defs ++
       operators.Decontam.defs ++

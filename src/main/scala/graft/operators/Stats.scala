@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Statistical analytics (SURVEY.md §2.2 A25–A27): exact-moment
+  * correlation, equi-width histograms, and global quantile binning.
+  *
+  * The profiling/quality layer of a 100 TB pipeline asks three
+  * distribution questions the engine didn't answer yet: "how do two
+  * measures co-vary?" (corr/covar), "what does the value distribution
+  * look like?" (histogram), and "which decile is this row in?"
+  * (ntile). Each is built on a primitive that already carries the
+  * scale argument:
+  *
+  *  - corr/covar/stddev from EXACT decimal power sums (n, Σx, Σy,
+  *    Σx², Σy², Σxy) — one map-side-partial aggregation pass, then
+  *    scalar double arithmetic. `corr()`/`stddev_samp()` built-ins
+  *    stream doubles and drift by partial-agg order (the same reason
+  *    Portable.dsum exists); the decimal-sum form is
+  *    order-independent, so the result is reproducible run-to-run AND
+  *    bit-identical to the oracle evaluating the same formula.
+  *  - histogram bins from broadcast global bounds — the bounds
+  *    aggregate is one tiny all-reduce row, the binning pass is a
+  *    scan-speed map, and the final count groupBy has ≤ nBins keys
+  *    with map-side partials (each task emits ≤ nBins rows).
+  *  - ntile via `Distributed.globalRunning` — decile assignment needs
+  *    each row's global rank within its event_type; a plain
+  *    `Window.partitionBy(event_type)` funnels the corpus through ~5
+  *    reducers, the range-sharded primitive does not.
+  */
+object Stats {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A25 — correlation / covariance / stddev between quantity and
+    // price per return flag, from exact power sums. NOT corr():
+    // Spark's streaming double moments are partial-agg-order-dependent
+    // (nondeterministic across runs at scale) and drift from DuckDB's
+    // by ulps. Instead ONE hash-agg pass collects {n, Σx, Σy, Σx²,
+    // Σy², Σxy} in DECIMAL (exact, order-independent — a 2dp decimal
+    // times a 2dp decimal is a 4dp decimal, still exact), and the
+    // closed-form moments are evaluated in double with the oracle's
+    // exact operation order. Shuffle: 3 group keys × 6 partial sums.
+    QueryDef(
+      "stats_corr",
+      s"""WITH s AS (
+         |  SELECT l_returnflag,
+         |         COUNT(*) AS n,
+         |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+         |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+         |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag),
+         |d AS (
+         |  SELECT l_returnflag, n,
+         |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy
+         |  FROM s)
+         |SELECT l_returnflag, n,
+         |       ${Quant6Sql("(nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))")} AS corr_qty_price,
+         |       ${Quant6Sql("(sxy - sx * sy / nd) / (nd - 1.0)")} AS covar_qty_price,
+         |       ${Quant6Sql("sqrt((sxx - sx * sx / nd) / (nd - 1.0))")} AS stddev_qty,
+         |       ${Quant6Sql("sqrt((syy - sy * sy / nd) / (nd - 1.0))")} AS stddev_price
+         |FROM d ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val s = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countAll.as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+      val nd = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val (sx, sy, sxx, syy, sxy) = (d("sx"), d("sy"), d("sxx"), d("syy"), d("sxy"))
+      s.select(
+        col("l_returnflag"), col("n"),
+        quant6((nd * sxy - sx * sy)
+          / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).as("corr_qty_price"),
+        quant6((sxy - sx * sy / nd) / (nd - lit(1.0))).as("covar_qty_price"),
+        quant6(sqrt((sxx - sx * sx / nd) / (nd - lit(1.0)))).as("stddev_qty"),
+        quant6(sqrt((syy - sy * sy / nd) / (nd - lit(1.0)))).as("stddev_price"))
+    },
+
+    // A26 — equi-width histogram of events.value: 20 bins over the
+    // global [min, max]. Pass 1 reduces to ONE bounds row (map-side
+    // partial min/max), broadcast back; pass 2 assigns bins at scan
+    // speed and counts with ≤ 20 group keys (partial agg caps each
+    // task's output at 20 rows — a low-cardinality groupBy is safe
+    // exactly when the aggregate is mergeable and pre-reduced, unlike
+    // the low-cardinality WINDOWS Distributed.globalRunning replaces).
+    // Bin arithmetic is pure double with identical operation order in
+    // both engines; the top edge closes into the last bin (least).
+    // Assumes max > min (degenerate single-valued corpora would put
+    // 0/0 = NaN in the bin expression — not a histogram anyone asks for).
+    QueryDef(
+      "events_histogram",
+      s"""WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM e),
+         |w AS (SELECT lo, hi, (hi - lo) / 20.0 AS width FROM b),
+         |binned AS (
+         |  SELECT CAST(LEAST(FLOOR((value - lo) / width), 19) AS BIGINT) AS bin, lo, width
+         |  FROM e, w)
+         |SELECT bin,
+         |       ${Quant6Sql("lo + CAST(bin AS DOUBLE) * width")} AS bin_lo,
+         |       ${Quant6Sql("lo + (CAST(bin AS DOUBLE) + 1.0) * width")} AS bin_hi,
+         |       COUNT(*) AS n
+         |FROM binned GROUP BY bin, lo, width ORDER BY bin""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull).select(col("value"))
+      val b = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .withColumn("width", (col("hi") - col("lo")) / lit(20.0))
+        .select(col("lo"), col("width"))
+      e.crossJoin(broadcast(b))
+        .withColumn("bin",
+          least(floor((col("value") - col("lo")) / col("width")), lit(19L)).cast("long"))
+        .groupBy(col("bin"), col("lo"), col("width"))
+        .agg(countAll.as("n"))
+        .select(
+          col("bin"),
+          quant6(col("lo") + col("bin").cast("double") * col("width")).as("bin_lo"),
+          quant6(col("lo") + (col("bin").cast("double") + lit(1.0)) * col("width")).as("bin_hi"),
+          col("n"))
+    },
+
+    // A27 — global decile binning (NTILE) per event_type, oracled
+    // against DuckDB's NATIVE ntile(10) window. The rank comes from
+    // Distributed.globalRunning (range-sharded — no ~5-key window of
+    // row data anywhere in the plan); the bucket is then pure integer
+    // arithmetic on (g_rank, g_n): the first r = n mod 10 buckets take
+    // q+1 = n div 10 + 1 rows, the rest take q. The (value, event_id)
+    // order key makes the tie-break total, so bucket assignment is
+    // deterministic in both engines. Output is the per-decile summary
+    // (count + value range) — the shape a quality dashboard reads.
+    QueryDef(
+      "events_ntile",
+      """WITH e AS (SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, value,
+        |             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |      FROM e)
+        |SELECT event_type, decile, COUNT(*) AS n_rows,
+        |       MIN(value) AS lo_value, MAX(value) AS hi_value
+        |FROM t GROUP BY event_type, decile ORDER BY event_type, decile""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val ranked = Distributed.globalRunning(e, Seq("event_type"), Seq("value", "event_id"))
+      // NTILE(10) from (g_rank, g_n) in pure LONG arithmetic (`div`,
+      // not `/` — double division would drift past 2^53 rows): the
+      // first r = n mod 10 buckets take q+1 = n div 10 + 1 rows, the
+      // rest take q ("larger groups first", the SQL ntile rule;
+      // ceil(a/b) = (a + b - 1) div b). The else-branch divides by q,
+      // but q = 0 implies n < 10, which puts every rank in the
+      // then-branch — the division never sees zero.
+      val decile = expr(
+        """CASE WHEN g_rank <= (g_n div 10 + 1) * (g_n % 10)
+          |     THEN (g_rank + g_n div 10) div (g_n div 10 + 1)
+          |     ELSE g_n % 10
+          |          + (g_rank - (g_n div 10 + 1) * (g_n % 10) + g_n div 10 - 1) div (g_n div 10)
+          |END""".stripMargin).cast("long")
+      ranked
+        .withColumn("decile", decile)
+        .groupBy(col("event_type"), col("decile"))
+        .agg(countAll.as("n_rows"),
+          min(col("value")).as("lo_value"), max(col("value")).as("hi_value"))
+    })
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Statistical analytics (SURVEY.md §2.2 A25–A27): exact-moment
+  * correlation, equi-width histogram, global ntile binning. The DuckDB
+  * hash gate is dev/check.sh; these pin the semantics offline —
+  * against Spark's OWN streaming-moment builtins (which agree to ~1e-9
+  * at this scale; the decimal-sum form exists for order-independence,
+  * not different math) and against the SQL ntile bucket-size law.
+  */
+class StatsSpec extends SparkSuite {
+
+  test("stats_corr matches Spark's corr/covar/stddev builtins to 1e-6") {
+    val got = SparkEntry.queries("stats_corr")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val want = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sq"),
+        stddev_samp(col("l_extendedprice")).as("sp"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (flag, g) =>
+      val w = want(flag)
+      assert(math.abs(g.getAs[Double]("corr_qty_price") - w.getAs[Double]("c")) < 1e-6, flag)
+      // covar is ~1e2-1e3 in magnitude: compare relatively
+      assert(math.abs(g.getAs[Double]("covar_qty_price") - w.getAs[Double]("cv"))
+        <= 1e-6 * math.max(1.0, math.abs(w.getAs[Double]("cv"))), flag)
+      assert(math.abs(g.getAs[Double]("stddev_qty") - w.getAs[Double]("sq")) < 1e-6, flag)
+      assert(math.abs(g.getAs[Double]("stddev_price") - w.getAs[Double]("sp"))
+        <= 1e-6 * math.abs(w.getAs[Double]("sp")), flag)
+    }
+    // the synthetic generator draws quantity and price independently
+    // (measured corr ≈ ±0.02), so there's no sign to pin — just the
+    // Cauchy-Schwarz bound and positive dispersions
+    assert(got.values.forall(r => math.abs(r.getAs[Double]("corr_qty_price")) <= 1.0))
+    assert(got.values.forall(_.getAs[Double]("stddev_qty") > 0.0))
+  }
+
+  test("events_histogram conserves mass and tiles [lo, hi] without gaps") {
+    val bins = SparkEntry.queries("events_histogram")(spark, sf0001)
+      .orderBy("bin").collect()
+    val nonNull = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("value").isNotNull).count()
+    assert(bins.map(_.getAs[Long]("n")).sum === nonNull, "histogram loses/duplicates rows")
+    assert(bins.forall { r => val b = r.getAs[Long]("bin"); b >= 0 && b <= 19 })
+    // edges tile: bin b's hi == bin b+1's lo (same quantized arithmetic)
+    bins.sliding(2).foreach {
+      case Array(a, b) if b.getAs[Long]("bin") === a.getAs[Long]("bin") + 1 =>
+        assert(a.getAs[Double]("bin_hi") === b.getAs[Double]("bin_lo"))
+      case _ => ()
+    }
+    assert(bins.forall(r => r.getAs[Double]("bin_hi") > r.getAs[Double]("bin_lo")))
+  }
+
+  test("events_ntile obeys the SQL ntile law: sizes q/q+1, larger buckets first, ranges ordered") {
+    val rows = SparkEntry.queries("events_ntile")(spark, sf0001).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val totals = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("value").isNotNull)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(byType.keySet === totals.keySet)
+    byType.foreach { case (tpe, rs) =>
+      val n = totals(tpe)
+      val sorted = rs.sortBy(_.getAs[Long]("decile"))
+      assert(sorted.map(_.getAs[Long]("decile")).toSeq === (1L to 10L), tpe)
+      assert(sorted.map(_.getAs[Long]("n_rows")).sum === n, tpe)
+      val q = n / 10
+      val r = n % 10
+      sorted.foreach { row =>
+        val expected = if (row.getAs[Long]("decile") <= r) q + 1 else q
+        assert(row.getAs[Long]("n_rows") === expected,
+          s"$tpe decile ${row.getAs[Long]("decile")}")
+      }
+      // deciles partition the value axis in order: each decile's min
+      // is ≥ the previous decile's min (equal values can straddle a
+      // boundary, so compare lo-to-lo, not hi-to-lo)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Double]("lo_value") >= a.getAs[Double]("lo_value"), tpe)
+        case _ => ()
+      }
+    }
+  }
+}
