@@ -90,6 +90,27 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** R8 at scale — partitioned daily load with DYNAMIC partition
+    * overwrite: the idempotent-backfill idiom. A re-run (or late-data
+    * correction) of one day's load replaces EXACTLY the partition
+    * directories present in `df` and leaves every other day's data
+    * untouched. The two mode-alternatives both corrupt a warehouse at
+    * scale: static overwrite truncates the WHOLE table before writing
+    * (one bad backfill deletes years of history), append duplicates
+    * the re-run day. Dynamic overwrite is also the natural exactly-
+    * once batch sink: day-keyed reprocessing can crash and retry
+    * without a dedup pass. File sizing rides along (`maxRecordsPerFile`
+    * bounds size; callers pre-repartition by the partition column to
+    * bound count — that also aligns writer tasks with output
+    * partitions, so a task writes whole files into one directory). */
+  def overwriteDayPartitions(df: DataFrame, path: String, dayCol: String,
+      maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(dayCol)
+      .parquet(path)
+
   /** Small-files COMPACTION for an append-accumulated table: rewrite
     * `src` into `dst` under the sized bounds. Append sinks (R8 and the
     * streaming batch dirs) accumulate one file per task per batch by

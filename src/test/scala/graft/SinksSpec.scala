@@ -127,6 +127,39 @@ class SinksSpec extends SparkSuite {
     assert(src.exceptAll(dst).count() === 0 && dst.exceptAll(src).count() === 0)
   }
 
+  test("R8-backfill: dynamic partition overwrite replaces only the re-run day") {
+    import graft.sources.Tables
+    val base = tmp()
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("event_id"), col("event_type"), col("value"), col("day"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    assert(days.length >= 2, "fixture needs at least two days")
+    val (d1, d2) = (days(0), days(1))
+    val twoDays = ev.filter(col("day").isin(d1, d2))
+    Sinks.overwriteDayPartitions(twoDays, s"$base/t", "day", 1000000)
+    val day1Before = spark.read.parquet(s"$base/t")
+      .filter(col("day") === d1).count()
+    // the backfill: day 2 re-lands with HALF its rows (a correction)
+    val corrected = ev.filter(col("day") === d2 && col("event_id") % 2 === 0)
+    Sinks.overwriteDayPartitions(corrected, s"$base/t", "day", 1000000)
+    spark.catalog.refreshByPath(s"$base/t")
+    val after = spark.read.parquet(s"$base/t")
+    // day 1 untouched (static overwrite would have truncated it away)
+    assert(after.filter(col("day") === d1).count() === day1Before)
+    // day 2 replaced, not appended (append mode would have duplicated)
+    assert(after.filter(col("day") === d2).count() === corrected.count())
+    val afterCount = after.count()
+    // the backfill is idempotent: running the same correction again
+    // changes nothing. The session's FileStatusCache still holds the
+    // replaced files' listing — refreshByPath is the required
+    // post-overwrite step for any reader session (same as production).
+    Sinks.overwriteDayPartitions(corrected, s"$base/t", "day", 1000000)
+    spark.catalog.refreshByPath(s"$base/t")
+    assert(spark.read.parquet(s"$base/t").count() === afterCount)
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
