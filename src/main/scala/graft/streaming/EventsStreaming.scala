@@ -106,6 +106,29 @@ object EventsStreaming {
       }
       .start()
 
+  /** Bounded BACKFILL run of the exactly-once warehouse sink:
+    * `Trigger.AvailableNow` processes every file present when the run
+    * starts — still split into rate-limited micro-batches by
+    * `maxFilesPerTrigger`, unlike the legacy one-giant-batch
+    * `Trigger.Once` — then TERMINATES on its own. This is the
+    * cron-shaped deployment of a 100 TB ingest: each invocation
+    * resumes from the checkpoint, drains exactly the backlog, lands
+    * each batch idempotently (same batch_id=N overwrite recipe as
+    * [[warehouseSinkExactlyOnce]]), and releases the cluster. A
+    * backlog of months replays with streaming semantics — watermarks,
+    * offsets, exactly-once — without a long-lived query. */
+  def backfillAvailableNow(
+      events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
     * twin of the batch `sessionize` query (30-minute gap).
     *

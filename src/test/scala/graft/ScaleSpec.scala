@@ -34,6 +34,80 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  /** Rows the parquet reader actually DECODED for this query (the
+    * scan's numOutputRows) — row-group/page pruning shows up here. */
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val top = df.queryExecution.executedPlan
+    val finalPlan = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val rows = finalPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }
+    assert(rows.isDefined, s"no file scan in:\n$finalPlan")
+    rows.get
+  }
+
+  test("clustered layout prunes the scan; round-robin layout reads everything") {
+    // measure, don't guess: the SAME filter over the SAME rows must
+    // decode far fewer rows from the clustered layout (narrow per-file
+    // and per-page key bands → parquet row-group/column-index pruning)
+    // than from a round-robin one (every page spans the key range).
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    Warehouse.writeClustered(li, s"$dir/clustered", 8, "l_partkey")
+    li.repartition(8).write.mode("overwrite").parquet(s"$dir/roundrobin")
+    val pred = col("l_partkey") < 20 // ~10% of the 0..199 key range
+    val matched = li.filter(pred).count()
+    assert(matched > 0 && matched < total / 5, "predicate should be selective")
+    val clustered = scanRows(spark.read.parquet(s"$dir/clustered").filter(pred))
+    val roundrobin = scanRows(spark.read.parquet(s"$dir/roundrobin").filter(pred))
+    // both layouts return identical results...
+    assert(spark.read.parquet(s"$dir/clustered").filter(pred).count() === matched)
+    assert(spark.read.parquet(s"$dir/roundrobin").filter(pred).count() === matched)
+    // ...but the round-robin scan decodes (nearly) the whole table
+    // while the clustered scan decodes only the matching band's pages
+    assert(roundrobin > total / 2,
+      s"round-robin layout unexpectedly pruned: $roundrobin of $total")
+    assert(clustered <= roundrobin / 3,
+      s"clustering should prune the scan: clustered=$clustered round-robin=$roundrobin")
+  }
+
+  test("z-order layout prunes BOTH predicate dimensions; single-key sort sacrifices one") {
+    // the measured trade: sort-by-partkey gives near-perfect pruning
+    // on partkey and NONE on orderkey; the Morton interleave bounds
+    // the damage on both. 6000 rows × 8 range files, ~10%-selective
+    // predicates on each key (partkey < 20 of 0..199, orderkey < 150
+    // of 0..1499) → z-layout should keep either scan under ~5/8 of
+    // the table while the single-key layout's off-key scan reads it all.
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    Warehouse.writeZOrdered(li, s"$dir/z", 8, "l_partkey", "l_orderkey")
+    Warehouse.writeClustered(li, s"$dir/single", 8, "l_partkey")
+    val pPart = col("l_partkey") < 20
+    val pOrd = col("l_orderkey") < 150
+    // identical results from every layout
+    assert(spark.read.parquet(s"$dir/z").filter(pPart).count() === li.filter(pPart).count())
+    assert(spark.read.parquet(s"$dir/z").filter(pOrd).count() === li.filter(pOrd).count())
+    val zPart = scanRows(spark.read.parquet(s"$dir/z").filter(pPart))
+    val zOrd = scanRows(spark.read.parquet(s"$dir/z").filter(pOrd))
+    val singleOffKey = scanRows(spark.read.parquet(s"$dir/single").filter(pOrd))
+    assert(singleOffKey > total * 9 / 10,
+      s"single-key layout should NOT prune the off-key predicate: $singleOffKey of $total")
+    assert(zPart <= total * 11 / 16, s"z-order should prune partkey: $zPart of $total")
+    assert(zOrd <= total * 11 / 16, s"z-order should prune orderkey: $zOrd of $total")
+    assert(math.max(zPart, zOrd) < singleOffKey,
+      "z-order's WORST dimension must beat the single-key layout's sacrificed one")
+  }
+
   test("partitioned writes are pruned at read time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, sf0001)

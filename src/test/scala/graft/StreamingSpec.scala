@@ -220,6 +220,42 @@ class StreamingSpec extends SparkSuite {
     assert(nb.distinct().count() === 30)
   }
 
+  test("AvailableNow backfill drains the backlog in bounded runs that terminate on their own") {
+    // the cron-shaped ingest: each run drains exactly the files
+    // present at start (in maxFilesPerTrigger-sized batches), lands
+    // them exactly-once, and terminates — no long-lived query
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_an").toString
+    val sch = StructType(Seq(StructField("event_id", LongType)))
+    def addFile(ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      ids.toDF("event_id").repartition(1).write.mode("append").parquet(s"$root/drop")
+    }
+    def stream() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/drop")
+
+    addFile(1L to 10L); addFile(11L to 20L); addFile(21L to 30L)
+    val q1 = EventsStreaming.backfillAvailableNow(stream(), s"$root/wh", s"$root/ck")
+    assert(q1.awaitTermination(120000),
+      "an AvailableNow run must terminate by itself once the backlog drains")
+    val firstRun = spark.read.parquet(s"$root/wh").select("event_id")
+    assert(firstRun.collect().map(_.getLong(0)).toSet === (1L to 30L).toSet)
+    // rate limiting survives under AvailableNow (unlike legacy
+    // Trigger.Once): the 3-file backlog landed as ≥3 batch dirs
+    val batchDirs = new java.io.File(s"$root/wh").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batchDirs >= 3, s"expected per-file micro-batches, saw $batchDirs dirs")
+
+    // a later invocation resumes from the checkpoint: only NEW files
+    // process, the re-landed table stays exactly-once
+    addFile(31L to 40L)
+    val q2 = EventsStreaming.backfillAvailableNow(stream(), s"$root/wh", s"$root/ck")
+    assert(q2.awaitTermination(120000))
+    val back = spark.read.parquet(s"$root/wh").select("event_id")
+    assert(back.count() === 40)
+    assert(back.collect().map(_.getLong(0)).toSet === (1L to 40L).toSet)
+  }
+
   test("the per-row quality gate scores a document stream identically to batch") {
     // the hygiene gates are pure projections, so ONE projection serves
     // text_quality and a readStream over a drop-zone — score documents
