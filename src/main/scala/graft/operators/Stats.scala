@@ -168,5 +168,57 @@ object Stats {
         .groupBy(col("event_type"), col("decile"))
         .agg(countAll.as("n_rows"),
           min(col("value")).as("lo_value"), max(col("value")).as("hi_value"))
+    },
+
+    // A28 — winsorized (robust) aggregation: clip each group's values
+    // into its own [p05, p95] band before averaging — the standard
+    // outlier-robust mean for metrics/quality pipelines. Clip bounds
+    // are NEAREST-RANK quantiles (rank ceil(p·n) of the same
+    // range-sharded global order the quantile/ntile family rides), NOT
+    // interpolated ones: a nearest-rank bound is an actual 2dp data
+    // value, so the winsorized sum stays in exact decimal — an
+    // interpolated bound is an arbitrary double whose repeated
+    // summation would be partial-agg-order-dependent. ceil(p·n) runs
+    // in double identically in both engines (consistency, not
+    // mathematical exactness, is the contract). One corpus shuffle
+    // (the shared range sort) + a 5-row broadcast of the bounds.
+    QueryDef(
+      "events_winsor",
+      s"""WITH e AS (SELECT event_type, value, event_id FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, value,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         |             COUNT(*) OVER (PARTITION BY event_type) AS n
+         |      FROM e),
+         |b AS (SELECT event_type, n,
+         |             MIN(CASE WHEN rk = CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p05,
+         |             MIN(CASE WHEN rk = CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT) THEN value END) AS p95
+         |      FROM r GROUP BY event_type, n)
+         |SELECT r.event_type, b.n, b.p05, b.p95,
+         |       ${Quant6Sql("CAST(SUM(CAST(r.value AS DECIMAL(12,2))) AS DOUBLE) / CAST(b.n AS DOUBLE)")} AS mean_raw,
+         |       ${Quant6Sql("CAST(SUM(CAST(LEAST(GREATEST(r.value, b.p05), b.p95) AS DECIMAL(12,2))) AS DOUBLE) / CAST(b.n AS DOUBLE)")} AS mean_winsor,
+         |       CAST(SUM(CASE WHEN r.value < b.p05 OR r.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+         |FROM r JOIN b ON r.event_type = b.event_type
+         |GROUP BY r.event_type, b.n, b.p05, b.p95""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val ranked = Distributed.globalRunning(e, Seq("event_type"), Seq("value", "event_id"))
+      def cut(p: Double) = ceil(lit(p) * col("g_n").cast("double"))
+      val bounds = ranked
+        .filter(col("g_rank") === cut(0.05) || col("g_rank") === cut(0.95))
+        .groupBy(col("event_type"), col("g_n").as("n"))
+        .agg(
+          min(when(col("g_rank") === cut(0.05), col("value"))).as("p05"),
+          min(when(col("g_rank") === cut(0.95), col("value"))).as("p95"))
+      val clipped = least(greatest(col("value"), col("p05")), col("p95"))
+      ranked.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"), col("n"), col("p05"), col("p95"))
+        .agg(
+          quant6(dsum(col("value")) / col("n").cast("double")).as("mean_raw"),
+          quant6(dsum(clipped) / col("n").cast("double")).as("mean_winsor"),
+          sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .select(col("event_type"), col("n"), col("p05"), col("p95"),
+          col("mean_raw"), col("mean_winsor"), col("n_clipped"))
     })
 }

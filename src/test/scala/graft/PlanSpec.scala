@@ -187,7 +187,7 @@ class PlanSpec extends SparkSuite {
     // if the ranked-rows branch and the offsets branch executed
     // separate range exchanges they could draw different bounds and
     // disagree on __pid. Exchange reuse must collapse them.
-    Seq("events_quantiles", "text_pack", "events_ntile").foreach { q =>
+    Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>
@@ -208,7 +208,7 @@ class PlanSpec extends SparkSuite {
     // keyed by the low-cardinality group alone serializes the corpus
     // through one reducer.
     Seq("events_quantiles" -> "event_type", "text_pack" -> "lang",
-      "events_ntile" -> "event_type").foreach {
+      "events_ntile" -> "event_type", "events_winsor" -> "event_type").foreach {
       case (q, g) =>
         val p = plan(q)
         val specs = raw"windowspecdefinition\([^)]*".r.findAllIn(p).toList

@@ -56,6 +56,32 @@ class StatsSpec extends SparkSuite {
     assert(bins.forall(r => r.getAs[Double]("bin_hi") > r.getAs[Double]("bin_lo")))
   }
 
+  test("events_winsor matches a local nearest-rank reference exactly") {
+    val got = SparkEntry.queries("events_winsor")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val data = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet === data.keySet)
+    got.foreach { case (tpe, row) =>
+      val s = data(tpe)
+      val n = s.length
+      val p05 = s(math.ceil(0.05 * n).toInt - 1)
+      val p95 = s(math.ceil(0.95 * n).toInt - 1)
+      assert(row.getAs[Long]("n") === n.toLong, tpe)
+      assert(row.getAs[Double]("p05") === p05, tpe)
+      assert(row.getAs[Double]("p95") === p95, tpe)
+      val clipped = s.map(v => math.min(math.max(v, p05), p95))
+      assert(math.abs(row.getAs[Double]("mean_winsor") - clipped.sum / n) < 1e-6, tpe)
+      assert(math.abs(row.getAs[Double]("mean_raw") - s.sum / n) < 1e-6, tpe)
+      assert(row.getAs[Long]("n_clipped") === s.count(v => v < p05 || v > p95).toLong, tpe)
+      // the winsorized mean lives inside the clip band
+      assert(row.getAs[Double]("mean_winsor") >= p05 && row.getAs[Double]("mean_winsor") <= p95, tpe)
+    }
+  }
+
   test("events_ntile obeys the SQL ntile law: sizes q/q+1, larger buckets first, ranges ordered") {
     val rows = SparkEntry.queries("events_ntile")(spark, sf0001).collect()
     val byType = rows.groupBy(_.getAs[String]("event_type"))
