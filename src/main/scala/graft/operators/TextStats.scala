@@ -25,6 +25,15 @@ object TextStats {
   private val VocabTopK = 50
   private val TfIdfTopK = 3
 
+  // BM25 (Robertson/Sparck Jones, "Okapi at TREC-3"): standard free
+  // parameters, a fixed 3-term query (one rare + two common tokens of
+  // the synthetic corpus, so the idf weighting is visibly load-bearing),
+  // and a bounded result page.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
+  private val Bm25Query = Seq("dup", "spark", "merge")
+
   /** (doc_id, token, tf_d): per-document term frequencies — the shared
     * first shuffle of both queries. */
   private def docTerms(docs: org.apache.spark.sql.DataFrame) =
@@ -135,6 +144,75 @@ object TextStats {
         .select(col("doc_id"), col("n_tokens"),
           quant6(col("s").cast("double") / (col("n_tokens") * col("n_total")).cast("double"))
             .as("mean_p"))
+    },
+
+    // L24 — BM25 ranked retrieval (Okapi BM25, Robertson et al.,
+    // TREC-3): the search-engine shape over the same posting lists the
+    // vocabulary/tf-idf queries build. Scale shape: the query-term
+    // filter is a per-row `isin` predicate on the (doc, token) relation
+    // — posting-list retrieval, so everything downstream is sized by
+    // the matched postings, not the corpus; the 3-row df table and the
+    // 1-row corpus stats are broadcast (provably bounded); top-k ends
+    // in TakeOrdered, never a global sort or window.
+    //
+    // Oracle parity: BM25's k1=1.2 is not binary-exact, so the tf
+    // saturation term is scaled by 10/10 — tf·(k1+1)/(tf + k1·(1−b+
+    // b·dl/avgdl)) ≡ tf·22/(tf·10 + 12·(0.25 + 0.75·dl/avgdl)) — and
+    // every literal (22, 10, 12, 0.25, 0.75, 0.5) is exactly
+    // representable, so identical operation order gives bit-identical
+    // doubles in both engines (the SQL literals use e0 notation: DuckDB
+    // parses bare 0.25 as DECIMAL). The idf is the Robertson form
+    // (N−df+0.5)/(df+0.5) WITHOUT the ln wrapper, same rational-parity
+    // rule as text_tfidf (swap in ln for a real deployment — per-term
+    // ranking is unchanged; only the cross-term mix shifts). The
+    // per-doc sum over matched terms is a fixed-order chain of
+    // single-valued conditional sums — never an order-dependent double
+    // SUM across term rows.
+    QueryDef(
+      "text_bm25", {
+        val termList = Bm25Query.map(t => s"'$t'").mkString(", ")
+        val caseSum = Bm25Query
+          .map(t => s"COALESCE(SUM(CASE WHEN token = '$t' THEN sc END), 0e0)")
+          .mkString("\n             + ")
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |g AS (SELECT doc_id, token, COUNT(*) AS tf_d FROM t GROUP BY doc_id, token),
+           |dl AS (SELECT doc_id, CAST(SUM(tf_d) AS BIGINT) AS dl FROM g GROUP BY doc_id),
+           |gstat AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+           |m AS (SELECT g.doc_id, g.token, g.tf_d, dl.dl FROM g JOIN dl USING (doc_id)
+           |      WHERE g.token IN ($termList)),
+           |dft AS (SELECT token, COUNT(*) AS df FROM m GROUP BY token),
+           |s AS (SELECT m.doc_id, m.token,
+           |             (gstat.n_docs - dft.df + 0.5e0) / (dft.df + 0.5e0)
+           |               * (m.tf_d * 22e0)
+           |               / (m.tf_d * 10e0 + 12e0 * (0.25e0 + 0.75e0 * m.dl / (CAST(gstat.tot AS DOUBLE) / gstat.n_docs))) AS sc
+           |      FROM m JOIN dft USING (token), gstat),
+           |w AS (SELECT doc_id, COUNT(*) AS n_terms,
+           |             $caseSum AS score
+           |      FROM s GROUP BY doc_id)
+           |SELECT doc_id, n_terms, floor(score * 1000000.0) / 1000000.0 AS score
+           |FROM w ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+      }) { (spark, dir) =>
+      val g = docTerms(Tables.documents(spark, dir)).cache()
+      val dl = g.groupBy(col("doc_id")).agg(sum(col("tf_d")).cast("long").as("dl"))
+      val glob = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
+      val m = g.filter(col("token").isin(Bm25Query: _*)).join(dl, "doc_id")
+      val dft = m.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val avgdl = col("tot").cast("double") / col("n_docs")
+      val sc = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+        (col("tf_d") * lit(22.0)) /
+        (col("tf_d") * lit(10.0) + lit(12.0) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      val scored = m.join(broadcast(dft), "token")
+        .crossJoin(broadcast(glob))
+        .select(col("doc_id"), col("token"), sc.as("sc"))
+      val perTerm = Bm25Query.map(t =>
+        sum(when(col("token") === t, col("sc"))).as(s"s_$t"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), perTerm: _*)
+        .select(col("doc_id"), col("n_terms"),
+          quant6(Bm25Query.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
     },
 
     // L17 — per-document top-K terms by tf-idf. The idf is the

@@ -170,6 +170,14 @@ class PlanSpec extends SparkSuite {
       }
   }
 
+  test("text_bm25 retrieves via posting lists and ends in TakeOrdered") {
+    val p = plan("text_bm25").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the result page must come from a distributed top-k, not a global sort")
+    assert(!p.contains("Expand"),
+      "df must come from count(*) over the (doc, token) relation, not a count-distinct")
+  }
+
   test("text_contamination_bloom probes a scalar bloom and verifies with a keyed join") {
     val p = plan("text_contamination_bloom")
     assert(p.contains("might_contain"),

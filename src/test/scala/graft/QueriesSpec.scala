@@ -212,6 +212,20 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("text_bm25 fills the page and the rare term's idf dominates the ranking") {
+    val df = SparkEntry.queries("text_bm25")(spark, sf0001).cache()
+    assert(df.count() === 20)
+    assert(df.filter(col("score") <= 0.0 || col("n_terms") < 1 || col("n_terms") > 3)
+      .count() === 0)
+    // 'dup' appears in ~25/500 docs vs 'spark'/'merge' in ~390: its idf
+    // outweighs any common-term combination, so page one must be
+    // exactly rare-term postings — the property BM25 exists to have
+    val dup = graft.sources.Tables.documents(spark, sf0001)
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id")
+    assert(df.join(dup, "doc_id").count() === 20)
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
