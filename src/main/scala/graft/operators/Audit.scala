@@ -132,6 +132,62 @@ object Audit {
             coalesce(col("change"), lit("keep")).as("action"))
     },
 
+    // A29 — SCD2 (slowly-changing dimension, type 2): collapse a
+    // per-key attribute history into [valid_from, valid_to) validity
+    // intervals with a current flag — the standard warehouse dimension
+    // model next to snapshot_diff's reconciliation and snapshot_merge's
+    // apply. The history here is synthesized from orders (3 versions;
+    // md5-classified keys change price at v2, v3, both, or never), so
+    // every interval shape occurs. Plan: ONE shuffle on the key, then
+    // two in-partition windows (lag to find change points, lead to
+    // close each segment) — the key is high-cardinality, so no reducer
+    // ever holds more than one key's (3-row) history; at 100 TB this
+    // is the dimension-table rebuild that runs beside the fact loads.
+    QueryDef(
+      "scd2_history",
+      """WITH h AS (SELECT o_orderkey, o_totalprice,
+        |                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h1,
+        |                  substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) AS h2
+        |           FROM orders),
+        |hist AS (SELECT o_orderkey, v.version,
+        |                o_totalprice
+        |                + (CASE WHEN v.version >= 2 AND h1 IN ('0','1','2','3') THEN 10e0 ELSE 0e0 END)
+        |                + (CASE WHEN v.version >= 3 AND h2 IN ('0','1','2','3') THEN 5e0 ELSE 0e0 END) AS price
+        |         FROM h, (SELECT unnest(generate_series(1, 3)) AS version) v),
+        |c AS (SELECT *, lag(price) OVER (PARTITION BY o_orderkey ORDER BY version) AS prev
+        |      FROM hist),
+        |seg AS (SELECT o_orderkey, price, version AS valid_from FROM c
+        |        WHERE prev IS NULL OR price <> prev)
+        |SELECT o_orderkey, price, CAST(valid_from AS BIGINT) AS valid_from,
+        |       CAST(lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from) AS BIGINT) AS valid_to,
+        |       lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from) IS NULL AS is_current
+        |FROM seg""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = col("o_orderkey").cast("string")
+      val hist = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          substring(md5(key), 1, 1).as("h1"), substring(md5(key), 2, 1).as("h2"))
+        .withColumn("version", explode(sequence(lit(1), lit(3))))
+        .select(col("o_orderkey"), col("version"),
+          (col("o_totalprice")
+            + when(col("version") >= 2 && col("h1").isin("0", "1", "2", "3"), lit(10.0))
+              .otherwise(lit(0.0))
+            + when(col("version") >= 3 && col("h2").isin("0", "1", "2", "3"), lit(5.0))
+              .otherwise(lit(0.0))).as("price"))
+      val byVersion = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
+      val seg = hist
+        .withColumn("prev", lag(col("price"), 1).over(byVersion))
+        .filter(col("prev").isNull || col("price") =!= col("prev"))
+        .select(col("o_orderkey"), col("price"), col("version").as("valid_from"))
+      val bySegment = Window.partitionBy(col("o_orderkey")).orderBy(col("valid_from"))
+      seg
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(bySegment))
+        .select(col("o_orderkey"), col("price"),
+          col("valid_from").cast("long").as("valid_from"),
+          col("valid_to").cast("long").as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+
     // A23 — incremental aggregate maintenance: yesterday's materialized
     // partial state + today's delta partition merge into the exact
     // full-history aggregate. The two branches stand in for "read the

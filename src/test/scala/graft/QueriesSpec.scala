@@ -212,6 +212,24 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("scd2_history intervals tile each key's history with one current row") {
+    val df = SparkEntry.queries("scd2_history")(spark, sf0001).cache()
+    val nOrders = graft.sources.Tables.orders(spark, sf0001).count()
+    // exactly one open (current) interval per key, and every key present
+    assert(df.filter(col("is_current")).count() === nOrders)
+    assert(df.select("o_orderkey").distinct().count() === nOrders)
+    // every history starts at version 1 and closed intervals are well-formed
+    assert(df.filter(col("valid_from") === 1).count() === nOrders)
+    assert(df.filter(!col("is_current") && (col("valid_to").isNull
+      || col("valid_to") <= col("valid_from"))).count() === 0)
+    assert(df.filter(col("is_current") && col("valid_to").isNotNull).count() === 0)
+    // segments per key bounded by the 3 versions, and the corpus splits
+    // across 1-, 2- and 3-segment histories (all change shapes occur)
+    val perKey = df.groupBy("o_orderkey").count()
+    assert(perKey.filter(col("count") > 3).count() === 0)
+    assert(perKey.select("count").distinct().count() === 3)
+  }
+
   test("text_bm25 fills the page and the rare term's idf dominates the ranking") {
     val df = SparkEntry.queries("text_bm25")(spark, sf0001).cache()
     assert(df.count() === 20)
