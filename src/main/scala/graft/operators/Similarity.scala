@@ -419,6 +419,65 @@ object Similarity {
     sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes, excludeSelf)
   }
 
+  /** Cosine threshold for the semantic-dedup drop rule — the driver
+    * data is random vectors, so 0.4 (dedup_embed's near-dup bar) marks
+    * the planted near-copies without flooding the pair set. */
+  private val SemTau = 0.4
+
+  /** L25 — semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the coarse
+    * k-means centroids, then deduplicate ONLY within clusters — a
+    * vector is dropped when a cluster-mate above the cosine threshold
+    * outranks it. The cluster scoping is the whole point: pairwise
+    * cosine runs on cell-sized candidate sets, never the corpus, which
+    * is what makes embedding-level dedup feasible at billions of
+    * vectors (the paper runs K≈10k on LAION). Representative rule:
+    * lowest vec_id keeps (deterministic and engine-portable; the
+    * paper keeps the vector farthest from the centroid — swap the
+    * comparator if that semantics is wanted, the shape is identical).
+    *
+    * Scale shape: assignment is the same O(N·K) map-side `max_by`
+    * aggregate every IVF path uses (v rides the aggregate — one scan,
+    * one shuffle); in-cell pair generation joins IDS only on the
+    * salted (cid, __cs) key — vectors join back per-side afterwards
+    * (the dedup_embed rule: never shuffle the vectors twice); the
+    * drop flag is a map-side `min` partial aggregate, work ∝ τ-pairs.
+    * Per-cell pair count is (|cell|²)/2 — bounded by keeping K ∝ N
+    * (cells of ~√N), the same K≈√N guidance the IVF recall curve
+    * documents (PLANS.md). */
+  def semanticDedup(emb: DataFrame, cent: DataFrame, tau: Double = SemTau): DataFrame = {
+    // (vec_id, cid, v): nearest-centroid assignment with the vector
+    // riding the aggregate; cached — consumed by the id-pair join
+    // (ids only) and both vector join-backs
+    val asnV = scoredByCent(emb, cent, col("v"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), bestCent).as("cid"), first(col("v")).as("v"))
+      .cache()
+    val ids = asnV.select(col("vec_id"), col("cid"))
+    // salted in-cell self-join on ids: the keeper side replicates
+    // CellSalt ways, the candidate side keys on pmod(id) — K·CellSalt
+    // shuffle keys (small K never serializes the corpus), and each
+    // (ka < kb) cell pair appears exactly once
+    val keepSide = ids.select(col("vec_id").as("ka"), col("cid"))
+      .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
+    val candSide = ids.select(col("vec_id").as("kb"), col("cid"))
+      .withColumn("__cs", pmod(col("kb"), lit(CellSalt)).cast("int"))
+    val cand = keepSide.join(candSide, Seq("cid", "__cs"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb"))
+    val qcos = Portable.quant6(cosine(col("va"), col("vb")))
+    val dup = cand
+      .join(asnV.select(col("vec_id").as("ka"), col("v").as("va")), "ka")
+      .join(asnV.select(col("vec_id").as("kb"), col("v").as("vb")), "kb")
+      .filter(qcos >= tau)
+      .groupBy(col("kb"))
+      .agg(min(col("ka")).as("dup_of"))
+    ids
+      .join(dup.withColumnRenamed("kb", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** One Lloyd (k-means) iteration over the coarse centroids: assign
     * every vector to its nearest centroid (the same map-side `max_by`
     * aggregate shape the query uses), then recompute each centroid as
@@ -601,6 +660,25 @@ object Similarity {
         .join(emb.select(col("vec_id").as("vb"), col("v").as("eb")), "vb")
         .filter(qcos >= CosThreshold)
         .select(col("va").as("vec_a"), col("vb").as("vec_b"), qcos.as("cosine"))
+    },
+
+    // L25 — SemDeDup: cluster-scoped semantic dedup (see semanticDedup).
+    // The oracle shares the IVF family's e/c/asn CTEs, so the cluster
+    // definition can never drift from the ANN queries'.
+    QueryDef(
+      "dedup_semantic",
+      s"""WITH ${ivfCtes(NumProbes)},
+         |pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb,
+         |                 ${quantCos.format("ea.v", "eb.v")} AS cos
+         |          FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |          JOIN e ea ON ea.vec_id = a.vec_id
+         |          JOIN e eb ON eb.vec_id = b.vec_id),
+         |dup AS (SELECT kb AS vec_id, MIN(ka) AS dup_of FROM pairs
+         |        WHERE cos >= $SemTau GROUP BY kb)
+         |SELECT asn.vec_id, asn.cid, d.dup_of, d.dup_of IS NULL AS kept
+         |FROM asn LEFT JOIN dup d USING (vec_id)""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      semanticDedup(emb, seedCentroids(emb))
     },
 
     // L6 — exact brute-force cosine top-k for the query batch.

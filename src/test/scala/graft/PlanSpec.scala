@@ -39,7 +39,7 @@ class PlanSpec extends SparkSuite {
     // the probe⋈assignment equi-join must key on (cid, __cs), not the
     // K≈16 distinct cids alone: without the salt at most K shuffle
     // partitions carry the whole corpus
-    Seq("ann_ivf", "ann_ivf_sq8").foreach { q =>
+    Seq("ann_ivf", "ann_ivf_sq8", "dedup_semantic").foreach { q =>
       assert(plan(q).contains("__cs"),
         s"$q: expected the cell join to carry the __cs probe-replication salt")
     }

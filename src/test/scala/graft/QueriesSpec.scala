@@ -212,6 +212,30 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("dedup_semantic agrees with the brute-force in-cluster ground truth") {
+    import graft.functions.VectorOps.cosine
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf0001).cache()
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // total coverage, flag consistency, and the rule actually engages
+    assert(df.count() === emb.count())
+    assert(df.filter(col("kept") === col("dup_of").isNotNull).count() === 0)
+    assert(df.filter(!col("kept")).count() > 0)
+    assert(df.filter(col("kept")).count() > 0)
+    // ground truth at this scale: full pairwise within each cluster —
+    // dropped == "has a smaller-id cluster-mate with cosine >= tau"
+    val v = df.select(col("vec_id"), col("cid"))
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")), "vec_id")
+    val qcos = floor(cosine(col("a.v"), col("b.v")) * 1000000.0) / 1000000.0
+    val truthDropped = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(qcos >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val gotDropped = df.filter(!col("kept")).select("vec_id")
+    assert(gotDropped.exceptAll(truthDropped).count() === 0)
+    assert(truthDropped.exceptAll(gotDropped).count() === 0)
+  }
+
   test("scd2_history intervals tile each key's history with one current row") {
     val df = SparkEntry.queries("scd2_history")(spark, sf0001).cache()
     val nOrders = graft.sources.Tables.orders(spark, sf0001).count()
