@@ -281,6 +281,59 @@ object TextOps {
           sum(when(col("bucket") < col("rate"), 1).otherwise(0)).cast("long").as("n_sampled"))
     },
 
+    // L26 — substring-level duplication profiling (the distributed
+    // seat of Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better": their suffix-array exact-substring pass
+    // flags duplicated SPANS inside otherwise-unique documents, which
+    // doc-level dedup can't see). The suffix array itself doesn't
+    // distribute; the standard engine approximation is hashed fixed-k
+    // token windows — a window hash appearing in ≥2 distinct docs
+    // marks every occurrence a duplicated position, and the per-doc
+    // duplicated-window fraction is the signal a span-cleaning pass
+    // keys off. k=8 matches the decontamination gram size.
+    //
+    // Scale shape: window hashing is a map-only array expression over
+    // the shared tokenized scan (one md5 per window, same transform
+    // idiom as the minhash shingles); the (window, doc) partial agg
+    // collapses within-doc repeats map-side; the window-frequency
+    // relation joins back vocabulary-shaped (AQE-decided, no hint —
+    // a viral window is AQE's skew case); the per-doc rollup is the
+    // only other shuffle. Work ∝ corpus tokens, never pairs — unlike
+    // the pairwise dedup family, this needs no candidate generation
+    // at all, which is why span profiling is tractable where
+    // span PAIR enumeration would not be.
+    QueryDef(
+      "text_substring_dedup", {
+        val k = 8
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |w AS (SELECT doc_id,
+           |             unnest(list_transform(generate_series(0, greatest(len(tk) - $k, 0)),
+           |               i -> md5(array_to_string(tk[i + 1:i + $k], ' ')))) AS wh
+           |      FROM t),
+           |g AS (SELECT wh, doc_id, COUNT(*) AS occ FROM w GROUP BY wh, doc_id),
+           |dfw AS (SELECT wh, COUNT(*) AS ndocs FROM g GROUP BY wh),
+           |d AS (SELECT g.doc_id, CAST(SUM(g.occ) AS BIGINT) AS n_windows,
+           |             CAST(SUM(CASE WHEN dfw.ndocs >= 2 THEN g.occ ELSE 0 END) AS BIGINT) AS n_dup
+           |      FROM g JOIN dfw USING (wh) GROUP BY g.doc_id)
+           |SELECT doc_id, n_windows, n_dup,
+           |       floor(CAST(n_dup AS DOUBLE) / n_windows * 1000000.0) / 1000000.0 AS dup_frac
+           |FROM d""".stripMargin
+      }) { (spark, dir) =>
+      val k = 8
+      val w = Dedup.tokenized(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, greatest(size(tk) - $k, 0)), " +
+            s"i -> md5(array_join(slice(tk, i + 1, $k), ' ')))")).as("wh"))
+      val g = w.groupBy(col("wh"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      val dfw = g.groupBy(col("wh")).agg(count(lit(1)).as("ndocs"))
+      g.join(dfw, "wh")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("occ")).cast("long").as("n_windows"),
+          sum(when(col("ndocs") >= 2, col("occ")).otherwise(0)).cast("long").as("n_dup"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          quant6(col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+    },
+
     // L1 — exact dedup: normalize → hash → keep-first per group.
     // At scale: one shuffle on the 128-bit text hash, never on raw
     // text — and never a WINDOW over the hash groups: a viral document

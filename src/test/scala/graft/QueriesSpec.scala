@@ -212,6 +212,21 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("text_substring_dedup bounds its fractions and covers the near-dup mass") {
+    val df = SparkEntry.queries("text_substring_dedup")(spark, sf0001).cache()
+    assert(df.count() === 500)
+    assert(df.filter(col("n_dup") > col("n_windows") || col("n_windows") < 1
+      || col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() === 0)
+    // a duplicated window needs at least two docs carrying it
+    assert(df.filter(col("n_dup") > 0).count() >= 2)
+    // every doc in a verified near-dup pair (jaccard >= 0.7 on 5-gram
+    // shingles) must show duplicated 8-token windows — the span signal
+    // subsumes the doc-level one
+    val nearDup = SparkEntry.queries("dedup_minhash")(spark, sf0001)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    assert(nearDup.join(df.filter(col("n_dup") === 0), "doc_id").count() === 0)
+  }
+
   test("dedup_semantic agrees with the brute-force in-cluster ground truth") {
     import graft.functions.VectorOps.cosine
     val df = SparkEntry.queries("dedup_semantic")(spark, sf0001).cache()
