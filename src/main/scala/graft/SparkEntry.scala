@@ -9,6 +9,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Analytics.defs ++
       operators.Events.defs ++
+      operators.Behavior.defs ++
       operators.CourseFlatten.defs ++
       operators.TextOps.defs ++
       operators.TextStats.defs ++

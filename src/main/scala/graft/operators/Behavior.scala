@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Portable._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / product-analytics operators over `events`
+  * (SURVEY.md §2.2 A30–A32): cohort retention, ordered funnels, and
+  * the event-transition matrix — the workhorse queries of a product
+  * warehouse, all keyed by the high-cardinality user_id so no reducer
+  * ever holds more than one user's history.
+  *
+  * Scale shapes:
+  *  - cohort_retention: the (user, day) activity relation is made
+  *    distinct ONCE (its rows are then unique, so a plain count(*) is
+  *    the distinct-user count — no count-distinct Expand anywhere);
+  *    first-activity day is a map-side min partial; the join back is
+  *    keyed on user_id.
+  *  - funnel_steps: one keyed aggregate per funnel stage (min-ts of
+  *    the step event AFTER the previous stage's timestamp), chained by
+  *    co-partitioned user_id joins — k stages = k passes, the standard
+  *    engine shape; per-stage state is one timestamp per user.
+  *  - event_transitions: one shuffle on user_id, lag() in-partition,
+  *    then a ≤|types|² count aggregate (mergeable — partials cap each
+  *    task's output at the matrix size, the events_histogram rule).
+  */
+object Behavior {
+
+  /** Funnel definition shared by the query and its oracle. */
+  private val FunnelSteps = Seq("signup", "click", "purchase")
+
+  /** Per-user first-completion timestamps of each ordered funnel
+    * stage: t1 = min ts of step 1, t_{i+1} = min ts of step i+1 AFTER
+    * t_i. Stage i+1's aggregate carries t_1..t_i through via max()
+    * (constant per user, so max is the value). */
+  private def funnelReached(e: DataFrame, steps: Seq[String]): DataFrame = {
+    val init = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === steps.head, col("ts"))).as("t1"))
+    steps.zipWithIndex.tail.foldLeft(init) { case (acc, (s, i)) =>
+      val carries = (1 to i).map(j => max(col(s"t$j")).as(s"t$j"))
+      val next = min(when(col("event_type") === s && col("ts") > col(s"t$i"), col("ts")))
+        .as(s"t${i + 1}")
+      e.join(acc, "user_id")
+        .groupBy(col("user_id"))
+        .agg(carries.head, (carries.tail :+ next): _*)
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A30 — cohort retention: users cohorted by first-activity day;
+    // each matrix cell counts the cohort's users active `age_days`
+    // later. The (user, day) relation is distinct, so count(*) per
+    // cell IS the distinct-user count.
+    QueryDef(
+      "cohort_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM e),
+        |f AS (SELECT user_id, MIN(d) AS c FROM ud GROUP BY user_id)
+        |SELECT strftime(f.c, '%Y-%m-%d') AS cohort,
+        |       CAST(date_diff('day', f.c, ud.d) AS BIGINT) AS age_days,
+        |       COUNT(*) AS n_users
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+      ud.join(first, "user_id")
+        .groupBy(col("c"), datediff(col("d"), col("c")).cast("long").as("age_days"))
+        .agg(countAll.as("n_users"))
+        .select(fmtDay(col("c")).as("cohort"), col("age_days"), col("n_users"))
+    },
+
+    // A31 — ordered funnel: signup → click → purchase, each stage
+    // strictly after the previous one's first completion (the
+    // product-analytics semantics, not mere per-type existence).
+    QueryDef(
+      "funnel_steps", {
+        s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |s1 AS (SELECT user_id,
+           |              MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+           |       FROM e GROUP BY user_id),
+           |s2 AS (SELECT e.user_id, MAX(s1.t1) AS t1,
+           |              MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+           |       FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+           |s3 AS (SELECT e.user_id, MAX(s2.t1) AS t1, MAX(s2.t2) AS t2,
+           |              MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+           |       FROM e JOIN s2 USING (user_id) GROUP BY e.user_id),
+           |c AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM s3)
+           |SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, n1 AS n_users,
+           |       floor(CAST(n1 AS DOUBLE) / n1 * 1000000.0) / 1000000.0 AS frac_of_first FROM c
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), 'click', n2,
+           |       floor(CAST(n2 AS DOUBLE) / n1 * 1000000.0) / 1000000.0 FROM c
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), 'purchase', n3,
+           |       floor(CAST(n3 AS DOUBLE) / n1 * 1000000.0) / 1000000.0 FROM c""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val reached = funnelReached(e, FunnelSteps)
+      val counts = reached.agg(
+        count(col("t1")).as("n1"),
+        (2 to FunnelSteps.size).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+      val stackArgs = FunnelSteps.zipWithIndex
+        .map { case (s, i) => s"CAST(${i + 1} AS BIGINT), '$s', n${i + 1}" }
+        .mkString(", ")
+      counts
+        .select(col("n1"),
+          expr(s"stack(${FunnelSteps.size}, $stackArgs) AS (step_idx, step, n_users)"))
+        .select(col("step_idx"), col("step"), col("n_users"),
+          quant6(col("n_users").cast("double") / col("n1")).as("frac_of_first"))
+    },
+
+    // A32 — event-transition matrix: per-user next-event pairs via one
+    // lag() pass, counted into the ≤|types|² matrix (path / Markov
+    // analysis over the event stream).
+    QueryDef(
+      "event_transitions",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |p AS (SELECT user_id,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |             event_type AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, COUNT(*) AS n
+        |FROM p WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type"))
+        .agg(countAll.as("n"))
+        .select(col("from_type"), col("event_type").as("to_type"), col("n"))
+    })
+}

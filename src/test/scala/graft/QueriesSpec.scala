@@ -212,6 +212,38 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("cohort_retention matrix mass equals the distinct activity relation") {
+    val df = SparkEntry.queries("cohort_retention")(spark, sf0001).cache()
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val nUsers = ev.select("user_id").distinct().count()
+    val nUserDays = ev.select(col("user_id"), date_trunc("day", col("ts"))).distinct().count()
+    // age-0 cells count every user exactly once (everyone has a first day)
+    assert(df.filter(col("age_days") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0) === nUsers)
+    // total matrix mass = the distinct (user, day) activity relation
+    assert(df.agg(sum("n_users")).collect()(0).getLong(0) === nUserDays)
+    assert(df.filter(col("age_days") < 0 || col("n_users") <= 0).count() === 0)
+  }
+
+  test("funnel_steps is monotone with well-formed fractions") {
+    val rows = SparkEntry.queries("funnel_steps")(spark, sf0001)
+      .orderBy("step_idx").collect()
+    assert(rows.length === 3)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) > 0)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "a later stage can never out-count an earlier one")
+    assert(rows(0).getAs[Double]("frac_of_first") === 1.0)
+    rows.foreach(r => assert(r.getAs[Double]("frac_of_first") <= 1.0))
+  }
+
+  test("event_transitions conserves the event stream minus each user's first event") {
+    val df = SparkEntry.queries("event_transitions")(spark, sf0001).cache()
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === expected)
+    assert(df.filter(col("n") <= 0).count() === 0)
+  }
+
   test("text_substring_dedup bounds its fractions and covers the near-dup mass") {
     val df = SparkEntry.queries("text_substring_dedup")(spark, sf0001).cache()
     assert(df.count() === 500)
