@@ -116,6 +116,42 @@ object Behavior {
           quant6(col("n_users").cast("double") / col("n1")).as("frac_of_first"))
     },
 
+    // A33 — trailing-7-day distinct users (WAU): sliding-window
+    // DISTINCT cannot ride a running aggregate (a distinct set is not
+    // mergeable across frame slides), so the engine shape is COVER-SET
+    // EXPLOSION — each activity day covers the 7 window-ends it
+    // contributes to, the (user, cover_day) distinct collapses
+    // multi-active overlap, and the final per-day count needs no
+    // Expand because the relation is already a set (the range_join
+    // bucket-covering idea applied to time windows). Work = 7× the
+    // daily-activity relation, INDEPENDENT of raw event volume (the
+    // first distinct reduces events to user-days); cover days past
+    // the data's edge are cut by a broadcast max-day scalar.
+    QueryDef(
+      "events_wau",
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d FROM events),
+        |ud AS (SELECT DISTINCT user_id, d FROM e),
+        |mx AS (SELECT MAX(d) AS m FROM ud),
+        |cov AS (SELECT DISTINCT user_id, d + CAST(i.i AS INTEGER) AS cd
+        |        FROM ud, generate_series(0, 6) i(i))
+        |SELECT strftime(cd, '%Y-%m-%d') AS day, COUNT(*) AS wau
+        |FROM cov, mx WHERE cd <= mx.m
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+        .distinct()
+      val mx = ud.agg(max(col("d")).as("m"))
+      val cov = ud
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .select(col("user_id"), date_add(col("d"), col("i")).as("cd"))
+        .distinct()
+      cov.crossJoin(broadcast(mx))
+        .filter(col("cd") <= col("m"))
+        .groupBy(col("cd"))
+        .agg(countAll.as("wau"))
+        .select(fmtDay(col("cd")).as("day"), col("wau"))
+    },
+
     // A32 — event-transition matrix: per-user next-event pairs via one
     // lag() pass, counted into the ≤|types|² matrix (path / Markov
     // analysis over the event stream).

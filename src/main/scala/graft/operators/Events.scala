@@ -152,6 +152,41 @@ object Events {
           dsum(col("value")).as("total_value"))
     },
 
+    // R11 — typed JSON promotion at scan speed: extract + cast a JSON
+    // property per row (get_json_object is a codegen'd path evaluator,
+    // null on malformed/missing — no error channel needed), then
+    // aggregate the promoted column exactly. This is the semi-
+    // structured half of the reference's response handling: R10 flags
+    // malformed rows, this one consumes the valid payload as typed
+    // data without a pre-parse pass or a second scan. At 100 TB a
+    // JSON column parsed per-row at the scan is the standard
+    // lakehouse shape (promote-then-aggregate, one pass); the oracle
+    // guards DuckDB's error-throwing json_extract with json_valid to
+    // match get_json_object's null-on-malformed contract.
+    QueryDef(
+      "events_json",
+      """SELECT event_type,
+        |       COUNT(*) AS n,
+        |       CAST(COUNT(k) AS BIGINT) AS n_extracted,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(MIN(k) AS BIGINT) AS min_k,
+        |       CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |             TRY_CAST(CASE WHEN json_valid(props)
+        |                           THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          countAll.as("n"),
+          count(col("k")).as("n_extracted"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+    },
+
     // R10 — response validation: malformed-record detection on props JSON.
     QueryDef(
       "validate_events",

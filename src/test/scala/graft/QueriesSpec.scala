@@ -212,6 +212,35 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("events_json typed promotion agrees with the regex extraction route") {
+    val df = SparkEntry.queries("events_json")(spark, sf0001).cache()
+    // the synthetic props are all well-formed, so extraction is total
+    assert(df.filter(col("n_extracted") =!= col("n")).count() === 0)
+    assert(df.filter(col("min_k") > col("max_k")).count() === 0)
+    val direct = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("k"))
+      .groupBy("event_type").agg(sum("k").as("sum2"))
+    assert(df.join(direct, "event_type")
+      .filter(col("sum_k") =!= col("sum2")).count() === 0)
+  }
+
+  test("events_wau equals the direct trailing-window distinct count") {
+    val df = SparkEntry.queries("events_wau")(spark, sf0001).cache()
+    val ud = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .distinct().cache()
+    // ground truth via an inequality join (fine at test scale): for
+    // every output day, distinct users active in [day-6, day]
+    val truth = df.select(to_date(col("day")).as("dd"))
+      .join(ud, col("d").between(date_sub(col("dd"), 6), col("dd")))
+      .groupBy(col("dd"))
+      .agg(countDistinct("user_id").as("wau"))
+      .select(date_format(col("dd"), "yyyy-MM-dd").as("day"), col("wau"))
+    assert(df.exceptAll(truth).count() === 0)
+    assert(truth.exceptAll(df).count() === 0)
+  }
+
   test("cohort_retention matrix mass equals the distinct activity relation") {
     val df = SparkEntry.queries("cohort_retention")(spark, sf0001).cache()
     val ev = graft.sources.Tables.events(spark, sf0001)
