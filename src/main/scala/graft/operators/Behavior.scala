@@ -152,6 +152,34 @@ object Behavior {
         .select(fmtDay(col("cd")).as("day"), col("wau"))
     },
 
+    // A34 — market-basket co-occurrence at brand granularity: which
+    // brands are bought together in one order. The (order, brand)
+    // relation is distinct'd first (so the pair count is per-ORDER
+    // co-occurrence, not per-line), then self-joined KEYED ON THE
+    // ORDER — per-order fan-out is C(brands-in-order, 2), bounded by
+    // order size, so pair generation is linear in orders at any scale
+    // (the same bounded-fan-out argument as the dedup band buckets);
+    // the ≤|brands|² matrix aggregates mergeable counts. A pairwise
+    // self-join on the BRAND key would be the quadratic mistake this
+    // shape exists to avoid.
+    QueryDef(
+      "basket_pairs",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT a.b AS brand_a, bb.b AS brand_b, COUNT(*) AS n_orders
+        |FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val ob = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      ob.as("a").join(ob.as("bb"),
+          col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
+        .groupBy(col("a.b").as("brand_a"), col("bb.b").as("brand_b"))
+        .agg(countAll.as("n_orders"))
+    },
+
     // A32 — event-transition matrix: per-user next-event pairs via one
     // lag() pass, counted into the ≤|types|² matrix (path / Markov
     // analysis over the event stream).

@@ -212,6 +212,18 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("basket_pairs mass equals the per-order pair combinatorics") {
+    val df = SparkEntry.queries("basket_pairs")(spark, sf0001).cache()
+    assert(df.filter(col("brand_a") >= col("brand_b") || col("n_orders") <= 0).count() === 0)
+    // sum over the matrix = sum over orders of C(#brands_in_order, 2)
+    val ob = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001), col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+    val expected = ob.groupBy("o").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).collect()(0).getLong(0)
+    assert(df.agg(sum("n_orders")).collect()(0).getLong(0) === expected)
+  }
+
   test("events_json typed promotion agrees with the regex extraction route") {
     val df = SparkEntry.queries("events_json")(spark, sf0001).cache()
     // the synthetic props are all well-formed, so extraction is total
