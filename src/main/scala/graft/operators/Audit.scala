@@ -188,6 +188,49 @@ object Audit {
           col("valid_to").isNull.as("is_current"))
     },
 
+    // A36 — declarative data-quality constraint checking (the
+    // dbt-test / Deequ shape): uniqueness via groupBy-HAVING (map-side
+    // count partials — never a distinct-vs-total comparison that scans
+    // twice), referential integrity via anti joins (keyed, AQE-sized),
+    // null/range rules at scan speed; every check reduces to a 1-row
+    // count so the report is constant-size no matter the table. The
+    // childless-orders check genuinely fires on this data — the report
+    // carries real violation counts, not a wall of zeros.
+    QueryDef(
+      "audit_constraints",
+      """SELECT 'pk_orders_unique' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_violations
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1) t
+        |UNION ALL
+        |SELECT 'fk_lineitem_has_order', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_have_lineitems', CAST(COUNT(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT 'not_null_totalprice', CAST(COUNT(*) AS BIGINT)
+        |FROM orders WHERE o_totalprice IS NULL OR o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'range_quantity_1_50', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50""".stripMargin) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      def report(name: String, d: org.apache.spark.sql.DataFrame) =
+        d.agg(countAll.as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      report("pk_orders_unique",
+        o.groupBy(col("o_orderkey")).agg(countAll.as("c")).filter(col("c") > 1))
+        .unionByName(report("fk_lineitem_has_order",
+          l.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionByName(report("orders_have_lineitems",
+          o.join(l.select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"), "left_anti")))
+        .unionByName(report("not_null_totalprice",
+          o.filter(col("o_totalprice").isNull || col("o_orderkey").isNull)))
+        .unionByName(report("range_quantity_1_50",
+          l.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+    },
+
     // A23 — incremental aggregate maintenance: yesterday's materialized
     // partial state + today's delta partition merge into the exact
     // full-history aggregate. The two branches stand in for "read the

@@ -152,6 +152,40 @@ object Behavior {
         .select(fmtDay(col("cd")).as("day"), col("wau"))
     },
 
+    // A35 — growth accounting: per day, active users (DAU), first-time
+    // users, and the cumulative adoption curve. DAU and new-user
+    // counts are Expand-free counts over the distinct (user, day) /
+    // first-day relations; the running total is a window over the
+    // ~|days| aggregated table — the one place a global window is
+    // correct, because the input is already reduced to one row per day
+    // (the Distributed.globalRunning pass-2 rule: windows over TINY
+    // aggregate tables, never over the corpus).
+    QueryDef(
+      "events_growth",
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d FROM events),
+        |ud AS (SELECT DISTINCT user_id, d FROM e),
+        |dau AS (SELECT d, COUNT(*) AS n_active FROM ud GROUP BY d),
+        |f AS (SELECT user_id, MIN(d) AS c FROM ud GROUP BY user_id),
+        |nu AS (SELECT c AS d, COUNT(*) AS n_new FROM f GROUP BY c)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.n_active,
+        |       COALESCE(nu.n_new, 0) AS n_new,
+        |       SUM(COALESCE(nu.n_new, 0)) OVER (ORDER BY dau.d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM dau LEFT JOIN nu ON nu.d = dau.d""".stripMargin) { (spark, dir) =>
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+        .distinct()
+      val dau = ud.groupBy(col("d")).agg(countAll.as("n_active"))
+      val nu = ud.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+        .groupBy(col("c")).agg(countAll.as("n_new"))
+      val wCum = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(nu, col("c") === col("d"), "left")
+        .select(col("d"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(wCum))
+        .select(fmtDay(col("d")).as("day"), col("n_active"), col("n_new"), col("cum_users"))
+    },
+
     // A34 — market-basket co-occurrence at brand granularity: which
     // brands are bought together in one order. The (order, brand)
     // relation is distinct'd first (so the pair count is per-ORDER

@@ -212,6 +212,38 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("events_growth accounting is conserved") {
+    val df = SparkEntry.queries("events_growth")(spark, sf0001)
+      .orderBy("day").collect()
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val nUsers = ev.select("user_id").distinct().count()
+    // new users sum to the distinct user count; the cumulative curve
+    // is non-decreasing and ends at the total; DAU never exceeds it
+    assert(df.map(_.getAs[Long]("n_new")).sum === nUsers)
+    assert(df.last.getAs[Long]("cum_users") === nUsers)
+    df.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("cum_users") >= w(0).getAs[Long]("cum_users"))
+    }
+    df.foreach { r =>
+      assert(r.getAs[Long]("n_active") >= r.getAs[Long]("n_new"))
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cum_users"))
+    }
+  }
+
+  test("audit_constraints reports the known violation profile") {
+    val m = SparkEntry.queries("audit_constraints")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size === 5)
+    // clean keys and ranges on the synthetic warehouse...
+    assert(m("pk_orders_unique") === 0L)
+    assert(m("fk_lineitem_has_order") === 0L)
+    assert(m("not_null_totalprice") === 0L)
+    assert(m("range_quantity_1_50") === 0L)
+    // ...and the one genuinely dirty rule fires (childless orders
+    // exist in TPC-H-ish data), proving violations actually flow
+    assert(m("orders_have_lineitems") > 0L)
+  }
+
   test("basket_pairs mass equals the per-order pair combinatorics") {
     val df = SparkEntry.queries("basket_pairs")(spark, sf0001).cache()
     assert(df.filter(col("brand_a") >= col("brand_b") || col("n_orders") <= 0).count() === 0)
