@@ -212,6 +212,22 @@ class QueriesSpec extends SparkSuite {
     assert(nKept2 === nKept, "re-running materialize must not duplicate the corpus")
   }
 
+  test("sessionize agrees with Spark's native session_window aggregation") {
+    // cross-validate the hand-rolled gap rule (lag + cumulative sum —
+    // the oracle-checkable form) against Spark's built-in session
+    // window on the same real events
+    val native = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Portable.fmtTs(min(col("ts"))).as("session_start"),
+        graft.functions.Portable.fmtTs(max(col("ts"))).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    val ours = SparkEntry.queries("sessionize")(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(native.exceptAll(ours).count() === 0)
+    assert(ours.exceptAll(native).count() === 0)
+  }
+
   test("events_growth accounting is conserved") {
     val df = SparkEntry.queries("events_growth")(spark, sf0001)
       .orderBy("day").collect()
