@@ -26,8 +26,8 @@ object Stress {
   private val StressQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_incremental", "dedup_clusters",
     "text_ngram_jaccard", "text_substring_dedup", "text_tokens", "text_quality",
-    "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_quantized", "ann_bruteforce", "dedup_embed",
-    "dedup_semantic")
+    "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_quantized", "ann_pq", "ann_bruteforce",
+    "dedup_embed", "dedup_semantic")
 
   /** The worst-case ×copies corpus (shared with [[RecallCurve]]):
     * every document and embedding tiled `copies` times with a small

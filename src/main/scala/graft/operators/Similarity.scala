@@ -419,6 +419,92 @@ object Similarity {
     sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes, excludeSelf)
   }
 
+  /** PQ geometry: M subspaces × Cn codes. 64 dims / 8 = 8-dim
+    * subvectors; 16 codes per subspace store a vector as 8 half-byte
+    * codes — 64× narrower than the float64 column (vs SQ8's 8×). */
+  private val PqM = 8
+  private val PqCodes = 16
+  private val PqSub = Dims / PqM
+  // PQ keeps a wider coarse list than the SQ8 paths: with 8 lookups
+  // per candidate the coarse pass is nearly free, and the 64×
+  // quantization is lossier than int8 — spending rerank width is the
+  // cheapest recall lever (recall@5 0.36 at R=20 → 0.60 at R=64 on
+  // the worst-case random corpus, level with ann_ivf; ScaleSpec
+  // pins the 0.4 floor).
+  private val PqRerank = 64
+
+  /** L7e — product quantization with asymmetric distance (the PQ/ADC
+    * of Jegou/Douze/Schmid, TPAMI 2011 — the composition ann_quantized
+    * stands in for with scalar quantization). Each vector is stored as
+    * M=8 per-subspace code ids (argmin-L2 against a 16-entry codebook
+    * per subspace — |c|²−2·v·c, since |v|² is constant under the
+    * argmin); a query precomputes the 128-entry table of
+    * subspace-dot(q_m, code) once, and the coarse score of any corpus
+    * vector is 8 TABLE LOOKUPS + a fixed-order add chain — no vector
+    * arithmetic touches the corpus at scan time, and the scan reads 8
+    * code bytes per vector instead of 512 float bytes. Exact cosine
+    * rerank on the coarse top-R only, as in the SQ8 paths.
+    *
+    * Scale shape: codebooks are the md5-order sample's subvectors
+    * (O(M·Cn) broadcast, the seedCentroids rule); encoding is one
+    * crossJoin-broadcast + a single aggregate with M min_by partials
+    * (map-side collapse, the `assign` rule); the ADC table is
+    * workload-sized (queries × 128 doubles); coarse top-R uses the
+    * salted two-phase window. Parity: every dot is an ordered
+    * vec_dot / list_inner_product fold over an 8-dim slice, the
+    * lookup sum is a written-out 8-term chain (never a SQL SUM over
+    * per-subspace rows — hash-aggregate order would be
+    * nondeterministic), and argmin ties break on code id. */
+  def pqSearch(
+      emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
+    // codebook: the fixed md5-order sample renumbered to dense code
+    // ids 0..Cn-1 (cid order — a bounded window over the 16-row book),
+    // one row per code with its per-subspace self-dots precomputed
+    // (|c_m|² — computed once on 16 rows, not once per corpus pair)
+    val book = seedCentroids(emb, PqCodes)
+      .withColumn("code", row_number().over(Window.orderBy(col("cid"))) - 1)
+      .select(Seq(col("code"), col("cv")) ++ (0 until PqM).map(m =>
+        subDot(col("cv"), col("cv"), m).as(s"c2_$m")): _*)
+    // encode: argmin-L2 per (vector, subspace) — M min_by partials in
+    // ONE aggregate; the codes ride as an M-element array
+    val enc = emb.crossJoin(broadcast(book))
+      .select(Seq(col("vec_id")) ++ (0 until PqM).map(m =>
+        struct((col(s"c2_$m") - lit(2.0) * subDot(col("v"), col("cv"), m)).as("s"),
+          col("code").as("code")).as(s"sc_$m")): _*)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("sc_0.code"), col("sc_0")).as("c_0"),
+        (1 until PqM).map(m => min_by(col(s"sc_$m.code"), col(s"sc_$m")).as(s"c_$m")): _*)
+      .select(col("vec_id"),
+        array((0 until PqM).map(m => col(s"c_$m")): _*).as("cd"))
+    // ADC table per query: the 128 subspace dots, flattened c-major
+    // (index = code·M + m) from a cid-sorted collect — deterministic
+    val qt = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(book))
+      .select(col("qid"), col("code"),
+        array((0 until PqM).map(m => subDot(col("qv"), col("cv"), m)): _*).as("dv"))
+      .groupBy(col("qid"))
+      .agg(flatten(expr("transform(sort_array(collect_list(struct(code, dv))), e -> e.dv)"))
+        .as("t"))
+    // coarse ADC score: 8 codegen'd lookups + a fixed-order add chain
+    val adc = (0 until PqM)
+      .map(m => element_at(col("t"),
+        element_at(col("cd"), m + 1).cast("int") * PqM + m + 1))
+      .reduce(_ + _)
+    val coarse = dropSelf(pairQueries(enc, qt, broadcastQueries), excludeSelf, "qid", "vec_id")
+      .select(col("qid"), col("vec_id").as("nid"), adc.as("cscore"))
+    rerank(saltedTopK(coarse, col("cscore"), PqRerank).select(col("qid"), col("nid")),
+      emb, queries)
+  }
+
+  /** Ordered dot product of subspace `m`'s slice — codegen'd VecDot
+    * over the 8-dim slices, bit-identical to the oracle's
+    * list_inner_product over the same slice. */
+  private def subDot(a: Column, b: Column, m: Int): Column =
+    call_function("vec_dot",
+      slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub))
+
   /** Cosine threshold for the semantic-dedup drop rule — the driver
     * data is random vectors, so 0.4 (dedup_embed's near-dup bar) marks
     * the planted near-copies without flooding the pair set. */
@@ -597,6 +683,50 @@ object Similarity {
          |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
       val emb = embV(spark, dir)
       ivfSq8Search(emb, seedCentroids(emb), defaultQueries(emb))
+    },
+
+    // L7e — product quantization + ADC (see pqSearch).
+    QueryDef(
+      "ann_pq", {
+        val adcChain = (0 until PqM)
+          .map(m => s"qt.t[enc.cd[${m + 1}] * $PqM + ${m + 1}]")
+          .mkString(" + ")
+        val mSub = s"m.m * $PqSub + 1 : m.m * $PqSub + $PqSub"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes),
+           |b AS (SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 AS code, cv FROM c),
+           |sub AS (SELECT e.vec_id, b.code, m.m,
+           |               list_inner_product(b.cv[$mSub], b.cv[$mSub])
+           |               - 2 * list_inner_product(e.v[$mSub], b.cv[$mSub]) AS s
+           |        FROM e, b, generate_series(0, ${PqM - 1}) m(m)),
+           |enc AS (SELECT vec_id, list(code ORDER BY m) AS cd FROM (
+           |          SELECT vec_id, m, code,
+           |                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s, code) AS rn
+           |          FROM sub) t WHERE rn = 1 GROUP BY vec_id),
+           |qd AS (SELECT e.vec_id AS qid, b.code,
+           |              list_transform(generate_series(0, ${PqM - 1}),
+           |                m -> list_inner_product(e.v[m * $PqSub + 1 : m * $PqSub + $PqSub],
+           |                                        b.cv[m * $PqSub + 1 : m * $PqSub + $PqSub])) AS dv
+           |       FROM e, b WHERE e.vec_id % 100 = 0),
+           |qt AS (SELECT qid, flatten(list(dv ORDER BY code)) AS t FROM qd GROUP BY qid),
+           |co AS (SELECT qt.qid, enc.vec_id AS nid, $adcChain AS cscore
+           |       FROM enc, qt WHERE enc.vec_id <> qt.qid),
+           |ck AS (SELECT qid, nid FROM (
+           |   SELECT qid, nid,
+           |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
+           |   FROM co) t WHERE crn <= $PqRerank),
+           |sc AS (SELECT ck.qid, ck.nid,
+           |              ${quantCos.format("eq.v", "en.v")} AS score
+           |       FROM ck JOIN e eq ON eq.vec_id = ck.qid JOIN e en ON en.vec_id = ck.nid),
+           |r AS (SELECT qid, nid, score,
+           |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+           |      FROM sc)
+           |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+           |FROM r WHERE rn <= $TopK""".stripMargin
+      }) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      pqSearch(emb, defaultQueries(emb))
     },
 
     // L7c — scalar-quantized (int8) ANN with exact rerank: the third

@@ -160,8 +160,8 @@ class PlanSpec extends SparkSuite {
     // rank filter must engage Spark's WindowGroupLimit pushdown (maps
     // forward only k rows per group to the reducer). Exactness of the
     // pre-cut comes from the total-order comparator.
-    Seq("ann_bruteforce", "ann_quantized", "ann_ivf", "ann_ivf_sq8", "ann_lsh", "window_rank")
-      .foreach { q =>
+    Seq("ann_bruteforce", "ann_quantized", "ann_ivf", "ann_ivf_sq8", "ann_lsh", "ann_pq",
+      "window_rank").foreach { q =>
         val p = plan(q)
         assert(p.contains("pmod("),
           s"$q: expected a pmod-salted pre-top window in the plan")
