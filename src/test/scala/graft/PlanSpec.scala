@@ -170,6 +170,17 @@ class PlanSpec extends SparkSuite {
       }
   }
 
+  test("distinct-relation counts plan no count-distinct Expand") {
+    // events_wau / cohort_retention / events_growth count over
+    // relations that are already sets, so a count(*) is the distinct
+    // count — an Expand in these plans would mean the multiplying
+    // countDistinct form crept back in
+    Seq("events_wau", "cohort_retention", "events_growth").foreach { q =>
+      val p = plan(q).split("== Initial Plan ==")(0)
+      assert(!p.contains("Expand"), s"$q must stay Expand-free")
+    }
+  }
+
   test("text_bm25 retrieves via posting lists and ends in TakeOrdered") {
     val p = plan("text_bm25").split("== Initial Plan ==")(0)
     assert(p.contains("TakeOrderedAndProject"),
