@@ -458,42 +458,14 @@ object Similarity {
   def pqSearch(
       emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true,
       excludeSelf: Boolean = true): DataFrame = {
-    // codebook: the fixed md5-order sample renumbered to dense code
-    // ids 0..Cn-1 (cid order — a bounded window over the 16-row book),
-    // one row per code with its per-subspace self-dots precomputed
-    // (|c_m|² — computed once on 16 rows, not once per corpus pair)
-    val book = seedCentroids(emb, PqCodes)
-      .withColumn("code", row_number().over(Window.orderBy(col("cid"))) - 1)
-      .select(Seq(col("code"), col("cv")) ++ (0 until PqM).map(m =>
-        subDot(col("cv"), col("cv"), m).as(s"c2_$m")): _*)
-    // encode: argmin-L2 per (vector, subspace) — M min_by partials in
-    // ONE aggregate; the codes ride as an M-element array
-    val enc = emb.crossJoin(broadcast(book))
-      .select(Seq(col("vec_id")) ++ (0 until PqM).map(m =>
-        struct((col(s"c2_$m") - lit(2.0) * subDot(col("v"), col("cv"), m)).as("s"),
-          col("code").as("code")).as(s"sc_$m")): _*)
-      .groupBy(col("vec_id"))
-      .agg(
-        min_by(col("sc_0.code"), col("sc_0")).as("c_0"),
-        (1 until PqM).map(m => min_by(col(s"sc_$m.code"), col(s"sc_$m")).as(s"c_$m")): _*)
-      .select(col("vec_id"),
-        array((0 until PqM).map(m => col(s"c_$m")): _*).as("cd"))
-    // ADC table per query: the 128 subspace dots, flattened c-major
-    // (index = code·M + m) from a cid-sorted collect — deterministic
-    val qt = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
-      .crossJoin(broadcast(book))
-      .select(col("qid"), col("code"),
-        array((0 until PqM).map(m => subDot(col("qv"), col("cv"), m)): _*).as("dv"))
-      .groupBy(col("qid"))
-      .agg(flatten(expr("transform(sort_array(collect_list(struct(code, dv))), e -> e.dv)"))
-        .as("t"))
-    // coarse ADC score: 8 codegen'd lookups + a fixed-order add chain
-    val adc = (0 until PqM)
-      .map(m => element_at(col("t"),
-        element_at(col("cd"), m + 1).cast("int") * PqM + m + 1))
-      .reduce(_ + _)
+    // codebook = the seedCentroids sample (pqBook's "" key reproduces
+    // md5(vec_id) order); encode + per-query ADC table + the coarse
+    // 8-lookup fixed-order score, shared with the IVF×PQ composition
+    val book = pqBook(emb, "")
+    val enc = pqEncode(emb, book)
+    val qt = pqTable(queries, book)
     val coarse = dropSelf(pairQueries(enc, qt, broadcastQueries), excludeSelf, "qid", "vec_id")
-      .select(col("qid"), col("vec_id").as("nid"), adc.as("cscore"))
+      .select(col("qid"), col("vec_id").as("nid"), adcScore.as("cscore"))
     rerank(saltedTopK(coarse, col("cscore"), PqRerank).select(col("qid"), col("nid")),
       emb, queries)
   }
@@ -504,6 +476,97 @@ object Similarity {
   private def subDot(a: Column, b: Column, m: Int): Column =
     call_function("vec_dot",
       slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub))
+
+  /** A PQ codebook over any (vec_id, v) relation: a deterministic
+    * md5-order 16-row sample (keyed by `seedKey` — the RESIDUAL book
+    * must not reuse seedCentroids' key, because the centroid vectors'
+    * own residuals are zero and would yield a degenerate all-zero
+    * book), renumbered to dense code ids with per-subspace self-dots
+    * precomputed. */
+  private def pqBook(rows: DataFrame, seedKey: String): DataFrame =
+    rows.orderBy(md5(concat(lit(seedKey), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(PqCodes)
+      .select(col("v").as("cv"),
+        row_number().over(Window.orderBy(col("vec_id"))) - 1 as "code")
+      .select(Seq(col("code"), col("cv")) ++ (0 until PqM).map(m =>
+        subDot(col("cv"), col("cv"), m).as(s"c2_$m")): _*)
+
+  /** PQ-encode a (vec_id, v) relation against a codebook: argmin-L2
+    * per subspace, M min_by partials in one aggregate, codes as an
+    * M-element array. */
+  private def pqEncode(rows: DataFrame, book: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(book))
+      .select(Seq(col("vec_id")) ++ (0 until PqM).map(m =>
+        struct((col(s"c2_$m") - lit(2.0) * subDot(col("v"), col("cv"), m)).as("s"),
+          col("code").as("code")).as(s"sc_$m")): _*)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("sc_0.code"), col("sc_0")).as("c_0"),
+        (1 until PqM).map(m => min_by(col(s"sc_$m.code"), col(s"sc_$m")).as(s"c_$m")): _*)
+      .select(col("vec_id"),
+        array((0 until PqM).map(m => col(s"c_$m")): _*).as("cd"))
+
+  /** The per-query ADC lookup table against a codebook: the M·Cn
+    * subspace dots, flattened code-major (index = code·M + m) from a
+    * code-sorted collect. */
+  private def pqTable(queries: DataFrame, book: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(book))
+      .select(col("qid"), col("code"),
+        array((0 until PqM).map(m => subDot(col("qv"), col("cv"), m)): _*).as("dv"))
+      .groupBy(col("qid"))
+      .agg(flatten(expr("transform(sort_array(collect_list(struct(code, dv))), e -> e.dv)"))
+        .as("t"))
+
+  /** The 8-lookup + fixed-order-add ADC score over a codes column. */
+  private def adcScore: Column = (0 until PqM)
+    .map(m => element_at(col("t"),
+      element_at(col("cd"), m + 1).cast("int") * PqM + m + 1))
+    .reduce(_ + _)
+
+  /** L7f — IVFADC with RESIDUAL product quantization: the complete
+    * composition of Jegou et al. §IV (ann_ivf_sq8 is the same cascade
+    * with scalar quantization; ann_pq is the flat-PQ half). Each
+    * vector stores its cell id + the PQ codes of its RESIDUAL
+    * (v − centroid): residuals concentrate near the origin, so the
+    * shared 16-code book spends its precision where the data is — and
+    * dot(q, v) = dot(q, c) + dot(q, r) splits into a per-probed-cell
+    * scalar (K values per query) plus the same 8 ADC lookups, so the
+    * in-cell scan still touches only code bytes. The residual book
+    * seeds from a DIFFERENT md5 key than the centroids ([[pqBook]]):
+    * the sampled centroid vectors' own residuals are zero, and
+    * reusing the seed would collapse the book to 16 zero vectors.
+    * Salted cell join, salted coarse top-R, exact rerank — the same
+    * scale guards as every IVF/top-k path. */
+  def ivfPqSearch(
+      emb: DataFrame, cent: DataFrame, queries: DataFrame,
+      nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame = {
+    // assignment carrying the winning centroid: residual = v − cv
+    val asnR = scoredByCent(emb, cent, col("v"), col("cv"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("cv")), bestCent).as("a"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("a.cid").as("cid"),
+        expr("zip_with(v, a.cv, (x, y) -> x - y)").as("v"))
+    val rbook = pqBook(asnR.select(col("vec_id"), col("v")), "r")
+    val cells = pqEncode(asnR, rbook)
+      .join(asnR.select(col("vec_id"), col("cid")), "vec_id")
+      .select(col("vec_id").as("nid"), col("cid"), col("cd"),
+        pmod(col("vec_id"), lit(CellSalt)).cast("int").as("__cs"))
+    val qt = pqTable(queries, rbook)
+    // per (query, probed cell): the dot(q, centroid) scalar
+    val probes = probeCells(queries, cent, nProbes)
+      .join(cent, "cid")
+      .join(queries.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+      .select(col("qid"), col("cid"),
+        call_function("vec_dot", col("qv"), col("cv")).as("dqc"))
+      .join(qt, "qid")
+      .withColumn("__cs", explode(sequence(lit(0), lit(CellSalt - 1))))
+    val coarse = dropSelf(cells.join(probes, Seq("cid", "__cs")), excludeSelf, "qid", "nid")
+      .select(col("qid"), col("nid"), (col("dqc") + adcScore).as("cscore"))
+    rerank(saltedTopK(coarse, col("cscore"), PqRerank).select(col("qid"), col("nid")),
+      emb, queries)
+  }
 
   /** Cosine threshold for the semantic-dedup drop rule — the driver
     * data is random vectors, so 0.4 (dedup_embed's near-dup bar) marks
@@ -683,6 +746,68 @@ object Similarity {
          |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
       val emb = embV(spark, dir)
       ivfSq8Search(emb, seedCentroids(emb), defaultQueries(emb))
+    },
+
+    // L7f — IVFADC with residual PQ (see ivfPqSearch).
+    QueryDef(
+      "ann_ivf_pq", {
+        val qc = quantCos.format("e.v", "c.cv")
+        val adcChain = (0 until PqM)
+          .map(m => s"qt.t[enc.cd[${m + 1}] * $PqM + ${m + 1}]")
+          .mkString(" + ")
+        val mSub = s"m.m * $PqSub + 1 : m.m * $PqSub + $PqSub"
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
+           |asnv AS (SELECT vec_id, cid, cv, v FROM (
+           |   SELECT e.vec_id, c.cid, c.cv, e.v,
+           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+           |   FROM e, c) t WHERE rn = 1),
+           |resid AS (SELECT vec_id, cid,
+           |                 list_transform(generate_series(1, $Dims), i -> v[i] - cv[i]) AS r
+           |          FROM asnv),
+           |rc AS (SELECT vec_id, r FROM resid
+           |       ORDER BY md5('r' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes),
+           |rb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, r AS cv FROM rc),
+           |sub AS (SELECT resid.vec_id, rb.code, m.m,
+           |               list_inner_product(rb.cv[$mSub], rb.cv[$mSub])
+           |               - 2 * list_inner_product(resid.r[$mSub], rb.cv[$mSub]) AS s
+           |        FROM resid, rb, generate_series(0, ${PqM - 1}) m(m)),
+           |enc AS (SELECT vec_id, list(code ORDER BY m) AS cd FROM (
+           |          SELECT vec_id, m, code,
+           |                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY s, code) AS rn
+           |          FROM sub) t WHERE rn = 1 GROUP BY vec_id),
+           |qprobe AS (SELECT vec_id AS qid, cid FROM (
+           |   SELECT e.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+           |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $SqNumProbes),
+           |qd AS (SELECT e.vec_id AS qid, rb.code,
+           |              list_transform(generate_series(0, ${PqM - 1}),
+           |                m -> list_inner_product(e.v[m * $PqSub + 1 : m * $PqSub + $PqSub],
+           |                                        rb.cv[m * $PqSub + 1 : m * $PqSub + $PqSub])) AS dv
+           |       FROM e, rb WHERE e.vec_id % 100 = 0),
+           |qt AS (SELECT qid, flatten(list(dv ORDER BY code)) AS t FROM qd GROUP BY qid),
+           |dqc AS (SELECT q.qid, q.cid, list_inner_product(e.v, c.cv) AS d
+           |        FROM qprobe q JOIN e ON e.vec_id = q.qid JOIN c ON c.cid = q.cid),
+           |co AS (SELECT dqc.qid, a.vec_id AS nid, dqc.d + ($adcChain) AS cscore
+           |       FROM dqc JOIN resid a ON a.cid = dqc.cid AND a.vec_id <> dqc.qid
+           |       JOIN enc ON enc.vec_id = a.vec_id
+           |       JOIN qt ON qt.qid = dqc.qid),
+           |ck AS (SELECT qid, nid FROM (
+           |   SELECT qid, nid,
+           |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
+           |   FROM co) t WHERE crn <= $PqRerank),
+           |sc AS (SELECT ck.qid, ck.nid,
+           |              ${quantCos.format("eq.v", "en.v")} AS score
+           |       FROM ck JOIN e eq ON eq.vec_id = ck.qid JOIN e en ON en.vec_id = ck.nid),
+           |r AS (SELECT qid, nid, score,
+           |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+           |      FROM sc)
+           |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+           |FROM r WHERE rn <= $TopK""".stripMargin
+      }) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      ivfPqSearch(emb, seedCentroids(emb), defaultQueries(emb))
     },
 
     // L7e — product quantization + ADC (see pqSearch).

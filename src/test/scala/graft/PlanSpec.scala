@@ -39,7 +39,7 @@ class PlanSpec extends SparkSuite {
     // the probe⋈assignment equi-join must key on (cid, __cs), not the
     // K≈16 distinct cids alone: without the salt at most K shuffle
     // partitions carry the whole corpus
-    Seq("ann_ivf", "ann_ivf_sq8", "dedup_semantic").foreach { q =>
+    Seq("ann_ivf", "ann_ivf_sq8", "ann_ivf_pq", "dedup_semantic").foreach { q =>
       assert(plan(q).contains("__cs"),
         s"$q: expected the cell join to carry the __cs probe-replication salt")
     }
@@ -161,7 +161,7 @@ class PlanSpec extends SparkSuite {
     // forward only k rows per group to the reducer). Exactness of the
     // pre-cut comes from the total-order comparator.
     Seq("ann_bruteforce", "ann_quantized", "ann_ivf", "ann_ivf_sq8", "ann_lsh", "ann_pq",
-      "window_rank").foreach { q =>
+      "ann_ivf_pq", "window_rank").foreach { q =>
         val p = plan(q)
         assert(p.contains("pmod("),
           s"$q: expected a pmod-salted pre-top window in the plan")

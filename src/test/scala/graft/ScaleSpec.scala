@@ -132,7 +132,7 @@ class ScaleSpec extends SparkSuite {
     val nExact = exact.count()
     assert(nExact > 0)
     Seq("ann_lsh" -> 0.4, "ann_ivf" -> 0.4, "ann_quantized" -> 0.9,
-      "ann_ivf_sq8" -> 0.9, "ann_pq" -> 0.4).foreach { case (q, floor) =>
+      "ann_ivf_sq8" -> 0.9, "ann_pq" -> 0.4, "ann_ivf_pq" -> 0.5).foreach { case (q, floor) =>
       val approx = SparkEntry.queries(q)(spark, sf0001)
         .select(col("query_id"), col("neighbor_id"))
       val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
