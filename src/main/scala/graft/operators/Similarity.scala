@@ -46,6 +46,10 @@ import org.apache.spark.sql.functions._
   *  - `ann_ivf_sq8`: the IVFADC composition — the int8 coarse pass runs
   *    ONLY inside the query's probed IVF cells, the shape real
   *    billion-vector systems use (Jegou et al.).
+  *  - `ann_pq`: true product quantization — 8 code bytes per vector,
+  *    per-query ADC lookup tables, no vector math at scan time.
+  *  - `ann_ivf_pq`: the complete residual IVFADC (PQ codes of
+  *    v − centroid inside probed cells).
   *
   * Hyperplanes are md5-derived constants (VectorOps.hyperplane) so the
   * DuckDB oracle rebuilds them bit-identically (SURVEY.md §4).
