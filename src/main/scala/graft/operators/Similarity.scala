@@ -545,18 +545,38 @@ object Similarity {
   def ivfPqSearch(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
       nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame = {
-    // assignment carrying the winning centroid: residual = v − cv
-    val asnR = scoredByCent(emb, cent, col("v"), col("cv"))
+    val asnR = residualAssign(emb, cent)
+    val rbook = pqBook(asnR.select(col("vec_id"), col("v")), "r")
+    pqSearchCells(pqCellTable(asnR, rbook), cent, rbook, emb, queries, nProbes, excludeSelf)
+  }
+
+  /** Nearest-centroid assignment carrying the residual: (vec_id, cid,
+    * v = vector − winning centroid). The winning centroid rides the
+    * max_by aggregate so the residual is a per-row projection — no
+    * second scan or join to reunite vector and centroid. */
+  private def residualAssign(emb: DataFrame, cent: DataFrame): DataFrame =
+    scoredByCent(emb, cent, col("v"), col("cv"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("cv")), bestCent).as("a"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("a.cid").as("cid"),
         expr("zip_with(v, a.cv, (x, y) -> x - y)").as("v"))
-    val rbook = pqBook(asnR.select(col("vec_id"), col("v")), "r")
-    val cells = pqEncode(asnR, rbook)
+
+  /** The (nid, cid, cd) inverted-file relation: residuals PQ-encoded
+    * against the book, reunited with their cell ids. */
+  private def pqCellTable(asnR: DataFrame, rbook: DataFrame): DataFrame =
+    pqEncode(asnR, rbook)
       .join(asnR.select(col("vec_id"), col("cid")), "vec_id")
-      .select(col("vec_id").as("nid"), col("cid"), col("cd"),
-        pmod(col("vec_id"), lit(CellSalt)).cast("int").as("__cs"))
+      .select(col("vec_id").as("nid"), col("cid"), col("cd"))
+
+  /** The residual-IVFADC search from a materialized (nid, cid, cd)
+    * cell table on — shared by the dynamic path ([[ivfPqSearch]]) and
+    * the persisted index ([[searchIvfPqIndex]]). */
+  private def pqSearchCells(
+      cellTable: DataFrame, cent: DataFrame, rbook: DataFrame, emb: DataFrame,
+      queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame = {
+    val cells = cellTable.withColumn("__cs",
+      pmod(col("nid"), lit(CellSalt)).cast("int"))
     val qt = pqTable(queries, rbook)
     // per (query, probed cell): the dot(q, centroid) scalar
     val probes = probeCells(queries, cent, nProbes)
@@ -570,6 +590,54 @@ object Similarity {
       .select(col("qid"), col("nid"), (col("dqc") + adcScore).as("cscore"))
     rerank(saltedTopK(coarse, col("cscore"), PqRerank).select(col("qid"), col("nid")),
       emb, queries)
+  }
+
+  /** BUILD-ONCE lifecycle for the residual-PQ inverted file — the PQ
+    * twin of [[buildIvfIndex]]: assignment, residuals, and encoding
+    * are paid once; the `cid=` directory layout makes probed cells a
+    * runtime partition filter. The residual CODEBOOK persists beside
+    * the centroids: codes are meaningless against any other book, so
+    * the two freeze together. */
+  def buildIvfPqIndex(
+      emb: DataFrame, cent: DataFrame, path: String,
+      book: Option[DataFrame] = None): Unit = {
+    val asnR = residualAssign(emb, cent)
+    // default: derive the codebook from THIS corpus's residuals; pass
+    // an explicit frozen book to rebuild compatibly with an existing
+    // index (append-vs-rebuild equality only makes sense under the
+    // same book — codes are meaningless across books)
+    val rbook = book.getOrElse(pqBook(asnR.select(col("vec_id"), col("v")), "r"))
+    pqCellTable(asnR, rbook)
+      .select(col("nid"), col("cd"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    rbook.write.mode("overwrite").parquet(s"$path/book")
+  }
+
+  /** INCREMENTAL maintenance of the PQ index: delta vectors are
+    * assigned and residual-encoded against the index's FROZEN
+    * centroids and codebook, then appended into the `cid=` layout —
+    * O(|delta|·(K + Cn)) per ingestion, bit-identical to a rebuild
+    * over the combined corpus (spec-asserted). */
+  def appendToIvfPqIndex(spark: SparkSession, embDelta: DataFrame, path: String): Unit = {
+    ensureRegistered(spark)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val rbook = spark.read.parquet(s"$path/book")
+    pqCellTable(residualAssign(embDelta, cent), rbook)
+      .select(col("nid"), col("cd"), col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** Search a [[buildIvfPqIndex]]-persisted index: identical results
+    * to the dynamic [[ivfPqSearch]], no assignment or encode stage in
+    * the plan, probed `cid=` partitions pruned at runtime. */
+  def searchIvfPqIndex(
+      spark: SparkSession, path: String, emb: DataFrame, queries: DataFrame,
+      nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame = {
+    ensureRegistered(spark)
+    pqSearchCells(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/book"),
+      emb, queries, nProbes, excludeSelf)
   }
 
   /** Cosine threshold for the semantic-dedup drop rule — the driver

@@ -244,6 +244,54 @@ class ScaleSpec extends SparkSuite {
       "the probe join should prune index partitions at runtime (DPP)")
   }
 
+  test("the persisted PQ index searches identically, skipping assign+encode, with DPP") {
+    // the PQ twin of the SQ8 index lifecycle: assignment, residuals,
+    // and codebook encoding are paid at build time; the frozen book
+    // persists beside the centroids (codes are meaningless against
+    // any other book); the searcher must be bit-identical, plan no
+    // assignment aggregate, and prune to probed cells at runtime
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val queries = graft.operators.Similarity.defaultQueries(emb)
+    val cent = graft.operators.Similarity.seedCentroids(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    graft.operators.Similarity.buildIvfPqIndex(emb, cent, s"$dir/idx")
+    val dynamic = graft.operators.Similarity.ivfPqSearch(emb, cent, queries)
+    val indexed = graft.operators.Similarity.searchIvfPqIndex(spark, s"$dir/idx", emb, queries)
+    assert(dynamic.exceptAll(indexed).count() === 0)
+    assert(indexed.exceptAll(dynamic).count() === 0)
+    indexed.collect()
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(!p.contains("partial_max_by"),
+      "index search must not recompute assignment or encoding")
+    assert(p.contains("dynamicpruning"),
+      "the probe join should prune index partitions at runtime (DPP)")
+  }
+
+  test("appending delta vectors to the PQ index equals a full rebuild") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val cent = graft.operators.Similarity.seedCentroids(emb)
+    val queries = graft.operators.Similarity.defaultQueries(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    graft.operators.Similarity.buildIvfPqIndex(old, cent, s"$dir/inc")
+    graft.operators.Similarity.appendToIvfPqIndex(spark, delta, s"$dir/inc")
+    // rebuild over the combined corpus under the SAME frozen book the
+    // incremental index carries — codes only compare within one book
+    graft.operators.Similarity.buildIvfPqIndex(emb, cent, s"$dir/full",
+      Some(spark.read.parquet(s"$dir/inc/book")))
+    val inc = graft.operators.Similarity.searchIvfPqIndex(spark, s"$dir/inc", emb, queries)
+    val full = graft.operators.Similarity.searchIvfPqIndex(spark, s"$dir/full", emb, queries)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+  }
+
   test("appending delta vectors to the IVF index equals a full rebuild") {
     // incremental maintenance: the delta is assigned + quantized
     // against the index's FROZEN centroids and appended into the cid=
