@@ -214,6 +214,45 @@ object Behavior {
         .agg(countAll.as("n_orders"))
     },
 
+    // A37 — gaps-and-islands: per-user consecutive-day activity
+    // streaks. The island id is (epoch_day - per-user row_number):
+    // constant within a run of consecutive days, strictly decreasing
+    // across gaps — the classic warehouse idiom, computed here with
+    // ONE shuffle total: an explicit hash repartition on user_id
+    // up front means the (user, day) distinct, the row_number window,
+    // and both downstream groupBys are all satisfied by subset
+    // clustering on the same exchange (EnsureRequirements accepts a
+    // partitioning on a subset of the grouping keys). Windows are
+    // keyed by the high-cardinality user_id — bounded per-task work.
+    QueryDef(
+      "user_streaks",
+      """WITH e AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |             date_diff('day', DATE '1970-01-01', day)
+        |               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |      FROM e),
+        |s AS (SELECT user_id, isl, COUNT(*) AS len, MAX(day) AS d1 FROM r GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak,
+        |       CAST(SUM(len) AS BIGINT) AS active_days,
+        |       strftime(MAX(d1), '%Y-%m-%d') AS last_active
+        |FROM s GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .repartition(col("user_id"))
+        .distinct()
+        .withColumn("isl",
+          datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(countAll.as("len"), max(col("day")).as("d1"))
+        .groupBy(col("user_id"))
+        .agg(
+          countAll.as("n_streaks"),
+          max(col("len")).as("max_streak"),
+          sum(col("len")).as("active_days"),
+          fmtDay(max(col("d1"))).as("last_active"))
+    },
+
     // A32 — event-transition matrix: per-user next-event pairs via one
     // lag() pass, counted into the ≤|types|² matrix (path / Markov
     // analysis over the event stream).

@@ -181,6 +181,15 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("user_streaks rides ONE user_id exchange end-to-end") {
+    // the explicit repartition(user_id) must satisfy the distinct, the
+    // island window, and both groupBys by subset clustering — a second
+    // exchange would mean one of them re-shuffled on its full key set
+    val p = plan("user_streaks").split("== Initial Plan ==")(0)
+    val n = "Exchange ".r.findAllIn(p.replace("ReusedExchange", "Reused")).length
+    assert(n === 1, s"expected exactly one shuffle, plan has $n:\n$p")
+  }
+
   test("text_bm25 retrieves via posting lists and ends in TakeOrdered") {
     val p = plan("text_bm25").split("== Initial Plan ==")(0)
     assert(p.contains("TakeOrderedAndProject"),

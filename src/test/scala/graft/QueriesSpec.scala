@@ -333,6 +333,28 @@ class QueriesSpec extends SparkSuite {
     assert(df.filter(col("n") <= 0).count() === 0)
   }
 
+  test("user_streaks matches a driver-side recomputation of every user") {
+    val df = SparkEntry.queries("user_streaks")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_streaks"), r.getAs[Long]("max_streak"),
+          r.getAs[Long]("active_days"), r.getAs[String]("last_active")))).toMap
+    val ud = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day")))
+    val truth = ud.groupBy(_._1).map { case (u, xs) =>
+      val days = xs.map(_._2.toLocalDate.toEpochDay).distinct.sorted
+      // split the sorted day list into consecutive runs
+      val runs = days.foldLeft(List.empty[List[Long]]) {
+        case (cur :: rest, d) if d == cur.head + 1 => (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(_.length.toLong)
+      u -> ((runs.length.toLong, runs.max, days.length.toLong,
+        java.time.LocalDate.ofEpochDay(days.last).toString))
+    }
+    assert(df.size === truth.size)
+    truth.foreach { case (u, t) => assert(df(u) === t, s"user $u") }
+  }
+
   test("text_substring_dedup bounds its fractions and covers the near-dup mass") {
     val df = SparkEntry.queries("text_substring_dedup")(spark, sf0001).cache()
     assert(df.count() === 500)
