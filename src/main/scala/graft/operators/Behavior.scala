@@ -214,6 +214,50 @@ object Behavior {
         .agg(countAll.as("n_orders"))
     },
 
+    // A34b — association scoring on the co-occurrence matrix: lift =
+    // P(a,b) / (P(a)·P(b)) computed as (n_orders_total · c_ab) /
+    // (c_a · c_b). All counts are exact BIGINTs (order-independent
+    // sums), the products stay in int64 far below 2^53, and the ONE
+    // double division runs per matrix cell — the text_lm_score
+    // rational-arithmetic rule, so no ln()/PMI drift between engines.
+    // Scale: the (order, brand) relation is cached and shared by the
+    // pair join, the marginals, and the total; the marginal table is
+    // ≤|brands| rows (provably bounded → broadcast), the total is a
+    // broadcast scalar, and pair generation stays keyed on the order.
+    QueryDef(
+      "basket_lift",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |m AS (SELECT b, COUNT(*) AS cb FROM ob GROUP BY b),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_total FROM ob),
+        |pr AS (SELECT a.b AS brand_a, bb.b AS brand_b, COUNT(*) AS n_ab
+        |       FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+        |       GROUP BY 1, 2)
+        |SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+        |       floor(CAST(n.n_total * pr.n_ab AS DOUBLE)
+        |             / CAST(ma.cb * mb.cb AS DOUBLE) * 1000000.0) / 1000000.0 AS lift
+        |FROM pr
+        |JOIN m ma ON ma.b = pr.brand_a
+        |JOIN m mb ON mb.b = pr.brand_b
+        |CROSS JOIN n""".stripMargin) { (spark, dir) =>
+      val ob = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct().cache()
+      val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
+      val n = ob.agg(countDistinct(col("o")).as("n_total"))
+      ob.as("a").join(ob.as("bb"),
+          col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
+        .groupBy(col("a.b").as("brand_a"), col("bb.b").as("brand_b"))
+        .agg(countAll.as("n_ab"))
+        .join(broadcast(marg.as("ma")), col("brand_a") === col("ma.b"))
+        .join(broadcast(marg.as("mb")), col("brand_b") === col("mb.b"))
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          quant6((col("n_total") * col("n_ab")).cast("double")
+            / (col("ma.cb") * col("mb.cb")).cast("double")).as("lift"))
+    },
+
     // A37 — gaps-and-islands: per-user consecutive-day activity
     // streaks. The island id is (epoch_day - per-user row_number):
     // constant within a run of consecutive days, strictly decreasing

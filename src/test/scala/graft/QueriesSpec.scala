@@ -272,6 +272,29 @@ class QueriesSpec extends SparkSuite {
     assert(df.agg(sum("n_orders")).collect()(0).getLong(0) === expected)
   }
 
+  test("basket_lift cells recompute exactly from driver-side marginals") {
+    val lifts = SparkEntry.queries("basket_lift")(spark, sf0001).collect()
+    val ob = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001), col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct().collect()
+      .map(r => (r.getAs[Long]("o"), r.getAs[String]("b")))
+    val byBrand = ob.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTotal = ob.map(_._1).distinct.length.toLong
+    val pairCounts = ob.groupBy(_._1).values.flatMap { xs =>
+      val bs = xs.map(_._2).sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(lifts.length === pairCounts.size)
+    lifts.foreach { r =>
+      val (a, b) = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      val nAb = r.getAs[Long]("n_ab")
+      assert(nAb === pairCounts((a, b)), s"($a,$b)")
+      val expected =
+        math.floor(nTotal.toDouble * nAb / (byBrand(a) * byBrand(b)).toDouble * 1e6) / 1e6
+      assert(r.getAs[Double]("lift") === expected, s"($a,$b)")
+    }
+  }
+
   test("events_json typed promotion agrees with the regex extraction route") {
     val df = SparkEntry.queries("events_json")(spark, sf0001).cache()
     // the synthetic props are all well-formed, so extraction is total
