@@ -61,6 +61,67 @@ object Events {
           col("n_events"), col("session_start"), col("session_end"), col("session_value"))
     },
 
+    // A38 — interval concurrency (sweep-line): peak number of
+    // simultaneously-open sessions per day. Session bounds come from
+    // the same gap rule as `sessionize` (one user_id shuffle); each
+    // session emits +1 at its start and -1 at its end, and the
+    // inclusive global running sum of deltas IS the concurrency curve.
+    // The global order is the Distributed.globalRunning primitive
+    // (range-sharded local windows + broadcast prefix offsets — a
+    // plain ORDER BY window would funnel every boundary through one
+    // reducer). Starts sort before ends at an equal timestamp (mdelta
+    // = −delta tiebreak), so back-to-back sessions count as
+    // overlapping; ties WITHIN (ts, mdelta) carry equal deltas, so
+    // the per-day MAX of the prefix curve is permutation-invariant —
+    // deterministic even though row_number splits ties arbitrarily.
+    QueryDef(
+      "events_concurrency",
+      s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+         |g AS (SELECT user_id, event_id, ts,
+         |             CASE WHEN lag(ts) OVER w IS NULL
+         |                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+         |                  THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts,
+         |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+         |      FROM g),
+         |b AS (SELECT user_id, seq, MIN(ts) AS st, MAX(ts) AS en FROM s GROUP BY 1, 2),
+         |ev AS (SELECT st AS ts, 1 AS delta, -1 AS mdelta FROM b
+         |       UNION ALL
+         |       SELECT en AS ts, -1 AS delta, 1 AS mdelta FROM b),
+         |r AS (SELECT ts, delta,
+         |             SUM(delta) OVER (ORDER BY ts, mdelta
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |      FROM ev)
+         |SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+         |       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_started
+         |FROM r GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > SessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("seq", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val sweep = bounds
+        .select(col("st").as("ts"), lit(1).as("delta"), lit(-1).as("mdelta"))
+        .unionAll(bounds
+          .select(col("en").as("ts"), lit(-1).as("delta"), lit(1).as("mdelta")))
+        .withColumn("grp", lit("all"))
+        .select(col("grp"), col("ts"), col("mdelta"), col("delta"))
+      Distributed.globalRunning(sweep,
+          grp = Seq("grp"), ord = Seq("ts", "mdelta"), valueCol = Some("delta"))
+        .groupBy(fmtDay(col("ts")).as("day"))
+        .agg(max(col("g_run")).as("max_concurrent"),
+          sum(when(col("delta") === 1, 1).otherwise(0)).as("n_started"))
+    },
+
     // A17 — as-of (temporal) join: for every non-purchase event, the
     // user's most recent purchase at-or-before it. Expressed as ONE
     // windowed pass over the union stream (max-over-preceding-rows of

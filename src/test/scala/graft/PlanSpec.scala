@@ -215,7 +215,8 @@ class PlanSpec extends SparkSuite {
     // if the ranked-rows branch and the offsets branch executed
     // separate range exchanges they could draw different bounds and
     // disagree on __pid. Exchange reuse must collapse them.
-    Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor").foreach { q =>
+    Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
+        "events_concurrency").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>

@@ -356,6 +356,47 @@ class QueriesSpec extends SparkSuite {
     assert(df.filter(col("n") <= 0).count() === 0)
   }
 
+  test("events_concurrency matches a driver-side sweep over the session intervals") {
+    val df = SparkEntry.queries("events_concurrency")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("max_concurrent"), r.getAs[Long]("n_started")))).toMap
+    // independent route: rebuild the session intervals from raw event
+    // micros in plain Scala (full precision — the formatted
+    // session_start/end strings truncate to seconds, which would
+    // reorder the sweep at sub-second boundary races)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us")))
+    val gapUs = 1800L * 1000 * 1000
+    val sess = ev.groupBy(_._1).values.flatMap { xs =>
+      val ts = xs.map(_._2).sorted
+      val bounds = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var st = ts.head; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (t - prev > gapUs) { bounds += ((st, prev)); st = t }
+        prev = t
+      }
+      bounds += ((st, prev))
+      bounds
+    }
+    // sweep in plain Scala: +1 at start (before ends at equal ts), -1 at end
+    val sweep = sess.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
+      .toArray.sortBy { case (us, d) => (us, -d) }
+    val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    var conc = 0L
+    val perDay = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    sweep.foreach { case (us, d) =>
+      conc += d
+      val day = dayFmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))
+      val (m, s) = perDay.getOrElse(day, (Long.MinValue, 0L))
+      perDay(day) = (math.max(m, conc), s + (if (d == 1) 1L else 0L))
+    }
+    assert(df.size === perDay.size)
+    perDay.foreach { case (day, t) => assert(df(day) === t, s"day $day") }
+    assert(conc === 0L, "every opened session must close")
+  }
+
   test("user_streaks matches a driver-side recomputation of every user") {
     val df = SparkEntry.queries("user_streaks")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->
