@@ -14,6 +14,7 @@ object SparkEntry {
       operators.TextOps.defs ++
       operators.TextStats.defs ++
       operators.Dedup.defs ++
+      operators.Fuzzy.defs ++
       operators.Similarity.defs ++
       operators.SetQuantile.defs ++
       operators.Stats.defs ++

@@ -512,6 +512,33 @@ class QueriesSpec extends SparkSuite {
     assert(df.join(dup, "doc_id").count() === 20)
   }
 
+  test("fuzzy_match equals a driver-side brute-force edit-distance join") {
+    def ed(a: String, b: String): Int = {
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) d(i)(0) = i
+      for (j <- 0 to b.length) d(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.part(spark, sf0001)
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    val truth = (for {
+      i <- names.indices; j <- i + 1 until names.length
+      dist = ed(names(i), names(j)) if dist <= 2
+    } yield (names(i), names(j)) -> dist).toMap
+    val got = SparkEntry.queries("fuzzy_match")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+        -> r.getAs[Int]("dist")).toMap
+    // FastSS candidates + exact verify must reproduce the full
+    // brute-force pair set — completeness is the theorem under test
+    assert(got.size === truth.size,
+      s"missing: ${(truth.keySet -- got.keySet).take(5)}; extra: ${(got.keySet -- truth.keySet).take(5)}")
+    truth.foreach { case (p, d) => assert(got(p) === d, s"pair $p") }
+    assert(truth.nonEmpty, "the check is vacuous if no close pairs exist")
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
