@@ -61,6 +61,36 @@ object Events {
           col("n_events"), col("session_start"), col("session_end"), col("session_value"))
     },
 
+    // A39 — time-series smoothing: per-user EWMA of `value` in event
+    // order. The recursion s_1 = x_1, s_n = ½·x_n + ½·s_{n-1} is
+    // evaluated as an explicit FOLD over the user's ordered history —
+    // with α = ½ every multiply is an exact exponent decrement and
+    // each step is ONE correctly-rounded add, so both engines running
+    // the same fold order produce bit-identical doubles (a closed-form
+    // Σ 0.5^(n-i)·x_i would be an order-dependent double sum; pow()
+    // would add libm drift — the BM25 binary-exact-constants rule).
+    // Scale: one shuffle keyed by the high-cardinality user_id; the
+    // per-key state is the user's own history (the same bound every
+    // per-user window in this file carries); order inside the array is
+    // total — (ts, event_id) is unique — so the fold is deterministic.
+    QueryDef(
+      "events_ewma",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+        |FROM e GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(countAll.as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            .as("h"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(transform(h, s -> s.value), cast(null as double)," +
+            " (acc, x) -> if(acc is null, x, 0.5d * x + 0.5d * acc))").as("ewma"))
+    },
+
     // A38 — interval concurrency (sweep-line): peak number of
     // simultaneously-open sessions per day. Session bounds come from
     // the same gap rule as `sessionize` (one user_id shuffle); each

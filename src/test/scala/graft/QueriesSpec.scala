@@ -397,6 +397,24 @@ class QueriesSpec extends SparkSuite {
     assert(conc === 0L, "every opened session must close")
   }
 
+  test("events_ewma matches a driver-side fold bit-for-bit") {
+    val got = SparkEntry.queries("events_ewma")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma")))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    val truth = ev.groupBy(_._1).map { case (u, xs) =>
+      val vals = xs.sortBy(t => (t._2, t._3)).map(_._4)
+      u -> ((xs.length.toLong, vals.reduceLeft((acc, x) => 0.5 * x + 0.5 * acc)))
+    }
+    assert(got.size === truth.size)
+    // exact double equality is the point: the fold must be bit-stable
+    truth.foreach { case (u, t) => assert(got(u) === t, s"user $u") }
+  }
+
   test("user_streaks matches a driver-side recomputation of every user") {
     val df = SparkEntry.queries("user_streaks")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->
