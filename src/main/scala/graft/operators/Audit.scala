@@ -263,6 +263,52 @@ object Audit {
         .select(fmtDay(col("d")).as("day"), col("event_type"), col("n"), col("total"))
     },
 
+    // A23b — incremental JOIN-view maintenance (two-sided delta
+    // algebra): the joined, aggregated view V = Agg(O ⋈ C) kept
+    // current when BOTH sides receive deltas. With O = O₀ ∪ ΔO and
+    // C = C₀ ∪ ΔC the join distributes:
+    //   V = merge( Agg(O₀⋈C₀)   — the stored view state,
+    //              Agg(ΔO⋈C)    — new facts against the full dim,
+    //              Agg(O₀⋈ΔC) ) — old facts matching new dim keys,
+    // and the three terms partition the pairs exactly (every order
+    // matches ONE customer, so its pair lands in exactly one term by
+    // (order-age, customer-age)). Deltas are deterministic: ΔO =
+    // orders from 1998 (the arriving partition), ΔC = customers whose
+    // md5 class is '0'/'1' (~⅛ churn). Measures (count + decimal sum)
+    // are mergeable, so the merge step costs |segments| rows. At
+    // 100 TB the state term is a stored-table read, ΔO⋈C shuffles
+    // only the delta (C pre-bucketed on the key), and O₀⋈ΔC — the
+    // classic dim-churn term — is a co-partitioned probe of the fact
+    // by a churn-sized key set (AQE-decided build side, per the hint
+    // policy: churn is corpus-shaped, not provably bounded). The
+    // oracle computes the plain full join; equality IS the algebra.
+    QueryDef(
+      "incremental_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val isNewCust = substring(md5(col("c_custkey").cast("string")), 1, 1).isin("0", "1")
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), isNewCust.as("cnew"))
+      val custOld = cust.filter(!col("cnew"))
+      val custNew = cust.filter(col("cnew"))
+      val ord = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val ordOld = ord.filter(col("o_orderdate") < cutoff)
+      val ordNew = ord.filter(col("o_orderdate") >= cutoff)
+      def partial(o: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) = o
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countAll.as("cnt"), sum(dec(col("o_totalprice"))).as("s"))
+      partial(ordOld, custOld)           // stored view state
+        .unionByName(partial(ordNew, cust))    // ΔO ⋈ (C₀ ∪ ΔC)
+        .unionByName(partial(ordOld, custNew)) // O₀ ⋈ ΔC
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("cnt")).as("n_orders"), sum(col("s")).cast("double").as("total_price"))
+    },
+
     // A22 — one-pass numeric column profiling of the biggest fact.
     QueryDef(
       "profile_stats", {

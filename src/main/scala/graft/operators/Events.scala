@@ -91,6 +91,70 @@ object Events {
             " (acc, x) -> if(acc is null, x, 0.5d * x + 0.5d * acc))").as("ewma"))
     },
 
+    // A40 — time-grid resampling with forward-fill (gap-fill): each
+    // user's irregular readings become one row per DAY between their
+    // first and last reading, carrying the most recent observed value
+    // and its staleness — the resample/ffill step every time-series
+    // feature pipeline runs before modeling. Scale shape: NO grid
+    // join at all — each observed day emits itself plus the gap days
+    // up to (exclusive) the next observation, via lead() + a bounded
+    // sequence() explode, so the fill is structurally exact (every
+    // grid day is generated FROM its most recent reading) instead of
+    // a null-skipping window over a grid⋈readings join (which planned
+    // two scans — Catalyst pushes the span min/max past the daily
+    // aggregate, splitting the lineage and defeating exchange reuse).
+    // ONE explicit user_id exchange serves the per-(user, day)
+    // last-reading aggregate AND the lead window by subset clustering
+    // (the user_streaks trick); fan-out is each user's own span in
+    // days, never corpus-shaped. The daily "last reading" is
+    // max(struct(ts, event_id, value)) — (ts, event_id) is unique, so
+    // the argmax is total and matches the oracle's DESC row_number.
+    // The oracle states the SPEC instead (conventional grid +
+    // IGNORE-NULLS forward-fill): agreement proves the gap-emission
+    // rewrite, QueriesSpec re-proves it driver-side.
+    QueryDef(
+      "events_resample",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value FROM e),
+        |lastv AS (SELECT user_id, day, value FROM (
+        |            SELECT user_id, day, value,
+        |                   row_number() OVER (PARTITION BY user_id, day
+        |                                      ORDER BY ts DESC, event_id DESC) AS rn
+        |            FROM d) t WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY user_id),
+        |grid AS (SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.day, o.value, o.value IS NOT NULL AS is_observed
+        |      FROM grid g LEFT JOIN lastv o ON g.user_id = o.user_id AND g.day = o.day),
+        |f AS (SELECT user_id, day, is_observed,
+        |             last_value(value IGNORE NULLS) OVER w AS value_filled,
+        |             MAX(CASE WHEN is_observed THEN day END) OVER w AS last_day
+        |      FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, value_filled, is_observed,
+        |       CAST(date_diff('day', last_day, day) AS BIGINT) AS days_stale
+        |FROM f""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .repartition(col("user_id"))
+      e.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("obs"))
+        // emit this day plus the gap up to the next observed day
+        // (exclusive); the last observed day emits only itself
+        .withColumn("stop",
+          coalesce(lead(col("day"), 1).over(w) - expr("interval 1 day"), col("day")))
+        .select(col("user_id"), col("day").as("obs_day"), col("obs"),
+          explode(sequence(col("day"), col("stop"), expr("interval 1 day"))).as("day"))
+        .select(col("user_id"), fmtDay(col("day")).as("day"),
+          col("obs").as("value_filled"),
+          (col("day") === col("obs_day")).as("is_observed"),
+          datediff(col("day"), col("obs_day")).cast("long").as("days_stale"))
+    },
+
     // A38 — interval concurrency (sweep-line): peak number of
     // simultaneously-open sessions per day. Session bounds come from
     // the same gap rule as `sessionize` (one user_id shuffle); each

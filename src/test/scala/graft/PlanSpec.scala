@@ -190,6 +190,28 @@ class PlanSpec extends SparkSuite {
     assert(n === 1, s"expected exactly one shuffle, plan has $n:\n$p")
   }
 
+  test("events_resample rides ONE user_id shuffle through agg, lead and gap emission") {
+    // the explicit repartition(user_id) must serve both the
+    // per-(user, day) last-reading aggregate and the lead() window by
+    // subset clustering, and the gap-fill must be the bounded
+    // sequence() explode — a second hash shuffle would mean the
+    // grid-join formulation (split lineage, twice-scanned events)
+    // crept back in
+    val p = plan("events_resample").split("== Initial Plan ==")(0)
+    val materialized = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(materialized === 1,
+      s"expected exactly one materialized hash shuffle, saw $materialized:\n$p")
+  }
+
+  test("incremental_join pushes the two order-age cuts into the orders scans") {
+    val p = plan("incremental_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      "the state-term order cut must reach the parquet scan")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "the delta-term order cut must reach the parquet scan")
+  }
+
   test("text_bm25 retrieves via posting lists and ends in TakeOrdered") {
     val p = plan("text_bm25").split("== Initial Plan ==")(0)
     assert(p.contains("TakeOrderedAndProject"),

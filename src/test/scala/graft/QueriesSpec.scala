@@ -562,4 +562,54 @@ class QueriesSpec extends SparkSuite {
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
     assert(bad.count() === 0)
   }
+
+  test("events_resample tiles each user's span and forward-fills exactly") {
+    val got = SparkEntry.queries("events_resample")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day"),
+        r.getAs[Double]("value_filled"), r.getAs[Boolean]("is_observed"),
+        r.getAs[Long]("days_stale")))
+      .groupBy(_._1)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    assert(got.keySet === ev.keySet)
+    ev.foreach { case (u, xs) =>
+      // truth: per-day last reading (by ts, event_id), forward-filled
+      val daily = xs.groupBy(_._2 / 86400000000L)
+        .map { case (d, es) => d -> es.maxBy(t => (t._2, t._3))._4 }
+      val (d0, d1) = (daily.keys.min, daily.keys.max)
+      val rows = got(u).sortBy(_._2)
+      assert(rows.length === (d1 - d0 + 1).toInt, s"user $u grid size")
+      var lastVal = 0.0
+      var lastDay = 0L
+      (d0 to d1).zip(rows).foreach { case (d, (_, dayStr, vf, obs, stale)) =>
+        assert(dayStr === java.time.LocalDate.ofEpochDay(d).toString, s"user $u day")
+        assert(obs === daily.contains(d), s"user $u $dayStr observed flag")
+        if (daily.contains(d)) { lastVal = daily(d); lastDay = d }
+        assert(vf === lastVal, s"user $u $dayStr fill")
+        assert(stale === d - lastDay, s"user $u $dayStr staleness")
+      }
+    }
+  }
+
+  test("incremental_join's delta algebra equals the direct join view") {
+    import graft.functions.Portable._
+    val got = SparkEntry.queries("incremental_join")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("total_price")))).toMap
+    val direct = graft.sources.Tables.orders(spark, sf0001)
+      .join(graft.sources.Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countAll.as("n"), dsum(col("o_totalprice")).as("t"))
+      .collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("t")))).toMap
+    assert(got === direct)
+  }
 }
