@@ -298,6 +298,86 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) of PNG payloads: decode →
+    * 8×8 nearest-neighbor downsample → per-pixel INTEGER luma
+    * (299r + 587g + 114b — no floating point, so the hash is
+    * bit-identical on any JVM) → bit i set iff pixel luma exceeds the
+    * integer mean. Returns (doc_id, ahash) with one 64-bit signature
+    * per decodable PNG; non-PNG and undecodable payloads are dropped
+    * (they have no pixels to hash). Runs in the same per-partition
+    * codec seam as [[decodeMedia]]; downstream of this stage
+    * everything is columnar longs. */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val img =
+          if (r.fmt == "png")
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        img.map { im =>
+          val sw = im.getWidth
+          val sh = im.getHeight
+          val luma = new Array[Int](64)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = (y.toLong * sh / 8).toInt
+            var x = 0
+            while (x < 8) {
+              val p = im.getRGB((x.toLong * sw / 8).toInt, sy)
+              val l = 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
+              luma(8 * y + x) = l
+              sum += l
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum / 64
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (luma(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          (r.doc_id, hash)
+        }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs over the aHash signatures — the
+    * dedup_simhash pigeonhole on pixels instead of tokens: hamming
+    * distance ≤ 3 across 64 bits means at most 3 of the 4 16-bit
+    * blocks differ, so every qualifying pair shares ≥ 1 block
+    * verbatim. Candidates therefore come from a plain equi-join on
+    * (block index, block value) — never an all-pairs comparison — and
+    * the exact hamming verify is one codegen'd bit_count(xor) per
+    * candidate. Same-block fan-out is the corpus's own near-dup
+    * structure (solid/flat images that legitimately share a block);
+    * MultimodalSpec proves the pair set equals a brute-force
+    * driver-side sweep. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 16-bit blocks only cover hamming <= 3")
+    val hashes = imageAHash(media)
+    def bands(side: String) = hashes
+      .select(col("doc_id").as(s"doc_$side"), col("ahash").as(s"h_$side"),
+        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .withColumn("block_val",
+        expr(s"shiftrightunsigned(h_$side, 16 * block_idx) & 65535"))
+    bands("a")
+      .join(bands("b"), Seq("block_idx", "block_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Frame/chunk sampling: split each payload into fixed-size chunks →
     * one row per sampled chunk (every `stride`-th), columnar explode. */
   def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =

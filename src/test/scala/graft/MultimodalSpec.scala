@@ -201,6 +201,60 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("imageNearDupPairs equals a brute-force hamming sweep and finds planted dups") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // deterministic textured pattern per image id (integer mixing only)
+    def pattern(i: Int)(x: Int, y: Int): Int = {
+      val v = x * 31 + y * 17 + i * 997
+      (((v * 131) % 256) << 16) | (((v * 193) % 256) << 8) | ((v * 239) % 256)
+    }
+    val base = (0 until 30).map(i =>
+      Multimodal.MediaRow(i.toLong, png(16, 16)(pattern(i)), "png", 16, 16))
+    // planted exact dups: the same pixels re-encoded under a new id
+    val exact = (0 until 5).map(i =>
+      Multimodal.MediaRow(100L + i, png(16, 16)(pattern(i)), "png", 16, 16))
+    // planted scale dups: a 2× nearest-neighbor upscale samples the
+    // SAME source pixels on the 8×8 hash grid, so the signature is
+    // identical by construction — resolution invariance, not luck
+    val upscaled = Multimodal.resizeMedia(
+      (0 until 5).map(i =>
+        Multimodal.MediaRow(200L + i, png(16, 16)(pattern(5 + i)), "png", 16, 16)).toDS(),
+      32, 32).collect().toSeq
+    val noise = Seq(Multimodal.MediaRow(999L, "not a png".getBytes("UTF-8"), "wav", 0, 0))
+    val media = (base ++ exact ++ upscaled ++ noise).toDS()
+
+    val pairsDf = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+    pairsDf.collect()
+    assert(!pairsDf.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "candidates must come from the block equi-join, never all-pairs")
+    val got = pairsDf.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+      .toSet
+    // pigeonhole completeness: the banded join must equal the full sweep
+    val hs = Multimodal.imageAHash(media).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ahash")))
+    val truth = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === truth)
+    (0 until 5).foreach { i =>
+      assert(got.contains((i.toLong, 100L + i, 0)), s"exact dup $i not found")
+    }
+    (0 until 5).foreach { i =>
+      assert(got.contains((5L + i, 200L + i, 0)), s"upscaled dup $i not found")
+    }
+    // the non-image row never reaches the hash stage
+    assert(hs.forall(_._1 != 999L))
+  }
+
   test("sampleChunks explodes payloads into strided fixed-size chunks") {
     val media = Multimodal.attachMedia(spark, sf0001)
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 32, stride = 2)
