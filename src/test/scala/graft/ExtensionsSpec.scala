@@ -81,6 +81,30 @@ class ExtensionsSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("A14c: per-day HLL sketches union to the global distinct (mergeable rollup)") {
+    // the pre-aggregated sketch-table pattern a 100 TB warehouse runs:
+    // store ONE fixed-size Datasketches HLL per day partition, answer
+    // any cross-partition distinct-user question by UNIONING sketches —
+    // the raw events are never re-scanned. Mergeability is the whole
+    // point: the union of per-partition partials must estimate like a
+    // direct pass over the full stream.
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    assert(daily.count() > 1, "the rollup is vacuous with a single partition")
+    val merged = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect()(0).getLong(0)
+    val direct = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est"))
+      .collect()(0).getLong(0)
+    val exact = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"union estimate $merged vs exact $exact")
+    assert(math.abs(merged - direct).toDouble / math.max(direct, 1L) < 0.01,
+      s"union-of-partials $merged must estimate like the direct pass $direct")
+  }
+
   test("A14b: count_min_sketch bounds heavy-hitter token counts") {
     // the frequency sketch beside A14's cardinality sketch: CMS merges
     // map-side in FIXED space (width x depth counters), so per-token
