@@ -15,6 +15,7 @@ object SparkEntry {
       operators.TextStats.defs ++
       operators.Dedup.defs ++
       operators.Fuzzy.defs ++
+      operators.Graph.defs ++
       operators.Similarity.defs ++
       operators.SetQuantile.defs ++
       operators.Stats.defs ++

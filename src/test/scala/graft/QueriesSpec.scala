@@ -563,6 +563,37 @@ class QueriesSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("trade_pagerank matches a driver-side integer power iteration") {
+    val got = SparkEntry.queries("trade_pagerank")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("n_name") -> r.getAs[Long]("mass")).toMap
+    // rebuild the trade edges with a plain Spark join, then iterate in
+    // exact Long arithmetic on the driver — same formula, same order
+    val t = (n: String) => graft.sources.Tables.load(spark, sf0001, n)
+    val edges = t("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t("supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .count().collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Long]("count")))
+    val nations = t("nation")
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name")).collect()
+      .map(r => r.getAs[Long]("nkey") -> r.getAs[String]("n_name")).toMap
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var mass = nations.keys.map(_ -> 1000000000L).toMap
+    (1 to 5).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => mass(s) * w / outw(s) }.sum
+      }
+      mass = nations.keys.map(n => n -> (150000000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got === mass.map { case (k, m) => nations(k) -> m })
+  }
+
   test("events_resample tiles each user's span and forward-fills exactly") {
     val got = SparkEntry.queries("events_resample")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day"),
