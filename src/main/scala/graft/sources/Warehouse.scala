@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed warehouse tables (SURVEY.md §5): pre-shuffle a fact table
@@ -74,6 +75,75 @@ object Warehouse {
       .sortWithinPartitions("__z")
       .drop("__z") // projection after the sort — row order is preserved
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** What [[eraseKeys]] did: total data files seen, files rewritten
+    * (their key band intersected the delete set), rows deleted. */
+  case class EraseReport(filesTotal: Int, filesRewritten: Int, rowsDeleted: Long)
+
+  /** Targeted erasure (right-to-be-forgotten) on a clustered table:
+    * delete every row whose `key` is in `deleteKeys`, rewriting ONLY
+    * the files whose [min, max] key band can contain a deleted key.
+    *
+    * This is why the FILTER-side layout ([[writeClustered]] on the
+    * entity key) matters operationally, not just for scans: each file
+    * covers a narrow key band, so erasing K entities touches O(K)
+    * files while a round-robin layout would rewrite the whole table —
+    * at 100 TB that is the difference between a nightly compliance
+    * job and a full-table rewrite per deletion batch.
+    *
+    * Mechanics:
+    *  1. band discovery is a ONE-COLUMN scan grouped by
+    *     `input_file_name()` (column pruning makes it footer + single
+    *     column I/O); the band list is |files|-sized driver state,
+    *     never row data;
+    *  2. only intersecting files are re-read, anti-filtered, and
+    *     rewritten into a sibling temp dir (the compactParquet
+    *     rewrite-then-swap rule: readers never see a half-written
+    *     table);
+    *  3. the swap deletes the affected files and moves the rewrites
+    *     in under their own (UUID-unique) names. Untouched files are
+    *     never read, never rewritten, and keep their identity
+    *     (SinksSpec asserts names + mtimes survive).
+    *
+    * A band may cover a deleted key without containing it (bands are
+    * conservative) — such a file is rewritten unchanged; correctness
+    * never depends on the pruning. Re-running the same erasure is
+    * idempotent: the second pass deletes 0 rows. */
+  def eraseKeys(spark: SparkSession, path: String, key: String,
+      deleteKeys: Seq[Long]): EraseReport = {
+    import org.apache.spark.sql.functions._
+    require(deleteKeys.nonEmpty, "empty delete set")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bands = spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(key).cast("long").as("k"))
+      .groupBy(col("file"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val affected = bands
+      .filter { case (_, lo, hi) => deleteKeys.exists(k => k >= lo && k <= hi) }
+      .map(_._1)
+    if (affected.isEmpty) return EraseReport(bands.length, 0, 0L)
+
+    val before = spark.read.parquet(affected: _*).count()
+    val tmp = path.stripSuffix("/") + "__erase_tmp"
+    val kept = spark.read.parquet(affected: _*)
+      .filter(!col(key).cast("long").isin(deleteKeys: _*))
+    // keep the file granularity of the region being rewritten
+    kept.repartitionByRange(affected.length, kept.col(key))
+      .sortWithinPartitions(kept.col(key))
+      .write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+
+    affected.foreach { f =>
+      fs.delete(new Path(new java.net.URI(f)), false)
+    }
+    fs.listStatus(new Path(tmp)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+    fs.delete(new Path(tmp), true)
+    EraseReport(bands.length, affected.length, before - after)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

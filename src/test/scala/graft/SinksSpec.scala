@@ -160,6 +160,52 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/t").count() === afterCount)
   }
 
+  test("targeted erasure rewrites only the key-band files; the rest keep their identity") {
+    import spark.implicits._
+    val dir = tmp() + "/clustered"
+    // 800 users × 10 rows, clustered on user_id into 8 narrow-band files
+    val df = (0L until 8000L).map(i => (i % 800, s"row$i")).toDF("user_id", "payload")
+    graft.sources.Warehouse.writeClustered(df, dir, 8, "user_id")
+    def files(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(s => s.getPath.getName -> ((s.getLen, s.getModificationTime))).toMap
+    }
+    val before = files()
+    assert(before.size === 8)
+
+    // three users from one narrow key band
+    val doomed = Seq(5L, 7L, 11L)
+    val r = graft.sources.Warehouse.eraseKeys(spark, dir, "user_id", doomed)
+    assert(r.filesTotal === 8)
+    assert(r.filesRewritten <= 2,
+      s"band pruning must localize the rewrite, touched ${r.filesRewritten}/8")
+    assert(r.rowsDeleted === 30)
+
+    // survivors: exact content equality with the anti-join truth
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 8000 - 30)
+    val got = out.collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    val expect = df.filter(!col("user_id").isin(doomed: _*))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got === expect)
+
+    // untouched files were not rewritten: same name, length, mtime
+    val after = files()
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.size === 8 - r.filesRewritten)
+    survivors.foreach(n => assert(after(n) === before(n), s"file $n changed"))
+
+    // idempotent: a second pass finds the bands again but deletes 0 rows
+    assert(graft.sources.Warehouse.eraseKeys(spark, dir, "user_id", doomed)
+      .rowsDeleted === 0L)
+    // a key outside every band touches nothing at all
+    assert(graft.sources.Warehouse.eraseKeys(spark, dir, "user_id", Seq(100000L))
+      .filesRewritten === 0)
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
