@@ -16,6 +16,42 @@ object SetQuantile {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // A15b — grouped exact quantiles at a HIGH-CARDINALITY key: per
+    // user, exact median (interpolated) + nearest-rank p90 over the
+    // user's own readings. This is the cardinality regime where
+    // per-group buffering is CORRECT: the collected array is one
+    // user's history (the same bound sessionize's window carries),
+    // there are ~|users| groups spread across reducers, and the sort
+    // is in-group. Contrast events_quantiles (A15), where ~5
+    // corpus-sized groups force the range-sharded prefix primitive —
+    // the pair documents WHERE the line sits. Median of an even count
+    // is (a+b)/2.0 — one IEEE add + an exact halving, same op order
+    // in both engines; p90 is nearest-rank ceil(0.9·n) (a real data
+    // value, the winsor rule), so no interpolation drift anywhere.
+    QueryDef(
+      "user_quantiles",
+      """WITH l AS (SELECT user_id, COUNT(*) AS n, list_sort(list(value)) AS vs
+        |           FROM events WHERE value IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n,
+        |       CASE WHEN n % 2 = 1 THEN vs[CAST((n + 1) // 2 AS BIGINT)]
+        |            ELSE (vs[CAST(n // 2 AS BIGINT)] + vs[CAST(n // 2 + 1 AS BIGINT)]) / 2.0
+        |       END AS med,
+        |       vs[CAST(ceil(0.9 * CAST(n AS DOUBLE)) AS BIGINT)] AS p90
+        |FROM l""".stripMargin) { (spark, dir) =>
+      Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(countAll.as("n"), sort_array(collect_list(col("value"))).as("vs"))
+        .select(col("user_id"), col("n"),
+          when(col("n") % 2 === 1,
+            element_at(col("vs"), expr("(n + 1) div 2").cast("int")))
+            .otherwise((element_at(col("vs"), expr("n div 2").cast("int"))
+              + element_at(col("vs"), expr("n div 2 + 1").cast("int"))) / lit(2.0))
+            .as("med"),
+          element_at(col("vs"),
+            ceil(lit(0.9) * col("n").cast("double")).cast("int")).as("p90"))
+    },
+
     // A15 — exact interpolated quantiles per group (linear interp,
     // the same definition as DuckDB's quantile_cont / Spark's
     // percentile()). NOT computed with percentile(): that aggregate is

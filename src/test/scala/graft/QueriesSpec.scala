@@ -563,6 +563,29 @@ class QueriesSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("skew_profile separates per-key volume from within-column imbalance") {
+    val rows = SparkEntry.queries("skew_profile")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("key_col") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"), r.getAs[Long]("max_cnt"),
+          r.getAs[String]("top_key"), r.getAs[Double]("skew")))).toMap
+    val et = rows("event_type")
+    val uid = rows("user_id")
+    assert(et._1 === uid._1, "both profiles cover the same table")
+    // event_type's hotness is per-key VOLUME (~5 keys carry everything);
+    // the skew factor measures imbalance AMONG a column's keys and is
+    // >= 1 by construction for both
+    assert(et._2 < 10 && uid._2 > 10)
+    assert(et._3 > uid._3, "the low-cardinality column's hottest key carries more rows")
+    assert(et._5 >= 1.0 - 1e-6 && uid._5 >= 1.0 - 1e-6)
+    assert(et._4 != null && uid._4 != null)
+  }
+
+  test("user_quantiles brackets are ordered and sized by the user's history") {
+    val bad = SparkEntry.queries("user_quantiles")(spark, sf0001)
+      .filter(col("med") > col("p90") || col("n") < 1)
+    assert(bad.count() === 0)
+  }
+
   test("trade_pagerank matches a driver-side integer power iteration") {
     val got = SparkEntry.queries("trade_pagerank")(spark, sf0001).collect()
       .map(r => r.getAs[String]("n_name") -> r.getAs[Long]("mass")).toMap
