@@ -418,6 +418,38 @@ object Analytics {
             quant6(z).as("zscore"))
     },
 
+    // A43 — ratio-to-report (percent-of-total): each (day, type)
+    // cell's share of its day and of the whole table — the BI
+    // normalization every dashboard applies. The safe shape is
+    // two-level: aggregate the corpus FIRST (one mergeable groupBy to
+    // ≤ |days|·|types| rows), then run the share windows on the tiny
+    // aggregate — the events_growth rule. Windowing the raw rows by
+    // day (~30 corpus-sized partitions) or by () would be the
+    // low-cardinality reducer hazard; windowing the aggregate is a
+    // few hundred rows on one node by design. Shares divide exact
+    // BIGINTs in one double op (same order both engines, quant6'd).
+    QueryDef(
+      "events_share",
+      s"""WITH d AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         |                 event_type, COUNT(*) AS n
+         |           FROM events GROUP BY 1, 2)
+         |SELECT day, event_type, n,
+         |       ${Quant6Sql("CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY day) AS DOUBLE)")} AS pct_of_day,
+         |       ${Quant6Sql("CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)")} AS pct_of_total
+         |FROM d""".stripMargin) { (spark, dir) =>
+      val daily = Tables.events(spark, dir)
+        .groupBy(fmtDay(col("ts")).as("day"), col("event_type"))
+        .agg(countAll.as("n"))
+      val wDay = Window.partitionBy(col("day"))
+      val wAll = Window.partitionBy()
+      daily
+        .select(col("day"), col("event_type"), col("n"),
+          quant6(col("n").cast("double")
+            / sum(col("n")).over(wDay).cast("double")).as("pct_of_day"),
+          quant6(col("n").cast("double")
+            / sum(col("n")).over(wAll).cast("double")).as("pct_of_total"))
+    },
+
     // A13 — time-bucketed aggregation over the event stream table.
     QueryDef(
       "events_hourly",
