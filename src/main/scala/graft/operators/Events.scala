@@ -216,6 +216,62 @@ object Events {
           sum(when(col("delta") === 1, 1).otherwise(0)).as("n_started"))
     },
 
+    // A44 — leakage-free point-in-time FEATURE join (the feature-store
+    // shape): daily per-user feature snapshots (count + decimal value
+    // sum over day D) become visible at feat_ts = D+1 00:00, and each
+    // purchase label joins the LATEST snapshot with feat_ts ≤ label
+    // ts — so a training example can never see data from its own day
+    // forward (temporal leakage, the classic ML-pipeline bug). The
+    // oracle is DuckDB's NATIVE `ASOF LEFT JOIN`; the Spark side is
+    // the engine's as-of rewrite (asof_purchase's tagged-union
+    // window) generalized to a two-table join: features and labels
+    // union into one per-user stream ordered by (t, kind, id) — the
+    // kind tiebreak makes a snapshot visible at exactly its
+    // publication instant — and a null-skipping last() carries the
+    // newest snapshot onto every label. Two user-keyed shuffles (the
+    // snapshot aggregate, the window), no join node at all; labels
+    // with no prior snapshot keep NULL features (left semantics).
+    QueryDef(
+      "feature_asof",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |f AS (SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS ft,
+        |             COUNT(*) AS feat_n,
+        |             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS feat_value
+        |      FROM e GROUP BY user_id, date_trunc('day', ts)),
+        |l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        |       strftime(f.ft, '%Y-%m-%d %H:%M:%S') AS feat_ts,
+        |       f.feat_n, f.feat_value
+        |FROM l ASOF LEFT JOIN f
+        |  ON l.user_id = f.user_id AND l.ts >= f.ft""".stripMargin) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val feats = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(countAll.as("feat_n"), sum(dec(col("value"))).as("fv"))
+        .select(col("user_id"), (col("day") + expr("interval 1 day")).as("t"),
+          lit(1).as("is_feat"), lit(-1L).as("event_id"),
+          col("feat_n"), col("fv").cast("double").as("feat_value"))
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t"),
+          lit(0).as("is_feat"), col("event_id"),
+          lit(null).cast("long").as("feat_n"), lit(null).cast("double").as("feat_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_feat").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      feats.unionByName(labels)
+        .withColumn("snap",
+          last(when(col("is_feat") === 1,
+            struct(col("t"), col("feat_n"), col("feat_value"))),
+            ignoreNulls = true).over(w))
+        .filter(col("is_feat") === 0)
+        .select(col("event_id"), col("user_id"),
+          fmtTs(col("t")).as("event_time"),
+          fmtTs(col("snap").getField("t")).as("feat_ts"),
+          col("snap").getField("feat_n").as("feat_n"),
+          col("snap").getField("feat_value").as("feat_value"))
+    },
+
     // A17 — as-of (temporal) join: for every non-purchase event, the
     // user's most recent purchase at-or-before it. Expressed as ONE
     // windowed pass over the union stream (max-over-preceding-rows of

@@ -586,6 +586,25 @@ class QueriesSpec extends SparkSuite {
     assert(bad.count() === 0)
   }
 
+  test("feature_asof never exposes a snapshot published after the label") {
+    val rows = SparkEntry.queries("feature_asof")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var matched = 0
+    rows.foreach { r =>
+      val ft = r.getAs[String]("feat_ts")
+      if (ft != null) {
+        matched += 1
+        // same format → lexicographic == chronological; equality is
+        // legal (a snapshot is visible at exactly its publication)
+        assert(ft <= r.getAs[String]("event_time"), s"leak on ${r}")
+        assert(r.getAs[Long]("feat_n") > 0)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("feat_n")), "null snapshot must mean null features")
+      }
+    }
+    assert(matched > 0, "the check is vacuous if no label has a prior snapshot")
+  }
+
   test("trade_pagerank matches a driver-side integer power iteration") {
     val got = SparkEntry.queries("trade_pagerank")(spark, sf0001).collect()
       .map(r => r.getAs[String]("n_name") -> r.getAs[Long]("mass")).toMap
