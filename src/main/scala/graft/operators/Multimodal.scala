@@ -348,25 +348,26 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
-  /** Image near-duplicate pairs over the aHash signatures — the
-    * dedup_simhash pigeonhole on pixels instead of tokens: hamming
-    * distance ≤ 3 across 64 bits means at most 3 of the 4 16-bit
-    * blocks differ, so every qualifying pair shares ≥ 1 block
-    * verbatim. Candidates therefore come from a plain equi-join on
-    * (block index, block value) — never an all-pairs comparison — and
-    * the exact hamming verify is one codegen'd bit_count(xor) per
-    * candidate. Same-block fan-out is the corpus's own near-dup
-    * structure (solid/flat images that legitimately share a block);
-    * MultimodalSpec proves the pair set equals a brute-force
-    * driver-side sweep. */
-  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 16-bit blocks only cover hamming <= 3")
-    val hashes = imageAHash(media)
+  /** The pigeonhole near-dup join shared by image aHash and audio
+    * envelope fingerprints — dedup_simhash's argument on media bits:
+    * hamming distance ≤ nBlocks−1 means at most nBlocks−1 blocks
+    * differ, so every qualifying pair shares ≥ 1 block verbatim.
+    * Candidates come from a plain equi-join on (block index, block
+    * value) — never an all-pairs comparison — and the exact verify is
+    * one codegen'd bit_count(xor) per candidate. Same-block fan-out
+    * is the corpus's own near-dup structure; MultimodalSpec proves
+    * the pair set equals a brute-force driver-side sweep for both
+    * modalities. `hashes` must carry (doc_id, h). */
+  private def hammingBandPairs(hashes: DataFrame, nBlocks: Int, blockBits: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"$nBlocks blocks only cover hamming <= ${nBlocks - 1}")
+    val mask = (1L << blockBits) - 1
     def bands(side: String) = hashes
-      .select(col("doc_id").as(s"doc_$side"), col("ahash").as(s"h_$side"),
-        explode(sequence(lit(0), lit(3))).as("block_idx"))
+      .select(col("doc_id").as(s"doc_$side"), col("h").as(s"h_$side"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("block_idx"))
       .withColumn("block_val",
-        expr(s"shiftrightunsigned(h_$side, 16 * block_idx) & 65535"))
+        expr(s"shiftrightunsigned(h_$side, $blockBits * block_idx) & $mask"))
     bands("a")
       .join(bands("b"), Seq("block_idx", "block_val"))
       .filter(col("doc_a") < col("doc_b"))
@@ -377,6 +378,71 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Image near-duplicate pairs over the aHash signatures: 4 16-bit
+    * blocks cover hamming ≤ 3 over the 64-bit hash. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(imageAHash(media).withColumnRenamed("ahash", "h"),
+      nBlocks = 4, blockBits = 16, maxHamming = maxHamming)
+
+  /** Temporal-envelope fingerprint of WAV payloads, amplitude-scale
+    * INVARIANT by construction: the decoded PCM16 stream splits into
+    * 32 equal segments, and bit i is set iff segment i+1's |amplitude|
+    * sum exceeds segment i's (31 bits used). Comparing integer segment
+    * sums — no division, no floating point — means a volume-scaled
+    * copy (samples ×k, no clipping) produces the IDENTICAL
+    * fingerprint: scaling multiplies both sides of every comparison.
+    * Non-WAV / undecodable / too-short payloads are dropped. Runs in
+    * the decodeMedia per-partition codec seam. */
+  def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val nSeg = 32
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val samplesOpt =
+          if (r.fmt != "wav") None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val f = ais.getFormat
+            if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              || f.getSampleSizeInBits != 16) None
+            else {
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              if (n < nSeg) None
+              else Some(Array.tabulate(n) { i =>
+                if (f.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+                else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+              })
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        samplesOpt.map { s =>
+          val seg = new Array[Long](nSeg)
+          var i = 0
+          while (i < s.length) {
+            // equal-width segments; the last partial block folds into
+            // segment nSeg-1 deterministically via the min
+            seg(math.min((i * nSeg) / s.length, nSeg - 1)) += math.abs(s(i).toInt)
+            i += 1
+          }
+          var h = 0L
+          var k = 0
+          while (k < nSeg - 1) {
+            if (seg(k + 1) > seg(k)) h |= (1L << k)
+            k += 1
+          }
+          (r.doc_id, h)
+        }
+      }
+    }.toDF("doc_id", "h")
+  }
+
+  /** Audio near-duplicate pairs over the envelope fingerprints: 4
+    * 8-bit blocks cover hamming ≤ 3 over the 31 used bits. */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(audioFingerprint(media),
+      nBlocks = 4, blockBits = 8, maxHamming = maxHamming)
 
   /** Frame/chunk sampling: split each payload into fixed-size chunks →
     * one row per sampled chunk (every `stride`-th), columnar explode. */

@@ -255,6 +255,46 @@ class MultimodalSpec extends SparkSuite {
     assert(hs.forall(_._1 != 999L))
   }
 
+  test("audioNearDupPairs equals a brute-force sweep; volume scaling is hash-invariant") {
+    import spark.implicits._
+    // textured envelopes: 32 segments of 8 samples, per-segment
+    // amplitude from integer mixing (alternating sign, no clipping)
+    def clip(i: Int): Array[Short] = Array.tabulate(256) { j =>
+      val seg = j / 8
+      val amp = 200 + ((seg * 31 + i * 997) * 131) % 8000
+      (if (j % 2 == 0) amp else -amp).toShort
+    }
+    val base = (0 until 25).map(i => Multimodal.MediaRow(i.toLong,
+      Multimodal.encodeWavPcm16(clip(i), Multimodal.WavRate), "wav", 0, 0))
+    // volume-doubled copies: every segment-sum comparison scales by 2,
+    // so the fingerprint is IDENTICAL by construction, not by luck
+    val scaled = (0 until 5).map { i =>
+      val s = clip(i).map(v => (v * 2).toShort)
+      Multimodal.MediaRow(100L + i,
+        Multimodal.encodeWavPcm16(s, Multimodal.WavRate), "wav", 0, 0)
+    }
+    val noise = Seq(Multimodal.MediaRow(999L, "not a wav".getBytes("UTF-8"), "png", 0, 0))
+    val media = (base ++ scaled ++ noise).toDS()
+
+    val pairsDf = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+    pairsDf.collect()
+    assert(!pairsDf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = pairsDf.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+      .toSet
+    val hs = Multimodal.audioFingerprint(media).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    val truth = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === truth)
+    (0 until 5).foreach { i =>
+      assert(got.contains((i.toLong, 100L + i, 0)), s"volume-scaled dup $i not found")
+    }
+    assert(hs.forall(_._1 != 999L), "non-audio rows must not reach the hash stage")
+  }
+
   test("sampleChunks explodes payloads into strided fixed-size chunks") {
     val media = Multimodal.attachMedia(spark, sf0001)
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 32, stride = 2)
