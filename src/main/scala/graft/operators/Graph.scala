@@ -108,5 +108,64 @@ object Graph {
       mFinal
         .join(broadcast(nation), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("mass"))
+    },
+
+    // A45 — hierarchical rollup (the recursive-CTE capability Spark
+    // lacks natively): every part hangs in a synthesized quaternary
+    // tree (parent = partkey div 4, roots 1..3), and the query rolls
+    // subtree size, subtree retail value, and max depth up to each
+    // root. The engine answer to recursion is POINTER DOUBLING on the
+    // ancestor closure: round r extends every known (node, ancestor)
+    // pair with the ancestor's own known ancestors, so covered depth
+    // doubles per round — 5 rounds reach depth 2⁵ = 32, i.e. 4³² keys
+    // in this tree, unconditionally enough (the dedup_clusters
+    // fixed-round argument; each round is one keyed self-join +
+    // distinct, localCheckpoint'd so lineage stays flat and
+    // superseded rounds free). Closure size is N·depth — the
+    // log-depth materialization a sequential parent-walk (depth
+    // keyed joins) would spread over ~9 serial rounds at this SF.
+    // The oracle is DuckDB's native WITH RECURSIVE walking each
+    // node's parent chain — recursion semantics proven, not imitated.
+    // Depth-0 roots keep themselves (left join + coalesce); min(anc)
+    // IS the root because parents strictly decrease along the chain.
+    QueryDef(
+      "part_hierarchy",
+      """WITH RECURSIVE anc AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS node, CAST(p_partkey // 4 AS BIGINT) AS anc
+        |  FROM part WHERE p_partkey // 4 >= 1
+        |  UNION ALL
+        |  SELECT node, anc // 4 FROM anc WHERE anc // 4 >= 1),
+        |pa AS (SELECT node, MIN(anc) AS root, COUNT(*) AS depth FROM anc GROUP BY node),
+        |f AS (SELECT CAST(p.p_partkey AS BIGINT) AS node,
+        |             COALESCE(pa.root, CAST(p.p_partkey AS BIGINT)) AS root,
+        |             COALESCE(pa.depth, 0) AS depth, p.p_retailprice
+        |      FROM part p LEFT JOIN pa ON CAST(p.p_partkey AS BIGINT) = pa.node)
+        |SELECT root, COUNT(*) AS n_nodes,
+        |       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS subtree_retail,
+        |       CAST(MAX(depth) AS BIGINT) AS max_depth
+        |FROM f GROUP BY root""".stripMargin) { (spark, dir) =>
+      val part = Tables.part(spark, dir)
+        .select(col("p_partkey").cast("long").as("node"), col("p_retailprice"))
+      val edges = part
+        .select(col("node"), expr("node div 4").as("anc"))
+        .filter(col("anc") >= 1)
+      var closure = edges.localCheckpoint(true)
+      for (_ <- 1 to 5) {
+        val jumped = closure.as("x")
+          .join(closure.as("y"), col("x.anc") === col("y.node"))
+          .select(col("x.node").as("node"), col("y.anc").as("anc"))
+        closure = closure.unionByName(jumped).distinct().localCheckpoint(true)
+      }
+      val pa = closure.groupBy(col("node"))
+        .agg(min(col("anc")).as("root"), countAll.as("depth"))
+      part.join(pa, Seq("node"), "left")
+        .select(
+          coalesce(col("root"), col("node")).as("root"),
+          coalesce(col("depth"), lit(0L)).as("depth"),
+          col("p_retailprice"))
+        .groupBy(col("root"))
+        .agg(countAll.as("n_nodes"),
+          dsum(col("p_retailprice")).as("subtree_retail"),
+          max(col("depth")).cast("long").as("max_depth"))
     })
 }

@@ -636,6 +636,24 @@ class QueriesSpec extends SparkSuite {
     assert(got === mass.map { case (k, m) => nations(k) -> m })
   }
 
+  test("part_hierarchy conserves the part table and matches a driver-side parent walk") {
+    val got = SparkEntry.queries("part_hierarchy")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("root") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("max_depth")))).toMap
+    val keys = graft.sources.Tables.part(spark, sf0001)
+      .select(col("p_partkey").cast("long")).collect().map(_.getLong(0))
+    // driver truth: walk each key's parent chain (k div 4) to its root
+    val truth = keys.map { k =>
+      var n = k; var d = 0L
+      while (n / 4 >= 1) { n = n / 4; d += 1 }
+      (n, d)
+    }
+    val byRoot = truth.groupBy(_._1)
+      .map { case (r, xs) => r -> ((xs.length.toLong, xs.map(_._2).max)) }
+    assert(got === byRoot)
+    assert(got.values.map(_._1).sum === keys.length.toLong, "every part in exactly one subtree")
+  }
+
   test("events_resample tiles each user's span and forward-fills exactly") {
     val got = SparkEntry.queries("events_resample")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day"),
