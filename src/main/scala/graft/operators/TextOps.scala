@@ -159,6 +159,83 @@ object TextOps {
       scoreQuality(Tables.documents(spark, dir))
     },
 
+    // L28 — set-similarity join with PREFIX FILTERING (the PPJoin-lite
+    // of Chaudhuri et al. 2006 / Xiao et al. 2008) over 5-gram
+    // shingle sets, Jaccard ≥ 0.7, NO blocking attribute and NO LSH:
+    // the third candidate-generation strategy beside dedup_minhash's
+    // band keys and text_ngram_jaccard's source blocks — and this one
+    // is EXACT (no probabilistic recall). Shingles get a GLOBAL
+    // rarity order (ascending document frequency, hash tiebreak);
+    // each doc exposes only its first p = n − ceil(0.7·n) + 1 rarest
+    // shingles. The theorem: J(x,y) ≥ τ forces overlap o ≥ ceil(τ·|x|)
+    // and ≥ ceil(τ·|y|), and the smallest common shingle in the
+    // global order then sits within BOTH prefixes (position ≤
+    // |·| − o + 1 ≤ p), so the prefix⋈prefix equi-join is COMPLETE.
+    // Because the order is ascending-df, join keys are the RARE
+    // shingles — boilerplate sorts to the suffix and never generates
+    // candidates, the viral-shingle problem blocking itself. Verify
+    // is exact per-pair array_intersect (arrays bounded by doc
+    // length); the τ gate is the INTEGER cross-multiplication
+    // 10·o ≥ 7·union and the prefix length is (7n+9) div 10 — no
+    // floating-point boundary anywhere. The oracle runs the OTHER
+    // algorithm (brute-force shingle join over all pairs) — same
+    // output, different plan, the fuzzy_match rule.
+    QueryDef(
+      "text_ppjoin",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1:i.i + 5], ' ') AS shingle
+         |       FROM t, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
+         |       WHERE i.i <= greatest(len(tk) - 5, 0)),
+         |ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |j AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+         |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, CAST(n_common AS BIGINT) AS n_common,
+         |       floor((CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE)) * 1000000.0) / 1000000.0 AS jaccard
+         |FROM j JOIN ns na ON na.doc_id = j.da JOIN ns nb ON nb.doc_id = j.db
+         |WHERE 10 * n_common >= 7 * (na.n + nb.n - n_common)""".stripMargin) { (spark, dir) =>
+      // same md5-word shingle relation as text_ngram_jaccard (minus
+      // the source column): 16-byte join keys, tokenize-once
+      val sh = Dedup.tokenized(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, least(greatest(size(tk) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
+              "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+        .distinct()
+      val df_ = sh.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
+      // per-doc shingles in global (df, h1, h2) rarity order; arrays
+      // bounded by the doc's own shingle count
+      val sorted = sh.join(df_, Seq("h1", "h2"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h1"), col("h2")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, s -> struct(s.h1, s.h2))").as("tks"),
+          size(col("st")).cast("long").as("n"))
+      val prefix = sorted.select(col("doc_id"),
+        explode(expr("slice(tks, 1, cast(n - (7 * n + 9) div 10 + 1 as int))")).as("p"))
+        .select(col("doc_id"), col("p.h1").as("ph1"), col("p.h2").as("ph2"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.ph1") === col("b.ph1") && col("a.ph2") === col("b.ph2")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(sorted.select(col("doc_id").as("doc_a"),
+          col("tks").as("ta"), col("n").as("na")), "doc_a")
+        .join(sorted.select(col("doc_id").as("doc_b"),
+          col("tks").as("tb"), col("n").as("nb")), "doc_b")
+        .withColumn("n_common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .filter(lit(10) * col("n_common") >= lit(7) * (col("na") + col("nb") - col("n_common")))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          quant6(col("n_common").cast("double")
+            / (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
+    },
+
     // L11 — document fingerprinting: content hash + prefix rolling hash.
     QueryDef(
       "text_fingerprint",

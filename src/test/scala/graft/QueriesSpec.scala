@@ -557,6 +557,27 @@ class QueriesSpec extends SparkSuite {
     assert(truth.nonEmpty, "the check is vacuous if no close pairs exist")
   }
 
+  test("text_ppjoin equals a brute-force all-pairs Jaccard sweep (prefix completeness)") {
+    val got = SparkEntry.queries("text_ppjoin")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_common")).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tk = r.getAs[String]("text").split(" ", -1)
+        val starts = 0 to math.min(math.max(tk.length - 5, 0), 4095)
+        r.getAs[Long]("doc_id") ->
+          starts.map(i => tk.slice(i, i + 5).mkString(" ")).toSet
+      }
+    val truth = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      o = (sa & sb).size.toLong
+      if 10 * o >= 7 * (sa.size + sb.size - o)
+    } yield (a, b) -> o).toMap
+    assert(got === truth)
+    assert(truth.nonEmpty, "the check is vacuous if no pair clears the threshold")
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
