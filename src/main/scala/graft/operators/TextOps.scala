@@ -236,6 +236,50 @@ object TextOps {
             / (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
     },
 
+    // L29 — weighted (PPS) sampling for training-mix construction:
+    // systematic probability-proportional-to-size selection — one doc
+    // per 4096-token stride of the md5-shuffled corpus, so a doc's
+    // selection probability is proportional to its length and the
+    // sample is DETERMINISTIC (same corpus → same sample, the
+    // text_sample reproducibility rule extended to weights). The
+    // classic weighted-reservoir alternative (exponential clocks,
+    // u^(1/w) keys) needs ln/pow — libm drift, unhashable; systematic
+    // PPS needs only an ordered prefix sum and integer division:
+    // select iff the doc's cumulative interval (c−w, c] crosses a
+    // stride multiple, i.e. c div 4096 > (c−w) div 4096. The global
+    // running sum is `Distributed.globalRunning` (range shards +
+    // broadcast offsets — a plain ORDER BY window would drag the
+    // corpus through one reducer); the md5 order decorrelates
+    // position from content. Passenger columns (lang) join back by
+    // doc_id per the primitive's contract.
+    QueryDef(
+      "text_pps_sample",
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS w,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS m
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, w,
+        |             SUM(w) OVER (ORDER BY m, doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |      FROM d)
+        |SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens,
+        |       CAST(c AS BIGINT) AS cum_tokens,
+        |       CAST(c // 4096 AS BIGINT) AS sample_idx
+        |FROM c WHERE c // 4096 > (c - w) // 4096""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val d = docs.select(
+        lit("all").as("g"),
+        md5(col("doc_id").cast("string")).as("m"),
+        col("doc_id"),
+        size(toks).cast("long").as("w"))
+      Distributed.globalRunning(d, grp = Seq("g"), ord = Seq("m", "doc_id"),
+          valueCol = Some("w"))
+        .filter(expr("g_run div 4096 > (g_run - w) div 4096"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("w").as("n_tokens"),
+          col("g_run").cast("long").as("cum_tokens"),
+          expr("g_run div 4096").cast("long").as("sample_idx"))
+    },
+
     // L11 — document fingerprinting: content hash + prefix rolling hash.
     QueryDef(
       "text_fingerprint",

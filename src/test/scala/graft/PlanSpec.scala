@@ -238,7 +238,7 @@ class PlanSpec extends SparkSuite {
     // separate range exchanges they could draw different bounds and
     // disagree on __pid. Exchange reuse must collapse them.
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
-        "events_concurrency").foreach { q =>
+        "events_concurrency", "text_pps_sample").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>

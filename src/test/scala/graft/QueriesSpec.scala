@@ -578,6 +578,27 @@ class QueriesSpec extends SparkSuite {
     assert(truth.nonEmpty, "the check is vacuous if no pair clears the threshold")
   }
 
+  test("text_pps_sample matches a driver-side systematic-PPS walk") {
+    val got = SparkEntry.queries("text_pps_sample")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("sample_idx")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length.toLong)
+      .sortBy { case (id, _) => (graft.functions.Portable.md5Hex(id.toString), id) }
+    var c = 0L
+    val truth = docs.flatMap { case (id, w) =>
+      val lo = c; c += w
+      if (c / 4096 > lo / 4096) Some(id -> ((w, c, c / 4096))) else None
+    }.toMap
+    assert(got === truth)
+    // systematic PPS covers every full stride exactly once
+    assert(truth.size.toLong === c / 4096, "one selected doc per crossed stride tail")
+    assert(truth.values.map(_._3).toSeq.distinct.size === truth.size)
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
