@@ -170,6 +170,78 @@ object Stats {
           min(col("value")).as("lo_value"), max(col("value")).as("hi_value"))
     },
 
+    // A46 — chi-squared independence test (event_type × day-of-week):
+    // the categorical counterpart of A25's continuous moments. Counts,
+    // marginals and N are exact integers from mergeable aggregates
+    // over the ≤ r·c cell grid (the FULL grid — absent cells enter
+    // with o = 0, contributing e — via a bounded r×c cross join of
+    // the two marginal tables, the events_histogram bounded-broadcast
+    // shape). The χ² reduction Σ (o−e)²/e is a sum of DOUBLES, which
+    // GROUP BY would add in nondeterministic partial order (the
+    // Portable.dsum hazard with no decimal escape since e is a
+    // ratio); instead the ≤35 cells fold LEFT in a fixed (type, dow)
+    // sort — Spark `aggregate` over sort_array ≙ DuckDB list_reduce
+    // over list(ORDER BY), the events_ewma rule — so every add runs
+    // in the same order in both engines and the statistic is
+    // bit-identical before the final quant6. Day-of-week is pure
+    // integer epoch arithmetic ((eday+4) mod 7), no engine calendar
+    // function. dof = (r−1)(c−1).
+    QueryDef(
+      "events_chisq",
+      s"""WITH e AS (SELECT event_type,
+         |                  (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow
+         |           FROM events),
+         |o AS (SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ri FROM o GROUP BY 1),
+         |c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS cj FROM o GROUP BY 1),
+         |grid AS (SELECT r.event_type, c.dow, r.ri, c.cj,
+         |                CAST(COALESCE(o.o, 0) AS BIGINT) AS o
+         |         FROM r CROSS JOIN c
+         |         LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow),
+         |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+         |f AS (SELECT list(struct_pack(et := event_type, dow := dow, o := o,
+         |                              ri := ri, cj := cj)
+         |                  ORDER BY event_type, dow) AS cs,
+         |             COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc
+         |      FROM grid)
+         |SELECT n.n,
+         |       CAST((f.nr - 1) * (f.nc - 1) AS BIGINT) AS dof,
+         |       ${Quant6Sql(
+               """list_reduce(
+                 |  list_transform(f.cs, x ->
+                 |    (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 |    * (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 |    / (CAST(x.ri * x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))),
+                 |  (a, b) -> a + b)""".stripMargin)} AS chi2
+         |FROM f, n""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      val o = e.groupBy(col("event_type"), col("dow")).agg(countAll.as("o"))
+      val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("ri"))
+      val c = o.groupBy(col("dow")).agg(sum(col("o")).as("cj"))
+      val grid = r.crossJoin(broadcast(c))
+        .join(o, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("dow"), col("ri"), col("cj"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      grid.agg(
+        sort_array(collect_list(struct(col("event_type").as("et"), col("dow"),
+          col("o"), col("ri"), col("cj")))).as("cs"),
+        sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("nr"),
+        countDistinct(col("dow")).as("nc"))
+        .select(
+          col("n").cast("long").as("n"),
+          ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+          quant6(expr(
+            """aggregate(
+              |  transform(cs, x ->
+              |    (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n AS DOUBLE))
+              |    / (CAST(x.ri * x.cj AS DOUBLE) / CAST(n AS DOUBLE))),
+              |  cast(0 as double), (a, b) -> a + b)""".stripMargin)).as("chi2"))
+    },
+
     // A28 — winsorized (robust) aggregation: clip each group's values
     // into its own [p05, p95] band before averaging — the standard
     // outlier-robust mean for metrics/quality pipelines. Clip bounds

@@ -112,4 +112,30 @@ class StatsSpec extends SparkSuite {
       }
     }
   }
+
+  test("events_chisq matches a driver-side fold over the full contingency grid") {
+    val row = SparkEntry.queries("events_chisq")(spark, sf0001).collect()(0)
+    val (n, dof, chi2) = (row.getAs[Long]("n"), row.getAs[Long]("dof"),
+      row.getAs[Double]("chi2"))
+    val cells = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy("event_type", "dow").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")) ->
+        r.getAs[Long]("count")).toMap
+    val types = cells.keys.map(_._1).toSeq.distinct.sorted
+    val dows = cells.keys.map(_._2).toSeq.distinct.sorted
+    val nn = cells.values.sum
+    assert(n === nn)
+    assert(dof === (types.size - 1).toLong * (dows.size - 1))
+    val ri = types.map(t => t -> dows.map(d => cells.getOrElse((t, d), 0L)).sum).toMap
+    val cj = dows.map(d => d -> types.map(t => cells.getOrElse((t, d), 0L)).sum).toMap
+    var acc = 0.0
+    for (t <- types; d <- dows) {
+      val e = (ri(t) * cj(d)).toDouble / nn.toDouble
+      val o = cells.getOrElse((t, d), 0L).toDouble
+      acc += (o - e) * (o - e) / e
+    }
+    assert(chi2 === math.floor(acc * 1e6) / 1e6)
+  }
 }
