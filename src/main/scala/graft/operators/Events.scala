@@ -272,6 +272,51 @@ object Events {
           col("snap").getField("feat_value").as("feat_value"))
     },
 
+    // A47 — time-weighted average (TWAP): per user, the mean of the
+    // value-as-a-step-function over the observation span — the
+    // metric/finance average that ignores sampling cadence (a reading
+    // held for an hour weighs 60× one held a minute, where the plain
+    // mean would count them equally). Each reading carries to the
+    // NEXT reading (lead over one user-keyed window, in-partition);
+    // the integral Σ value·Δt is an EXACT DECIMAL×BIGINT product sum
+    // (order-independent — no fold needed, unlike events_chisq's
+    // ratio terms), and only the final integral/span division runs in
+    // double. Users with one reading have no span and are excluded
+    // (0/0 is not an average). One shuffle on the high-cardinality
+    // user_id.
+    QueryDef(
+      "events_twap",
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+         |           FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT user_id, value,
+         |             epoch_us(ts) AS t,
+         |             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tn
+         |      FROM e),
+         |g AS (SELECT user_id,
+         |             SUM(CAST(value AS DECIMAL(12,2)) * (tn - t)) AS num,
+         |             CAST(SUM(tn - t) AS BIGINT) AS span_us,
+         |             COUNT(*) AS n_readings
+         |      FROM s WHERE tn IS NOT NULL GROUP BY user_id)
+         |SELECT user_id, n_readings + 1 AS n_readings, span_us,
+         |       ${Quant6Sql("CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE)")} AS twap
+         |FROM g WHERE span_us > 0""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("tn", lead(col("t"), 1).over(w))
+        .filter(col("tn").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(dec(col("value")) * (col("tn") - col("t"))).as("num"),
+          sum(col("tn") - col("t")).cast("long").as("span_us"),
+          (countAll + 1).as("n_readings"))
+        .filter(col("span_us") > 0)
+        .select(col("user_id"), col("n_readings"), col("span_us"),
+          quant6(col("num").cast("double") / col("span_us").cast("double")).as("twap"))
+    },
+
     // A17 — as-of (temporal) join: for every non-purchase event, the
     // user's most recent purchase at-or-before it. Expressed as ONE
     // windowed pass over the union stream (max-over-preceding-rows of
