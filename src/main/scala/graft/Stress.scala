@@ -25,7 +25,7 @@ object Stress {
 
   private val StressQueries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_incremental", "dedup_clusters",
-    "text_ngram_jaccard", "text_substring_dedup", "text_tokens", "text_quality",
+    "text_ngram_jaccard", "text_ppjoin", "text_substring_dedup", "text_tokens", "text_quality",
     "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_ivf_pq", "ann_quantized", "ann_pq", "ann_bruteforce",
     "dedup_embed", "dedup_semantic")
 
