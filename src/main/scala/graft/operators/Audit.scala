@@ -309,6 +309,80 @@ object Audit {
         .agg(sum(col("cnt")).as("n_orders"), sum(col("s")).cast("double").as("total_price"))
     },
 
+    // A48 — golden-record consolidation (MDM survivorship): one
+    // customer profile from TWO source systems with field-level
+    // "latest non-null wins" (version, then source priority). The
+    // warehouse trio completes: scd2_history keeps versions,
+    // snapshot_merge applies one system's changes, THIS merges
+    // disagreeing systems. Survivorship is a per-field
+    // max(when(f IS NOT NULL, struct(version, prio, f))) argmax — a
+    // mergeable aggregate with map-side partials, ONE shuffle on the
+    // entity key, no window over the union and no per-field joins
+    // (the oracle does it the row_number-per-field way — same
+    // output, the fuzzy_match two-algorithms rule). (version, prio)
+    // is unique per (entity, row), so the argmax is total; a field
+    // null in every surviving source stays null. Sources are
+    // synthesized deterministically from md5 classes (the
+    // snapshot_diff classifier idiom).
+    QueryDef(
+      "golden_record", {
+        val unionCte =
+          """c AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+            |             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS cls
+            |      FROM customer),
+            |u AS (
+            |  SELECT c_custkey AS custkey, 10 AS v, 1 AS prio,
+            |         c_name AS name,
+            |         CASE WHEN cls IN ('0','1','2','3') THEN NULL ELSE c_acctbal END AS acctbal,
+            |         c_mktsegment AS mktsegment
+            |  FROM c
+            |  UNION ALL
+            |  SELECT c_custkey AS custkey, 20 AS v, 2 AS prio,
+            |         '+B ' || c_name AS name,
+            |         CASE WHEN cls = '4' THEN NULL ELSE c_acctbal + 100 END AS acctbal,
+            |         CAST(NULL AS VARCHAR) AS mktsegment
+            |  FROM c WHERE cls IN ('0','1','4','5'))""".stripMargin
+        def pick(f: String) =
+          s"""$f AS (SELECT custkey, $f FROM (
+             |  SELECT custkey, $f,
+             |         row_number() OVER (PARTITION BY custkey ORDER BY v DESC, prio DESC) AS rn
+             |  FROM u WHERE $f IS NOT NULL) t WHERE rn = 1)""".stripMargin
+        s"""WITH $unionCte,
+           |${pick("name")},
+           |${pick("acctbal")},
+           |${pick("mktsegment")},
+           |n AS (SELECT custkey, COUNT(*) AS n_sources FROM u GROUP BY custkey)
+           |SELECT n.custkey, p.name, a.acctbal, m.mktsegment, n.n_sources
+           |FROM n
+           |LEFT JOIN name p USING (custkey)
+           |LEFT JOIN acctbal a USING (custkey)
+           |LEFT JOIN mktsegment m USING (custkey)""".stripMargin
+      }) { (spark, dir) =>
+      val ccls = substring(md5(col("c_custkey").cast("string")), 1, 1)
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), ccls.as("cls"))
+      val srcA = c.select(
+        col("c_custkey").as("custkey"), lit(10).as("v"), lit(1).as("prio"),
+        col("c_name").as("name"),
+        when(col("cls").isin("0", "1", "2", "3"), lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))
+      val srcB = c.filter(col("cls").isin("0", "1", "4", "5")).select(
+        col("c_custkey").as("custkey"), lit(20).as("v"), lit(2).as("prio"),
+        concat(lit("+B "), col("c_name")).as("name"),
+        when(col("cls") === "4", lit(null).cast("double"))
+          .otherwise(col("c_acctbal") + 100).as("acctbal"),
+        lit(null).cast("string").as("mktsegment"))
+      def survive(f: String) =
+        max(when(col(f).isNotNull, struct(col("v"), col("prio"), col(f))))
+          .getField(f).as(f)
+      srcA.unionByName(srcB)
+        .groupBy(col("custkey"))
+        .agg(survive("name"), survive("acctbal"), survive("mktsegment"),
+          countAll.as("n_sources"))
+    },
+
     // A22 — one-pass numeric column profiling of the biggest fact.
     QueryDef(
       "profile_stats", {

@@ -696,6 +696,37 @@ class QueriesSpec extends SparkSuite {
     assert(got.values.map(_._1).sum === keys.length.toLong, "every part in exactly one subtree")
   }
 
+  test("golden_record applies field-level survivorship per source membership") {
+    val rows = SparkEntry.queries("golden_record")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        ((r.getAs[String]("name"), r.getAs[java.lang.Double]("acctbal"),
+          r.getAs[String]("mktsegment"), r.getAs[Long]("n_sources")))).toMap
+    val base = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        ((r.getAs[String]("c_name"), r.getAs[Double]("c_acctbal"),
+          r.getAs[String]("c_mktsegment"))))
+    assert(rows.size === base.length)
+    base.foreach { case (k, (nm, bal, seg)) =>
+      val cls = graft.functions.Portable.md5Hex(k.toString).substring(0, 1)
+      val inB = "0145".contains(cls)
+      val (gName, gBal, gSeg, nSrc) = rows(k)
+      assert(nSrc === (if (inB) 2L else 1L), s"cust $k sources")
+      // B (version 20) wins name when present; A's name otherwise
+      assert(gName === (if (inB) s"+B $nm" else nm), s"cust $k name")
+      // mktsegment only exists in A — survivorship must fall back past
+      // B's null to the older non-null version
+      assert(gSeg === seg, s"cust $k segment")
+      // acctbal: A nulls classes 0-3, B nulls class 4 and adds 100
+      val expectBal: Option[Double] =
+        if (inB && cls != "4") Some(bal + 100)
+        else if ("0123".contains(cls)) None // A null; B absent or (never) null
+        else Some(bal)
+      assert(Option(gBal).map(_.doubleValue) === expectBal, s"cust $k acctbal")
+    }
+  }
+
   test("events_resample tiles each user's span and forward-fills exactly") {
     val got = SparkEntry.queries("events_resample")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day"),
