@@ -422,8 +422,9 @@ object Multimodal {
           var i = 0
           while (i < s.length) {
             // equal-width segments; the last partial block folds into
-            // segment nSeg-1 deterministically via the min
-            seg(math.min((i * nSeg) / s.length, nSeg - 1)) += math.abs(s(i).toInt)
+            // segment nSeg-1 deterministically via the min (long
+            // arithmetic: i*32 would overflow Int past ~67M samples)
+            seg(math.min((i.toLong * nSeg / s.length).toInt, nSeg - 1)) += math.abs(s(i).toInt)
             i += 1
           }
           var h = 0L

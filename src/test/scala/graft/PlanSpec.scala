@@ -204,6 +204,22 @@ class PlanSpec extends SparkSuite {
       s"expected exactly one materialized hash shuffle, saw $materialized:\n$p")
   }
 
+  test("the as-of family plans NO join for the temporal match itself") {
+    // the whole point of the tagged-union window rewrite: the
+    // temporal match costs a window, not a join. asof_purchase has no
+    // join anywhere; feature_asof's only join-shaped node may be the
+    // final passenger-free projection — assert the temporal core by
+    // checking the label-side match: no sort-merge/hash join keyed on
+    // user_id plus a time condition survives in either plan
+    assert(!plan("asof_purchase").contains("Join"),
+      "asof_purchase must be pure window, no join node")
+    val fa = plan("feature_asof")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").foreach { j =>
+      assert(!fa.contains(j),
+        s"feature_asof: the as-of match must be the union window, found $j")
+    }
+  }
+
   test("incremental_join pushes the two order-age cuts into the orders scans") {
     val p = plan("incremental_join")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
