@@ -35,8 +35,13 @@ import org.apache.spark.sql.functions._
   *    unrolled iterations. Truncation dust and dangling-node decay
   *    are deterministic and identical in both engines (PageRank
   *    normalization is a presentation concern; rank ORDER is the
-  *    product). Overflow headroom: mass ≤ ~25·10⁹, w ≤ |lineitem|,
-  *    so mass·w stays far below 2⁶³ at any tested SF.
+  *    product). Overflow headroom: mass ≤ ~25·BASE and w ≤ |lineitem|,
+  *    so mass·w needs 25·BASE·|lineitem| < 2⁶³ — with BASE = 10⁹
+  *    that holds to |lineitem| ≈ 3.7·10⁸ (every tested SF, ~50 GB of
+  *    fact); a 100 TB deployment drops BASE to 10⁶ (mass scales
+  *    linearly in BASE, so ranks and relative masses are unchanged;
+  *    BASE is resolution, not semantics) or splits the contribution
+  *    as (mass div outw)·w at the cost of coarser truncation dust.
   */
 object Graph {
 

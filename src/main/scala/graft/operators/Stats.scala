@@ -209,9 +209,9 @@ object Stats {
          |       ${Quant6Sql(
                """list_reduce(
                  |  list_transform(f.cs, x ->
-                 |    (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))
-                 |    * (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))
-                 |    / (CAST(x.ri * x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))),
+                 |    (CAST(x.o AS DOUBLE) - CAST(x.ri AS DOUBLE) * CAST(x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 |    * (CAST(x.o AS DOUBLE) - CAST(x.ri AS DOUBLE) * CAST(x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 |    / (CAST(x.ri AS DOUBLE) * CAST(x.cj AS DOUBLE) / CAST(n.n AS DOUBLE))),
                  |  (a, b) -> a + b)""".stripMargin)} AS chi2
          |FROM f, n""".stripMargin) { (spark, dir) =>
       val e = Tables.events(spark, dir)
@@ -236,9 +236,9 @@ object Stats {
           quant6(expr(
             """aggregate(
               |  transform(cs, x ->
-              |    (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n AS DOUBLE))
-              |    * (CAST(x.o AS DOUBLE) - CAST(x.ri * x.cj AS DOUBLE) / CAST(n AS DOUBLE))
-              |    / (CAST(x.ri * x.cj AS DOUBLE) / CAST(n AS DOUBLE))),
+              |    (CAST(x.o AS DOUBLE) - CAST(x.ri AS DOUBLE) * CAST(x.cj AS DOUBLE) / CAST(n AS DOUBLE))
+              |    * (CAST(x.o AS DOUBLE) - CAST(x.ri AS DOUBLE) * CAST(x.cj AS DOUBLE) / CAST(n AS DOUBLE))
+              |    / (CAST(x.ri AS DOUBLE) * CAST(x.cj AS DOUBLE) / CAST(n AS DOUBLE))),
               |  cast(0 as double), (a, b) -> a + b)""".stripMargin)).as("chi2"))
     },
 

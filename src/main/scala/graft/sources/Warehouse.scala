@@ -95,21 +95,27 @@ object Warehouse {
     * Mechanics:
     *  1. band discovery is a ONE-COLUMN scan grouped by
     *     `input_file_name()` (column pruning makes it footer + single
-    *     column I/O); the band list is |files|-sized driver state,
-    *     never row data;
-    *  2. only intersecting files are re-read, anti-filtered, and
-    *     rewritten into a sibling temp dir (the compactParquet
-    *     rewrite-then-swap rule: readers never see a half-written
-    *     table);
-    *  3. the swap deletes the affected files and moves the rewrites
-    *     in under their own (UUID-unique) names. Untouched files are
-    *     never read, never rewritten, and keep their identity
-    *     (SinksSpec asserts names + mtimes survive).
+    *     column I/O), collecting (band, row count) per file — the
+    *     band list is |files|-sized driver state, never row data, and
+    *     the counts make the report free (no second read);
+    *  2. only intersecting files are re-read, anti-filtered (null
+    *     keys are KEPT — a NULL is never one of the requested keys),
+    *     and rewritten into a sibling temp dir;
+    *  3. the swap renames the rewrites IN first (their part-file
+    *     names are UUID-unique, so they cannot collide), THEN deletes
+    *     the affected originals. A crash inside the swap window
+    *     therefore leaves DUPLICATE rows for the rewritten bands —
+    *     recoverable by re-running the surrounding compaction — never
+    *     silent row LOSS, which the delete-first order would cause
+    *     and nothing could detect. Untouched files are never read,
+    *     never rewritten, and keep their identity (SinksSpec asserts
+    *     names + mtimes survive).
     *
     * A band may cover a deleted key without containing it (bands are
-    * conservative) — such a file is rewritten unchanged; correctness
-    * never depends on the pruning. Re-running the same erasure is
-    * idempotent: the second pass deletes 0 rows. */
+    * conservative), and a file with no non-null keys has no band —
+    * neither can be affected incorrectly; correctness never depends
+    * on the pruning. Re-running the same erasure is idempotent: the
+    * second pass deletes 0 rows. */
   def eraseKeys(spark: SparkSession, path: String, key: String,
       deleteKeys: Seq[Long]): EraseReport = {
     import org.apache.spark.sql.functions._
@@ -118,32 +124,34 @@ object Warehouse {
     val bands = spark.read.parquet(path)
       .select(input_file_name().as("file"), col(key).cast("long").as("k"))
       .groupBy(col("file"))
-      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"), count(lit(1)).as("c"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val affected = bands
-      .filter { case (_, lo, hi) => deleteKeys.exists(k => k >= lo && k <= hi) }
-      .map(_._1)
+      .map(r => (r.getString(0), Option(r.getAs[java.lang.Long]("lo")),
+        Option(r.getAs[java.lang.Long]("hi")), r.getAs[Long]("c")))
+    val affected = bands.collect {
+      case (f, Some(lo), Some(hi), c)
+        if deleteKeys.exists(k => k >= lo && k <= hi) => (f, c)
+    }
     if (affected.isEmpty) return EraseReport(bands.length, 0, 0L)
 
-    val before = spark.read.parquet(affected: _*).count()
+    val before = affected.map(_._2).sum
+    val files = affected.map(_._1)
     val tmp = path.stripSuffix("/") + "__erase_tmp"
-    val kept = spark.read.parquet(affected: _*)
-      .filter(!col(key).cast("long").isin(deleteKeys: _*))
+    val kept = spark.read.parquet(files: _*)
+      .filter(col(key).isNull || !col(key).cast("long").isin(deleteKeys: _*))
     // keep the file granularity of the region being rewritten
-    kept.repartitionByRange(affected.length, kept.col(key))
+    kept.repartitionByRange(files.length, kept.col(key))
       .sortWithinPartitions(kept.col(key))
       .write.mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
 
-    affected.foreach { f =>
-      fs.delete(new Path(new java.net.URI(f)), false)
-    }
+    // rename in, THEN delete: the crash window duplicates, never loses
     fs.listStatus(new Path(tmp)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+    files.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
     fs.delete(new Path(tmp), true)
-    EraseReport(bands.length, affected.length, before - after)
+    EraseReport(bands.length, files.length, before - after)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

@@ -105,13 +105,16 @@ class ExtensionsSpec extends SparkSuite {
       s"union-of-partials $merged must estimate like the direct pass $direct")
   }
 
-  test("A14d: trailing-7-day distinct via an HLL-union WINDOW over daily sketches") {
+  test("A14d: trailing-7-slot distinct via an HLL-union WINDOW over daily sketches") {
     // the sketch twin of events_wau's exact cover-set explosion: the
     // trailing distinct for EVERY window end comes from a
     // hll_union_agg window over the ~|days| daily sketch table — raw
     // events are read once to build the partials, each slide is a
     // sketch merge, and the global ORDER BY window runs on the tiny
-    // aggregate (the events_growth rule)
+    // aggregate (the events_growth rule). ROWS 6 PRECEDING means the
+    // last 7 PRESENT days (a zero-event calendar day has no sketch
+    // row) — the truth below uses the same present-day semantics; a
+    // calendar-day window would gap-fill the sketch table first
     val ev = graft.sources.Tables.events(spark, sf0001)
     val daily = ev.groupBy(to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
@@ -119,13 +122,15 @@ class ExtensionsSpec extends SparkSuite {
       "hll_sketch_estimate(hll_union_agg(sk) OVER " +
         "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS est")
       .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
-    // exact truth from the (user, day) relation, driver-side
+    // exact truth from the (user, day) relation, driver-side, over
+    // the same last-7-present-days frame
     val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val presentDays = ud.map(_._2).distinct.sorted((a: java.time.LocalDate,
+      b: java.time.LocalDate) => a.compareTo(b))
     est.foreach { case (d, e) =>
-      val exact = ud.filter { case (_, ad) =>
-        !ad.isAfter(d) && ad.isAfter(d.minusDays(7))
-      }.map(_._1).distinct.length
+      val frame = presentDays.filter(!_.isAfter(d)).takeRight(7).toSet
+      val exact = ud.filter(x => frame.contains(x._2)).map(_._1).distinct.length
       assert(exact > 0 && math.abs(e - exact).toDouble / exact < 0.05,
         s"day $d: sketch $e vs exact $exact")
     }

@@ -696,6 +696,59 @@ class QueriesSpec extends SparkSuite {
     assert(got.values.map(_._1).sum === keys.length.toLong, "every part in exactly one subtree")
   }
 
+  test("events_twap matches a driver-side step-function integral per user") {
+    val got = SparkEntry.queries("events_twap")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_readings"), r.getAs[Long]("span_us"),
+          r.getAs[Double]("twap")))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    ev.foreach { case (u, xs) =>
+      val ordered = xs.sortBy(t => (t._2, t._3))
+      if (ordered.length < 2 || ordered.last._2 == ordered.head._2) {
+        assert(!got.contains(u), s"user $u has no span, must be excluded")
+      } else {
+        // exact integral in BigDecimal cents x micros, like the query
+        val num = ordered.sliding(2).map { case Array(a, b) =>
+          BigDecimal(a._4).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(b._2 - a._2)
+        }.sum
+        val span = ordered.last._2 - ordered.head._2
+        val (gn, gs, gt) = got(u)
+        assert(gn === ordered.length.toLong, s"user $u readings")
+        assert(gs === span, s"user $u span")
+        assert(gt === math.floor(num.toDouble / span.toDouble * 1e6) / 1e6,
+          s"user $u twap")
+      }
+    }
+  }
+
+  test("events_share cells are consistent shares of exact counts") {
+    val rows = SparkEntry.queries("events_share")(spark, sf0001).collect()
+      .map(r => ((r.getAs[String]("day"), r.getAs[String]("event_type")),
+        (r.getAs[Long]("n"), r.getAs[Double]("pct_of_day"),
+          r.getAs[Double]("pct_of_total"))))
+    val total = rows.map(_._2._1).sum
+    val dayTotals = rows.groupBy(_._1._1)
+      .map { case (d, xs) => d -> xs.map(_._2._1).sum }
+    rows.foreach { case ((d, t), (n, pd, pt)) =>
+      assert(pd === math.floor(n.toDouble / dayTotals(d).toDouble * 1e6) / 1e6,
+        s"($d, $t) day share")
+      assert(pt === math.floor(n.toDouble / total.toDouble * 1e6) / 1e6,
+        s"($d, $t) total share")
+    }
+    // each day's shares cover the day (quantization loses < cells·1e-6)
+    rows.groupBy(_._1._1).foreach { case (d, xs) =>
+      val s = xs.map(_._2._2).sum
+      assert(s > 1.0 - xs.length * 1e-6 && s <= 1.0 + xs.length * 1e-6, s"day $d sums to $s")
+    }
+  }
+
   test("golden_record applies field-level survivorship per source membership") {
     val rows = SparkEntry.queries("golden_record")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("custkey") ->
