@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Portable._
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical analytics (SURVEY.md §2.2 A25–A27): exact-moment
@@ -168,6 +169,64 @@ object Stats {
         .groupBy(col("event_type"), col("decile"))
         .agg(countAll.as("n_rows"),
           min(col("value")).as("lo_value"), max(col("value")).as("hi_value"))
+    },
+
+    // A49 — lag-1 autocorrelation of the daily event series per type:
+    // "is today's volume predicted by yesterday's?" — the first
+    // question time-series monitoring asks. Two-level like
+    // events_share: ONE mergeable groupBy collapses events to the
+    // ≤ |days|·|types| daily-count table, the lead() pairing window
+    // runs on that tiny aggregate (the events_growth rule), and the
+    // correlation comes from EXACT power sums in DECIMAL(18,0) —
+    // counts are integers, but Σx² of BIGINTs would overflow int64
+    // near 1e12-event days while Spark wraps silently and DuckDB
+    // widens to int128 (an engine divergence); decimal sums are exact
+    // and identical in both. Closed form evaluated in double with the
+    // stats_corr op order. Pairs are SERIES-adjacent (consecutive
+    // present days) — gap semantics ride the data, not a calendar.
+    QueryDef(
+      "events_autocorr",
+      s"""WITH d AS (SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |                  COUNT(*) AS c
+         |           FROM events GROUP BY 1, 2),
+         |p AS (SELECT event_type, c AS x,
+         |             lead(c) OVER (PARTITION BY event_type ORDER BY day) AS y
+         |      FROM d),
+         |s AS (SELECT event_type, COUNT(*) AS n,
+         |             SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+         |             SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+         |             SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+         |             SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy,
+         |             SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy
+         |      FROM p WHERE y IS NOT NULL GROUP BY event_type),
+         |t AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+         |             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+         |             CAST(sxy AS DOUBLE) AS sxy
+         |      FROM s)
+         |SELECT event_type, n AS n_pairs,
+         |       ${Quant6Sql("(nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))")} AS autocorr
+         |FROM t""".stripMargin) { (spark, dir) =>
+      val d0 = expr("CAST(x AS DECIMAL(18,0))")
+      val d1 = expr("CAST(y AS DECIMAL(18,0))")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val s = Tables.events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(countAll.as("c"))
+        .select(col("event_type"), col("day"), col("c").as("x"))
+        .withColumn("y", lead(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countAll.as("n"),
+          sum(d0).as("sx"), sum(d1).as("sy"),
+          sum(d0 * d0).as("sxx"), sum(d1 * d1).as("syy"),
+          sum(d0 * d1).as("sxy"))
+      val nd = col("n").cast("double")
+      def dd(c: String) = col(c).cast("double")
+      s.select(col("event_type"), col("n").as("n_pairs"),
+        quant6((nd * dd("sxy") - dd("sx") * dd("sy"))
+          / sqrt((nd * dd("sxx") - dd("sx") * dd("sx"))
+            * (nd * dd("syy") - dd("sy") * dd("sy")))).as("autocorr"))
     },
 
     // A46 — chi-squared independence test (event_type × day-of-week):

@@ -113,6 +113,31 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("events_autocorr agrees with Spark's builtin corr over the lagged pairs") {
+    val got = SparkEntry.queries("events_autocorr")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("autocorr")))).toMap
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val ref = daily
+      .withColumn("y", lead(col("c"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), corr(col("c").cast("double"), col("y").cast("double")).as("r"))
+      .collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("r")))).toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (t, (n, a)) =>
+      assert(n === ref(t)._1, s"$t pairs")
+      assert(math.abs(a - ref(t)._2) < 1e-6, s"$t autocorr $a vs builtin ${ref(t)._2}")
+      assert(a >= -1.0 && a <= 1.0, s"$t out of range")
+    }
+  }
+
   test("events_chisq matches a driver-side fold over the full contingency grid") {
     val row = SparkEntry.queries("events_chisq")(spark, sf0001).collect()(0)
     val (n, dof, chi2) = (row.getAs[Long]("n"), row.getAs[Long]("dof"),
