@@ -42,6 +42,16 @@ def main(sfdir, outdir):
         bad = []
         for c in cols_g:
             g, e = got[c], exp[c]
+            # Driver proxy: the driver hashes STRING cells, so an
+            # int64 column on one side and float64 on the other ("450"
+            # vs "450.0") fails its hash even when the values agree.
+            # The float branch below would silently absorb that — fail
+            # the type drift first (the events_growth r5 failure class).
+            kg, ke = g.dtype.kind, e.dtype.kind
+            if kg in "iuf" and ke in "iuf" and (kg in "iu") != (ke in "iu"):
+                bad.append(f"{c}: dtype drift spark={g.dtype} oracle={e.dtype} "
+                           "(driver string-hash would mismatch)")
+                continue
             if g.dtype.kind == "f" or e.dtype.kind == "f":
                 import numpy as np
                 ga, ea = g.astype(float).values, e.astype(float).values

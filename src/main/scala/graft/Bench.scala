@@ -98,18 +98,46 @@ object Bench {
       val spillMb = (metrics.spill.get() - sp0) / 2.0 / 1048576.0
       (name, runs, shuffleMb, spillMb)
     }
-    val qs = results.map { case (k, rs, _, _) => "\"" + k + "\":" + rs.min }.mkString("{", ",", "}")
-    val rr = results.map { case (k, rs, _, _) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+    // Locale.ROOT: String.format follows the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON artifact
+    def num(v: Double, fmt: String): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    def s3(v: Double): String = if (v < 0) "-1" else num(v, "%.3f")
+    def mb(v: Double): String = num(v, "%.1f")
+    val qs = results.map { case (k, rs, _, _) => "\"" + k + "\":" + s3(rs.min) }
       .mkString("{", ",", "}")
-    // Locale.ROOT: the f-interpolator follows the JVM default locale,
-    // and a comma decimal separator would corrupt the JSON artifact
-    def mb(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val rr = results.map { case (k, rs, _, _) =>
+      "\"" + k + "\":" + rs.map(s3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val sh = results.map { case (k, _, s, _) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
     val sp = results.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
     val total = results.collect { case (_, rs, _, _) if rs.min >= 0 => rs.min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rr,""" +
-      s""""shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}""")
+    // Two artifacts (rounds 1–5 proved one is not enough): the driver
+    // tail-captures stdout, so the line it must parse has to be SHORT
+    // and LAST. stdout therefore carries exactly ONE compact JSON line
+    // (per-query seconds at 3 dp, ~2 KB for ~100 queries); the full
+    // detail (both runs, shuffle/spill MB) goes to bench_full.json on
+    // disk, and the human-readable slowest-10 digest goes to stderr.
+    val compact =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
+      s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}"""
+    for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {
+      try {
+        val p = java.nio.file.Paths.get(dir, "bench_full.json")
+        java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+        System.err.println(s"[bench] full JSON -> $p")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $dir/bench_full.json: ${e.getMessage}")
+      }
+    }
+    val slowest = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
+    System.err.println(f"[bench] total ${total}%.1fs over ${results.size} queries; slowest 10:")
+    slowest.foreach { case (k, rs, s, _) =>
+      System.err.println(f"[bench]   $k%-24s ${rs.min}%7.2fs  shuffle ${s}%8.1f MB")
+    }
     spark.stop()
+    println(compact)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.mkString(", ")}")
       sys.exit(1)

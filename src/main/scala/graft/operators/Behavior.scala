@@ -169,8 +169,8 @@ object Behavior {
         |nu AS (SELECT c AS d, COUNT(*) AS n_new FROM f GROUP BY c)
         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.n_active,
         |       COALESCE(nu.n_new, 0) AS n_new,
-        |       SUM(COALESCE(nu.n_new, 0)) OVER (ORDER BY dau.d
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |       CAST(SUM(COALESCE(nu.n_new, 0)) OVER (ORDER BY dau.d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM dau LEFT JOIN nu ON nu.d = dau.d""".stripMargin) { (spark, dir) =>
       val ud = Tables.events(spark, dir)
         .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))

@@ -205,8 +205,8 @@ object Stats {
          |             CAST(sxy AS DOUBLE) AS sxy
          |      FROM s)
          |SELECT event_type, n AS n_pairs,
-         |       ${Quant6Sql("(nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))")} AS autocorr
-         |FROM t""".stripMargin) { (spark, dir) =>
+         |       ${Quant6Sql("(nd * sxy - sx * sy) / sqrt(nullif((nd * sxx - sx * sx) * (nd * syy - sy * sy), 0))")} AS autocorr
+         |FROM t WHERE n >= 2""".stripMargin) { (spark, dir) =>
       val d0 = expr("CAST(x AS DECIMAL(18,0))")
       val d1 = expr("CAST(y AS DECIMAL(18,0))")
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -223,10 +223,16 @@ object Stats {
           sum(d0 * d1).as("sxy"))
       val nd = col("n").cast("double")
       def dd(c: String) = col(c).cast("double")
-      s.select(col("event_type"), col("n").as("n_pairs"),
-        quant6((nd * dd("sxy") - dd("sx") * dd("sy"))
-          / sqrt((nd * dd("sxx") - dd("sx") * dd("sx"))
-            * (nd * dd("syy") - dd("sy") * dd("sy")))).as("autocorr"))
+      // Degenerate-series guard (both engines, same shape): a type with
+      // one pair or a constant series has zero variance product —
+      // nullif turns the 0/0 into NULL, which hashes identically in
+      // Spark and DuckDB where NaN would not.
+      val vp = (nd * dd("sxx") - dd("sx") * dd("sx")) *
+        (nd * dd("syy") - dd("sy") * dd("sy"))
+      s.filter(col("n") >= 2)
+        .select(col("event_type"), col("n").as("n_pairs"),
+          quant6((nd * dd("sxy") - dd("sx") * dd("sy"))
+            / sqrt(nullif(vp, lit(0.0)))).as("autocorr"))
     },
 
     // A46 — chi-squared independence test (event_type × day-of-week):

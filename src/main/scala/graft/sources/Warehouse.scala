@@ -128,28 +128,68 @@ object Warehouse {
       .collect()
       .map(r => (r.getString(0), Option(r.getAs[java.lang.Long]("lo")),
         Option(r.getAs[java.lang.Long]("hi")), r.getAs[Long]("c")))
+    // Sorted keys + binary search per band: O(|files| · log |keys|),
+    // so a large compliance batch costs the driver log-time per file,
+    // not a full scan of the key set.
+    val sortedKeys = deleteKeys.sorted.toArray
+    def bandHit(lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sortedKeys, lo)
+      if (i < 0) i = -i - 1
+      i < sortedKeys.length && sortedKeys(i) <= hi
+    }
     val affected = bands.collect {
-      case (f, Some(lo), Some(hi), c)
-        if deleteKeys.exists(k => k >= lo && k <= hi) => (f, c)
+      case (f, Some(lo), Some(hi), c) if bandHit(lo, hi) => (f, c)
     }
     if (affected.isEmpty) return EraseReport(bands.length, 0, 0L)
 
     val before = affected.map(_._2).sum
     val files = affected.map(_._1)
     val tmp = path.stripSuffix("/") + "__erase_tmp"
-    val kept = spark.read.parquet(files: _*)
-      .filter(col(key).isNull || !col(key).cast("long").isin(deleteKeys: _*))
+    val src = spark.read.parquet(files: _*)
+    // Small batches inline the keys as an In-filter (pushes to the
+    // scan); large batches would blow up the expression tree, so they
+    // go through a broadcast LEFT ANTI join instead. Null keys are
+    // KEPT on both paths: a NULL is never one of the requested keys
+    // (anti-join keeps the row because NULL = k matches nothing).
+    val kept =
+      if (sortedKeys.length <= 1000)
+        src.filter(col(key).isNull || !col(key).cast("long").isin(deleteKeys: _*))
+      else {
+        import spark.implicits._
+        val del = sortedKeys.toSeq.toDF("__delete_key")
+        src.join(broadcast(del), col(key).cast("long") === col("__delete_key"), "left_anti")
+      }
     // keep the file granularity of the region being rewritten
     kept.repartitionByRange(files.length, kept.col(key))
       .sortWithinPartitions(kept.col(key))
       .write.mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
 
-    // rename in, THEN delete: the crash window duplicates, never loses
-    fs.listStatus(new Path(tmp)).toSeq
+    // rename in, THEN delete: the crash window duplicates, never loses.
+    // fs.rename/delete report many failures as `false` WITHOUT
+    // throwing (HDFS semantics) — an unchecked false rename followed
+    // by the unconditional delete below would be exactly the silent
+    // row loss this ordering exists to prevent, so every boolean is
+    // checked and a failed rename aborts BEFORE any original is
+    // deleted (leaving the documented duplicate-rows state).
+    val failedRenames = fs.listStatus(new Path(tmp)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
-    files.foreach(f => fs.delete(new Path(new java.net.URI(f)), false))
+      .filterNot(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+    if (failedRenames.nonEmpty)
+      throw new java.io.IOException(
+        s"eraseKeys: ${failedRenames.size} rename(s) into $path returned false; " +
+        "originals NOT deleted (rows for renamed files are duplicated, never lost " +
+        "- re-run the surrounding compaction): " +
+        failedRenames.map(_.getPath.getName).mkString(", "))
+    val failedDeletes = files.filterNot { f =>
+      val p = new Path(new java.net.URI(f))
+      fs.delete(p, false) || !fs.exists(p)
+    }
+    if (failedDeletes.nonEmpty)
+      throw new java.io.IOException(
+        s"eraseKeys: ${failedDeletes.size} original-file delete(s) returned false; " +
+        "rewritten rows are duplicated until these are removed: " +
+        failedDeletes.mkString(", "))
     fs.delete(new Path(tmp), true)
     EraseReport(bands.length, files.length, before - after)
   }
