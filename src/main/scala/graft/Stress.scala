@@ -27,7 +27,15 @@ object Stress {
     "dedup_exact", "dedup_simhash", "dedup_minhash", "dedup_incremental", "dedup_clusters",
     "text_ngram_jaccard", "text_ppjoin", "text_substring_dedup", "text_tokens", "text_quality",
     "ann_lsh", "ann_ivf", "ann_ivf_sq8", "ann_ivf_pq", "ann_quantized", "ann_pq", "ann_bruteforce",
-    "dedup_embed", "dedup_semantic")
+    "dedup_embed", "dedup_semantic",
+    // the composite corpus gate (documents) and the behavioral layer
+    // (events): everything here must scale ~linearly in its input —
+    // all shuffles are keyed on user/doc, every low-cardinality window
+    // runs over an already-aggregated tiny table (the events_growth
+    // rule), so ×10 input should cost ~×10, never ×100
+    "corpus_keep",
+    "sessionize", "events_growth", "cohort_retention", "funnel_steps",
+    "events_wau", "user_streaks", "event_transitions")
 
   /** The worst-case ×copies corpus (shared with [[RecallCurve]]):
     * every document and embedding tiled `copies` times with a small
@@ -58,6 +66,22 @@ object Stress {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$stressDir/embeddings.parquet")
+
+    // events ×copies for the behavioral layer: user_id remapped per
+    // copy (×copies users, each keeping the original's exact event
+    // series) — "more users, same shape", the scaling a growing
+    // product actually sees. ts stays the RAW nanos long (read with
+    // nanosAsLong, written as plain INT64) — Tables.events' `div 1000`
+    // conversion reads either encoding identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .crossJoin(broadcast(cp))
+      .select(
+        (col("event_id") * copies + col("cp")).as("event_id"),
+        col("ts"),
+        (col("user_id") * copies + col("cp")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$stressDir/events.parquet")
     stressDir
   }
 

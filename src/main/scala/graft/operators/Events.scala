@@ -91,6 +91,50 @@ object Events {
             " (acc, x) -> if(acc is null, x, 0.5d * x + 0.5d * acc))").as("ewma"))
     },
 
+    // A52 — clamped running balance: per-user "credit ledger" where
+    // purchases/signups credit `value`, every other event debits it,
+    // and the balance FLOORS AT ZERO — inventory-on-hand, prepaid
+    // credits, rate-limit token buckets. The clamp makes the
+    // recurrence b_i = max(0, b_{i-1} + x_i) NON-ASSOCIATIVE: no
+    // window sum can express it (a running SUM ignores the floor), so
+    // it runs as the events_ewma ordered fold — one shuffle on the
+    // high-cardinality user_id, the user's own history collected and
+    // sorted in-group, one correctly-rounded add + one max per step in
+    // a fixed total order, bit-identical in both engines (DuckDB's
+    // list_reduce seeds from the first element, so the oracle prepends
+    // the 0.0 initial balance to run the SAME recurrence). The
+    // mergeable companion (total credited) rides the same aggregate in
+    // exact decimal.
+    QueryDef(
+      "events_balance",
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CASE WHEN event_type IN ('purchase', 'signup')
+        |                       THEN COALESCE(value, 0.0) ELSE -COALESCE(value, 0.0)
+        |                  END AS delta,
+        |                  CASE WHEN event_type IN ('purchase', 'signup')
+        |                       THEN COALESCE(value, 0.0) ELSE 0.0 END AS credit
+        |           FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(credit AS DECIMAL(18,2))) AS DOUBLE) AS credited,
+        |       list_reduce(list_prepend(0.0, list(delta ORDER BY ts, event_id)),
+        |                   (acc, x) -> greatest(acc + x, 0.0)) AS balance
+        |FROM e GROUP BY user_id""".stripMargin) { (spark, dir) =>
+      val isCredit = col("event_type").isin("purchase", "signup")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(isCredit, coalesce(col("value"), lit(0.0)))
+            .otherwise(-coalesce(col("value"), lit(0.0))).as("delta"),
+          when(isCredit, coalesce(col("value"), lit(0.0))).otherwise(lit(0.0)).as("credit"))
+        .groupBy(col("user_id"))
+        .agg(countAll.as("n_events"),
+          dsum(col("credit")).as("credited"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("delta"))))
+            .as("h"))
+        .select(col("user_id"), col("n_events"), col("credited"),
+          expr("aggregate(transform(h, s -> s.delta), cast(0 as double)," +
+            " (acc, x) -> greatest(acc + x, 0d))").as("balance"))
+    },
+
     // A40 — time-grid resampling with forward-fill (gap-fill): each
     // user's irregular readings become one row per DAY between their
     // first and last reading, carrying the most recent observed value

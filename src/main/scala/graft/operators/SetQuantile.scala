@@ -101,6 +101,62 @@ object SetQuantile {
           col("n"))
     },
 
+    // A51 — inter-arrival gap distribution: per event_type, the exact
+    // median/p90 of the SECONDS between a user's consecutive events of
+    // that type — the latency/cadence profile monitoring reads before
+    // picking session gaps, watermarks, or SLA thresholds (sessionize's
+    // 30-min gap is exactly a number this query justifies). Gaps are
+    // computed in-partition after ONE (user, type) shuffle (lag over
+    // the high-cardinality key, the window_delta shape) as INTEGER
+    // epoch-second differences (truncating div — no engine calendar,
+    // no double subtraction); the ~5 corpus-sized gap groups then go
+    // through the SAME rank-based selection as events_quantiles (the
+    // range-sharded prefix primitive — never a 5-key window or a
+    // group-buffering percentile() over row data). Interpolation casts
+    // the two bracketing BIGINT gaps to double in the engines' shared
+    // op order.
+    QueryDef(
+      "events_interarrival",
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+         |g AS (SELECT event_type,
+         |             (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+         |                                                    ORDER BY ts, event_id))) // 1000000 AS gap
+         |      FROM e)
+         |SELECT event_type, COUNT(*) AS n_gaps,
+         |       ${Quant6Sql("quantile_cont(gap, 0.5)")} AS p50_s,
+         |       ${Quant6Sql("quantile_cont(gap, 0.9)")} AS p90_s
+         |FROM g WHERE gap IS NOT NULL GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("gap", expr("(unix_micros(ts) - unix_micros(prev)) div 1000000"))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), col("gap"))
+      val ranked = Distributed.globalRunning(gaps, Seq("event_type"), Seq("gap"))
+        .withColumnRenamed("g_n", "n")
+      def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
+      def isLo(p: Double) = col("g_rank") === floor(pos(p)) + 1
+      def isHi(p: Double) = col("g_rank") === ceil(pos(p)) + 1
+      def interp(p: Double, vLo: Column, vHi: Column) =
+        when(floor(pos(p)) === ceil(pos(p)), vLo.cast("double"))
+          .otherwise(vLo.cast("double") * (ceil(pos(p)).cast("double") - pos(p))
+            + vHi.cast("double") * (pos(p) - floor(pos(p)).cast("double")))
+      ranked
+        .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(isLo(0.5), col("gap"))).as("v50l"),
+          min(when(isHi(0.5), col("gap"))).as("v50h"),
+          min(when(isLo(0.9), col("gap"))).as("v90l"),
+          min(when(isHi(0.9), col("gap"))).as("v90h"))
+        .select(col("event_type"), col("n").as("n_gaps"),
+          quant6(interp(0.5, col("v50l"), col("v50h"))).as("p50_s"),
+          quant6(interp(0.9, col("v90l"), col("v90h"))).as("p90_s"))
+    },
+
     // A16 — set operations over customer activity years. Year filters
     // are HALF-OPEN TIMESTAMP RANGES, not year(): wrapping the column
     // in a function defeats parquet predicate pushdown, so every

@@ -280,6 +280,83 @@ object TextOps {
           expr("g_run div 4096").cast("long").as("sample_idx"))
     },
 
+    // L30 — training-mix construction to TOKEN BUDGETS: each language
+    // contributes documents, in deterministic md5-shuffled order, until
+    // its token budget is exhausted (en is upsampled 2×: 8192 tokens
+    // vs 4096) — the mixture-weighting step that turns a filtered
+    // corpus into a training mix with controlled source proportions.
+    // Differs from text_sample (count quotas) and text_pps_sample
+    // (selection ∝ length): here the BUDGET is in tokens, so the
+    // sample's size is controlled in the unit that matters for
+    // training. A doc is kept iff its cumulative interval STARTS
+    // before the budget line (so the mix overshoots by at most one
+    // document — deterministic, document-atomic). The per-lang running
+    // sum is the range-sharded prefix primitive (lang is ~5 keys — the
+    // exact low-cardinality-window case `Distributed.globalRunning`
+    // exists for); the md5 order decorrelates position from content,
+    // so the prefix IS a uniform sample of the language.
+    QueryDef(
+      "text_mixture",
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS w,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS m
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, w,
+        |             SUM(w) OVER (PARTITION BY lang ORDER BY m, doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |      FROM d)
+        |SELECT doc_id, lang, CAST(w AS BIGINT) AS n_tokens,
+        |       CAST(c AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE c - w < CASE WHEN lang = 'en' THEN 8192 ELSE 4096 END""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val d = docs.select(
+        col("lang"),
+        md5(col("doc_id").cast("string")).as("m"),
+        col("doc_id"),
+        size(toks).cast("long").as("w"))
+      Distributed.globalRunning(d, grp = Seq("lang"), ord = Seq("m", "doc_id"),
+          valueCol = Some("w"))
+        .filter(col("g_run") - col("w")
+          < when(col("lang") === "en", 8192L).otherwise(4096L))
+        .select(col("doc_id"), col("lang"), col("w").as("n_tokens"),
+          col("g_run").cast("long").as("cum_tokens"))
+    },
+
+    // L31 — sliding-window CHUNKING: every document split into
+    // 64-token chunks on a 48-token stride (16-token overlap) — the
+    // preprocessing step every embedding/RAG pipeline runs before
+    // vectorization, and the windowed view substring-dedup reasons
+    // over. Pure map-side fan-out: sequence() generates each doc's
+    // chunk starts (fan-out = the doc's own length ÷ stride, never
+    // corpus-shaped), slice() takes the window, md5 fingerprints it
+    // (the output carries hashes, not chunk text — 2 orders narrower
+    // at 100 TB; a downstream embedder re-slices from the doc by
+    // (doc_id, chunk_id)). A trailing start that adds no NEW tokens
+    // beyond the previous chunk's window (fewer than overlap+1 tokens
+    // remain) is suppressed on both sides — every token is covered,
+    // no chunk is a subset of its predecessor.
+    QueryDef(
+      "text_chunks",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, tk, n, unnest(range(1, n + 1, 48)) AS s FROM d)
+        |SELECT doc_id,
+        |       CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+        |       CAST(len(tk[s:s + 63]) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(tk[s:s + 63], ' ')) AS chunk_hash
+        |FROM s WHERE s = 1 OR n - s >= 16""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("tk"), size(toks).as("n"))
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(expr("sequence(1, n, 48)")).as("s"))
+        .filter(col("s") === 1 || col("n") - col("s") >= 16)
+        .select(col("doc_id"),
+          expr("(s - 1) div 48").cast("long").as("chunk_id"),
+          size(expr("slice(tk, s, 64)")).cast("long").as("n_tokens"),
+          md5(array_join(expr("slice(tk, s, 64)"), " ")).as("chunk_hash"))
+    },
+
     // L11 — document fingerprinting: content hash + prefix rolling hash.
     QueryDef(
       "text_fingerprint",

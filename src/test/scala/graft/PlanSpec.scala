@@ -254,7 +254,8 @@ class PlanSpec extends SparkSuite {
     // separate range exchanges they could draw different bounds and
     // disagree on __pid. Exchange reuse must collapse them.
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
-        "events_concurrency", "text_pps_sample").foreach { q =>
+        "events_concurrency", "text_pps_sample", "text_mixture",
+        "events_interarrival").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>
@@ -275,7 +276,8 @@ class PlanSpec extends SparkSuite {
     // keyed by the low-cardinality group alone serializes the corpus
     // through one reducer.
     Seq("events_quantiles" -> "event_type", "text_pack" -> "lang",
-      "events_ntile" -> "event_type", "events_winsor" -> "event_type").foreach {
+      "events_ntile" -> "event_type", "events_winsor" -> "event_type",
+      "text_mixture" -> "lang").foreach {
       case (q, g) =>
         val p = plan(q)
         val specs = raw"windowspecdefinition\([^)]*".r.findAllIn(p).toList

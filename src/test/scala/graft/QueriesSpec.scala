@@ -829,4 +829,135 @@ class QueriesSpec extends SparkSuite {
         ((r.getAs[Long]("n"), r.getAs[Double]("t")))).toMap
     assert(got === direct)
   }
+
+  test("text_mixture matches a driver-side budget walk per language") {
+    val got = SparkEntry.queries("text_mixture")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cum_tokens")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ", -1).length.toLong))
+    val truth = docs.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      val budget = if (lang == "en") 8192L else 4096L
+      var c = 0L
+      xs.sortBy { case (id, _, _) => (graft.functions.Portable.md5Hex(id.toString), id) }
+        .toSeq.flatMap { case (id, _, w) =>
+          val lo = c; c += w
+          if (lo < budget) Some(id -> ((lang, w, c))) else None
+        }
+    }.toMap
+    assert(got === truth)
+    // the budget line is crossed by at most ONE document per language
+    got.groupBy(_._2._1).foreach { case (lang, ks) =>
+      val budget = if (lang == "en") 8192L else 4096L
+      val over = ks.values.count(_._3 > budget)
+      assert(over <= 1, s"$lang: $over docs past the budget line")
+    }
+  }
+
+  test("text_chunks equals a driver-side sliding-window rechunk, hash included") {
+    val got = SparkEntry.queries("text_chunks")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_hash")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val truth = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      (1 to tk.length by 48)
+        .filter(s => s == 1 || tk.length - s >= 16)
+        .map { s =>
+          val chunk = tk.slice(s - 1, s - 1 + 64)
+          (id, (s - 1).toLong / 48) ->
+            ((chunk.length.toLong, graft.functions.Portable.md5Hex(chunk.mkString(" "))))
+        }
+    }.toMap
+    assert(got === truth)
+    // coverage: chunk ids are 0..k-1 consecutive per doc
+    got.keys.groupBy(_._1).foreach { case (id, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (0L until ids.length).toSeq, s"doc $id chunk ids")
+    }
+  }
+
+  test("graph_triangles equals a brute-force sweep of the thresholded brand graph") {
+    val got = SparkEntry.queries("graph_triangles")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("brand") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles")))).toMap
+    val ob = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      .collect().map(r => (r.getAs[Long]("o"), r.getAs[String]("b")))
+    val nTotal = ob.map(_._1).distinct.length.toLong
+    val pairCounts = ob.groupBy(_._1).values.flatMap { rows =>
+      val bs = rows.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // filter-then-keySet, NOT collect-to-tuples: collect on a Map
+    // rebuilds a Map, silently collapsing edges by their left brand
+    val edges = pairCounts.filter { case (_, n) => 10000L * n >= 222L * nTotal }.keySet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(n => n -> edges.count(e => e._1 == n || e._2 == n).toLong).toMap
+    val triCount = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val es = edges.toSeq.sorted
+    for {
+      (x, y) <- es; (x2, z) <- es
+      if x2 == x && z > y && edges.contains((y, z))
+    } Seq(x, y, z).foreach(n => triCount(n) += 1)
+    assert(got.keySet === nodes)
+    nodes.foreach { n =>
+      assert(got(n) === ((deg(n), triCount(n))), s"brand $n")
+    }
+  }
+
+  test("events_interarrival matches a driver-side gap-quantile recomputation") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("events_interarrival")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Double]("p50_s"), r.getAs[Double]("p90_s")))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val gaps = ev.groupBy(t => (t._1, t._2)).values.flatMap { xs =>
+      val s = xs.sortBy(t => (t._3, t._4))
+      s.zip(s.drop(1)).map { case (a, b) => (a._2, (b._3 - a._3) / 1000000L) }
+    }.toSeq
+    def interp(vs: Seq[Long], p: Double): Double = {
+      val pos = p * (vs.length - 1).toDouble
+      val lo = math.floor(pos); val hi = math.ceil(pos)
+      if (lo == hi) vs(pos.toInt).toDouble
+      else vs(lo.toInt).toDouble * (hi - pos) + vs(hi.toInt).toDouble * (pos - lo)
+    }
+    val truth = gaps.groupBy(_._1).map { case (t, xs) =>
+      val vs = xs.map(_._2).sorted
+      t -> ((vs.length.toLong, q6(interp(vs, 0.5)), q6(interp(vs, 0.9))))
+    }
+    assert(got === truth)
+  }
+
+  test("events_balance matches a driver-side clamped fold bit-for-bit") {
+    val got = SparkEntry.queries("events_balance")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("balance")))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        if (r.isNullAt(4)) 0.0 else r.getAs[Double]("value")))
+    val truth = ev.groupBy(_._1).map { case (u, xs) =>
+      val deltas = xs.sortBy(t => (t._2, t._3)).map(t =>
+        if (t._4 == "purchase" || t._4 == "signup") t._5 else -t._5)
+      u -> ((xs.length.toLong,
+        deltas.foldLeft(0.0)((acc, x) => math.max(acc + x, 0.0))))
+    }
+    assert(got.size === truth.size)
+    // exact double equality: the clamped fold must be bit-stable
+    truth.foreach { case (u, t) => assert(got(u) === t, s"user $u") }
+  }
 }
