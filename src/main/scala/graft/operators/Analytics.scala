@@ -463,5 +463,56 @@ object Analytics {
         .agg(countAll.as("n"), dsum(col("value")).as("total_value"))
         .select(fmtTs(col("ts_hour")).as("hour"), col("event_type"),
           col("n"), col("total_value"))
+    },
+
+    // A53 — ABC / Pareto classification: every sold part placed on
+    // the cumulative revenue curve and classed A (first 80% of
+    // revenue), B (to 95%), C (tail) — the inventory-policy cut
+    // behind "20% of SKUs are 80% of revenue". The per-part revenue
+    // aggregate is mergeable exact decimal; the DESC cumulative runs
+    // on the prefix primitive over ONE synthetic group (a |parts|-
+    // sized ranked aggregate is NOT the tiny-table case a plain
+    // ORDER BY window covers — millions of SKUs at warehouse scale
+    // would serialize through one reducer). Class boundaries are
+    // RATIONAL comparisons of exact decimals (100·cum ≤ 80·total —
+    // no double accumulates, so the A/B cut cannot drift between
+    // engines); only the reported share takes one double division.
+    // Descending order rides an exact decimal negation (the range
+    // sort is ASC-only by contract); (rev, partkey) is a total order.
+    QueryDef(
+      "pareto_class",
+      s"""WITH r AS (SELECT l_partkey AS partkey,
+         |                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+         |           FROM lineitem GROUP BY 1),
+         |t AS (SELECT SUM(rev) AS tot FROM r),
+         |c AS (SELECT partkey, rev,
+         |             SUM(rev) OVER (ORDER BY rev DESC, partkey
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM r)
+         |SELECT c.partkey, CAST(c.rev AS DOUBLE) AS revenue,
+         |       ${Quant6Sql("CAST(c.cum AS DOUBLE) / CAST(t.tot AS DOUBLE)")} AS cum_share,
+         |       CASE WHEN 100 * c.cum <= 80 * t.tot THEN 'A'
+         |            WHEN 100 * c.cum <= 95 * t.tot THEN 'B'
+         |            ELSE 'C' END AS abc_class
+         |FROM c, t""".stripMargin) { (spark, dir) =>
+      // localCheckpoint, not persist: the two prefix-primitive branches
+      // must canonicalize to the SAME subtree for exchange reuse, and
+      // two InMemoryTableScans of a persisted relation do not — a
+      // checkpointed RDD is one node both branches reference
+      val rev = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+        .localCheckpoint(true)
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      val d = rev.select(lit("all").as("g"), (-col("rev")).as("negrev"),
+        col("partkey"), col("rev"))
+      Distributed.globalRunning(d, grp = Seq("g"),
+          ord = Seq("negrev", "partkey"), valueCol = Some("rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("partkey"), col("rev").cast("double").as("revenue"),
+          quant6(col("g_run").cast("double") / col("tot").cast("double")).as("cum_share"),
+          when(lit(100) * col("g_run") <= lit(80) * col("tot"), "A")
+            .when(lit(100) * col("g_run") <= lit(95) * col("tot"), "B")
+            .otherwise("C").as("abc_class"))
     })
 }

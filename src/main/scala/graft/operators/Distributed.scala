@@ -119,4 +119,43 @@ object Distributed {
         .otherwise(coalesce(col("__soff"), lit(0)) + coalesce(col("__ls"), lit(0)))))
     out.drop("__pid", "__lr", "__ls", "__coff", "__soff", "__n")
   }
+
+  /** Exact interpolated quantiles per LOW-cardinality group — the
+    * rank-based selection events_quantiles established, extracted so
+    * every consumer (plain quantiles, inter-arrival gaps, the MAD
+    * anomaly detector) shares one implementation. `df` must carry
+    * EXACTLY (grp, v) — the [[globalRunning]] contract. For each
+    * (name, p) the result carries a double column `name` interpolated
+    * with the engines' shared op order ((hi−pos)·vLo + (pos−lo)·vHi,
+    * values cast to double first — works for long and double inputs
+    * alike), plus `n`, the group count. Only the ≤ 2·|ps| bracketing
+    * ranks per group survive the filter; every stage is
+    * shuffle-parallel with memory O(shard), never O(group). */
+  def groupedQuantiles(
+      df: DataFrame,
+      grp: String,
+      v: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val ranked = globalRunning(df, Seq(grp), Seq(v))
+      .withColumnRenamed("g_n", "n")
+    def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
+    def isLo(p: Double) = col("g_rank") === floor(pos(p)) + 1
+    def isHi(p: Double) = col("g_rank") === ceil(pos(p)) + 1
+    def interp(p: Double, vLo: org.apache.spark.sql.Column, vHi: org.apache.spark.sql.Column) =
+      when(floor(pos(p)) === ceil(pos(p)), vLo.cast("double"))
+        .otherwise(vLo.cast("double") * (ceil(pos(p)).cast("double") - pos(p))
+          + vHi.cast("double") * (pos(p) - floor(pos(p)).cast("double")))
+    val keep = ps.map { case (_, p) => isLo(p) || isHi(p) }.reduce(_ || _)
+    val aggs = ps.flatMap { case (name, p) =>
+      Seq(min(when(isLo(p), col(v))).as(s"__lo_$name"),
+        min(when(isHi(p), col(v))).as(s"__hi_$name"))
+    }
+    ranked.filter(keep)
+      .groupBy(col(grp), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(grp) +: col("n") +:
+        ps.map { case (name, p) =>
+          interp(p, col(s"__lo_$name"), col(s"__hi_$name")).as(name)
+        }: _*)
+  }
 }

@@ -68,37 +68,16 @@ object SetQuantile {
         |       floor(quantile_cont(value, 0.9) * 1000000.0) / 1000000.0 AS p90,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      // rank-based selection + the engines' shared interpolation op
+      // order live in Distributed.groupedQuantiles (pos = p·(n−1),
+      // bracketing 1-based ranks, (hi−pos)·vLo + (pos−lo)·vHi — so
+      // quant6 can't straddle a floor boundary); g_n rides the same
+      // per-shard summary, no second events scan
       val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
-      // g_n (the group size) rides along on every ranked row from the
-      // per-shard summary — no second events scan, no duplicated
-      // subtree for a count
-      val ranked = Distributed.globalRunning(ev, Seq("event_type"), Seq("value"))
-        .withColumnRenamed("g_n", "n")
-      // 0-based fractional position, exactly Spark percentile() /
-      // DuckDB quantile_cont: pos = p * (n - 1); interpolate between
-      // the two bracketing 1-based ranks floor(pos)+1 and ceil(pos)+1
-      def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
-      def isLo(p: Double) = col("g_rank") === floor(pos(p)) + 1
-      def isHi(p: Double) = col("g_rank") === ceil(pos(p)) + 1
-      // (higher - pos) * vLo + (pos - lower) * vHi — the exact
-      // double-arithmetic form both engines use, so quant6 can't
-      // straddle a floor boundary
-      def interp(p: Double, vLo: Column, vHi: Column) =
-        when(floor(pos(p)) === ceil(pos(p)), vLo)
-          .otherwise(vLo * (ceil(pos(p)).cast("double") - pos(p))
-            + vHi * (pos(p) - floor(pos(p)).cast("double")))
-      ranked
-        .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
-        .groupBy(col("event_type"), col("n"))
-        .agg(
-          min(when(isLo(0.5), col("value"))).as("v50l"),
-          min(when(isHi(0.5), col("value"))).as("v50h"),
-          min(when(isLo(0.9), col("value"))).as("v90l"),
-          min(when(isHi(0.9), col("value"))).as("v90h"))
+      Distributed.groupedQuantiles(ev, "event_type", "value",
+          Seq("p50v" -> 0.5, "p90v" -> 0.9))
         .select(col("event_type"),
-          quant6(interp(0.5, col("v50l"), col("v50h"))).as("p50"),
-          quant6(interp(0.9, col("v90l"), col("v90h"))).as("p90"),
-          col("n"))
+          quant6(col("p50v")).as("p50"), quant6(col("p90v")).as("p90"), col("n"))
     },
 
     // A51 — inter-arrival gap distribution: per event_type, the exact
@@ -135,26 +114,56 @@ object SetQuantile {
         .withColumn("gap", expr("(unix_micros(ts) - unix_micros(prev)) div 1000000"))
         .filter(col("gap").isNotNull)
         .select(col("event_type"), col("gap"))
-      val ranked = Distributed.globalRunning(gaps, Seq("event_type"), Seq("gap"))
-        .withColumnRenamed("g_n", "n")
-      def pos(p: Double) = lit(p) * (col("n") - 1).cast("double")
-      def isLo(p: Double) = col("g_rank") === floor(pos(p)) + 1
-      def isHi(p: Double) = col("g_rank") === ceil(pos(p)) + 1
-      def interp(p: Double, vLo: Column, vHi: Column) =
-        when(floor(pos(p)) === ceil(pos(p)), vLo.cast("double"))
-          .otherwise(vLo.cast("double") * (ceil(pos(p)).cast("double") - pos(p))
-            + vHi.cast("double") * (pos(p) - floor(pos(p)).cast("double")))
-      ranked
-        .filter(isLo(0.5) || isHi(0.5) || isLo(0.9) || isHi(0.9))
-        .groupBy(col("event_type"), col("n"))
-        .agg(
-          min(when(isLo(0.5), col("gap"))).as("v50l"),
-          min(when(isHi(0.5), col("gap"))).as("v50h"),
-          min(when(isLo(0.9), col("gap"))).as("v90l"),
-          min(when(isHi(0.9), col("gap"))).as("v90h"))
+      Distributed.groupedQuantiles(gaps, "event_type", "gap",
+          Seq("p50v" -> 0.5, "p90v" -> 0.9))
         .select(col("event_type"), col("n").as("n_gaps"),
-          quant6(interp(0.5, col("v50l"), col("v50h"))).as("p50_s"),
-          quant6(interp(0.9, col("v90l"), col("v90h"))).as("p90_s"))
+          quant6(col("p50v")).as("p50_s"), quant6(col("p90v")).as("p90_s"))
+    },
+
+    // A54 — WEIGHTED median: per brand, the price level at which half
+    // the shipped QUANTITY transacts (volume-weighted median price) —
+    // the robust "typical price" a plain median gets wrong when cheap
+    // lines ship big quantities. No interpolation anywhere: the
+    // answer is the smallest price whose inclusive cumulative weight
+    // crosses half the total, an INTEGER-arithmetic condition
+    // (2·cum ≥ W over BIGINT quantities — no FP boundary, and ties in
+    // price cannot change the selected value because the crossing
+    // price is unique). The per-brand cumulative weight is the prefix
+    // primitive (brand is ~25 keys — the low-cardinality-window
+    // case); totals come from a ≤|brands|-row mergeable aggregate,
+    // broadcast back; the selection is min(price) over the crossed
+    // region — a map-side partial, no second sort.
+    QueryDef(
+      "weighted_median",
+      """WITH li AS (SELECT p.p_brand AS brand, l.l_extendedprice AS price,
+        |                   CAST(l.l_quantity AS BIGINT) AS qty,
+        |                   l.l_orderkey AS o, l.l_linenumber AS ln
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |c AS (SELECT brand, price, qty,
+        |             SUM(qty) OVER (PARTITION BY brand ORDER BY price, o, ln
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM li),
+        |t AS (SELECT brand, CAST(SUM(qty) AS BIGINT) AS w, COUNT(*) AS n
+        |      FROM li GROUP BY brand)
+        |SELECT c.brand, MIN(t.w) AS total_qty, MIN(t.n) AS n_rows,
+        |       MIN(c.price) AS wmedian_price
+        |FROM c JOIN t ON t.brand = c.brand
+        |WHERE 2 * c.cum >= t.w
+        |GROUP BY c.brand""".stripMargin) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand").as("brand"), col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey").as("o"), col("l_linenumber").as("ln"))
+      val totals = li.groupBy(col("brand"))
+        .agg(sum(col("qty")).as("w"), countAll.as("n"))
+      val ranked = Distributed.globalRunning(li,
+        grp = Seq("brand"), ord = Seq("price", "o", "ln"), valueCol = Some("qty"))
+      ranked.join(broadcast(totals), "brand")
+        .filter(lit(2L) * col("g_run") >= col("w"))
+        .groupBy(col("brand"))
+        .agg(min(col("w")).as("total_qty"), min(col("n")).as("n_rows"),
+          min(col("price")).as("wmedian_price"))
     },
 
     // A16 — set operations over customer activity years. Year filters

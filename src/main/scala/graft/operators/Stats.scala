@@ -357,5 +357,54 @@ object Stats {
             .otherwise(0L)).as("n_clipped"))
         .select(col("event_type"), col("n"), col("p05"), col("p95"),
           col("mean_raw"), col("mean_winsor"), col("n_clipped"))
+    },
+
+    // A55 — robust anomaly detection via MAD (median absolute
+    // deviation): the outlier rule that survives what breaks
+    // events_zscore — a z-score's mean AND stddev are themselves
+    // dragged by the outliers they're meant to flag, while median and
+    // MAD have a 50% breakdown point. Two passes of the shared
+    // rank-based quantile machinery (Distributed.groupedQuantiles —
+    // range-sharded, never a ~5-key window over row data): per-type
+    // median m, then median of |v − m| after a ≤|types|-row broadcast
+    // join-back (the events_zscore broadcast-moments shape, medians
+    // in place of moments). The flag threshold 3σ-equivalent
+    // (3·1.4826 = 4.4478·MAD) is one shared literal — both engines
+    // parse the same decimal to the same IEEE double and compare
+    // identical doubles, so the outlier COUNT is exact, no boundary
+    // drift. Output is the constant-size per-type report.
+    QueryDef(
+      "events_mad",
+      s"""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+         |d AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+         |      FROM e JOIN m USING (event_type)),
+         |s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1),
+         |f AS (SELECT d.event_type, d.dev, d.med, s.mad
+         |      FROM d JOIN s USING (event_type))
+         |SELECT event_type, COUNT(*) AS n,
+         |       ${Quant6Sql("MIN(med)")} AS med,
+         |       ${Quant6Sql("MIN(mad)")} AS mad,
+         |       CAST(SUM(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM f GROUP BY event_type""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val med = Distributed.groupedQuantiles(e, "event_type", "value",
+          Seq("med" -> 0.5))
+        .select(col("event_type"), col("med"))
+      val d = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = Distributed.groupedQuantiles(
+          d.select(col("event_type"), col("dev")), "event_type", "dev",
+          Seq("mad" -> 0.5))
+        .select(col("event_type"), col("mad"))
+      d.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(countAll.as("n"),
+          quant6(min(col("med"))).as("med"),
+          quant6(min(col("mad"))).as("mad"),
+          sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
     })
 }

@@ -249,5 +249,54 @@ object TextStats {
         .filter(col("rn") <= TfIdfTopK)
         .select(col("doc_id"), col("token"), col("tf_d").cast("long").as("tf"),
           quant6(col("score")).as("score"), col("rn").cast("long").as("rank"))
+    },
+
+    // L32 — heavy hitters with BOUNDED candidate state: the top-20
+    // corpus tokens by exact count, where candidate generation is
+    // per-partition Misra-Gries (k = 256 counters, O(k) memory per
+    // task — the ONLY operator in the repo that needs per-partition
+    // imperative state, which is exactly the case the mapPartitions
+    // escape hatch exists for; everything downstream is declarative).
+    // text_vocab aggregates the FULL (doc, token) relation to rank
+    // tokens; at a 100 TB corpus whose token type count itself is
+    // huge, this shape never materializes the full frequency table —
+    // the MG union is a ≤ k·|partitions| candidate set (broadcast),
+    // and the exact pass counts ONLY candidates (work ∝ matched
+    // postings, the text_bm25 argument). Correctness does NOT depend
+    // on the partition layout: any token with global count >
+    // N/(k+1) survives in some partition's summary (averaging
+    // argument over Σn_p), the exact recount fixes every surviving
+    // count, and the final cut is TakeOrdered on (exact count DESC,
+    // token) — a total order. The spec asserts the guarantee bound
+    // held (f20 > N/(k+1)) and equality with the full aggregation.
+    QueryDef(
+      "text_heavy_hitters",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS cnt FROM tok
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val k = 256
+      val docs = Tables.documents(spark, dir)
+      val tokens = docs.select(explode(split(col("text"), " ")).as("token"))
+      val candidates = tokens.as[String].mapPartitions { it =>
+        // Misra-Gries: on overflow decrement every counter and drop
+        // zeros (the arriving token is NOT inserted) — items with
+        // partition count > n_p/(k+1) always survive
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counts.contains(t)) counts(t) += 1L
+          else if (counts.size < k) counts(t) = 1L
+          else {
+            counts.mapValuesInPlace((_, v) => v - 1L)
+            counts.filterInPlace((_, v) => v > 0L)
+          }
+        }
+        counts.keysIterator
+      }.toDF("token").distinct()
+      tokens.join(broadcast(candidates), "token")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
     })
 }

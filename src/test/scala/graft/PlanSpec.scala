@@ -255,7 +255,7 @@ class PlanSpec extends SparkSuite {
     // disagree on __pid. Exchange reuse must collapse them.
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
         "events_concurrency", "text_pps_sample", "text_mixture",
-        "events_interarrival").foreach { q =>
+        "events_interarrival", "pareto_class", "weighted_median").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>
@@ -277,7 +277,7 @@ class PlanSpec extends SparkSuite {
     // through one reducer.
     Seq("events_quantiles" -> "event_type", "text_pack" -> "lang",
       "events_ntile" -> "event_type", "events_winsor" -> "event_type",
-      "text_mixture" -> "lang").foreach {
+      "text_mixture" -> "lang", "weighted_median" -> "brand").foreach {
       case (q, g) =>
         val p = plan(q)
         val specs = raw"windowspecdefinition\([^)]*".r.findAllIn(p).toList

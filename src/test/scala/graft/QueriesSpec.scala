@@ -940,6 +940,105 @@ class QueriesSpec extends SparkSuite {
     assert(got === truth)
   }
 
+  test("pareto_class matches a driver-side exact-decimal Pareto walk") {
+    val got = SparkEntry.queries("pareto_class")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        ((r.getAs[Double]("revenue"), r.getAs[Double]("cum_share"),
+          r.getAs[String]("abc_class")))).toMap
+    val rev = graft.sources.Tables.lineitem(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        // decimal(d) = valueOf (shortest decimal repr) — matches the
+        // engines' double→DECIMAL(18,2) cast on 2dp price data
+        BigDecimal.decimal(r.getAs[Double]("l_extendedprice"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val tot = rev.values.sum
+    var cum = BigDecimal(0)
+    val truth = rev.toSeq.sortBy { case (p, v) => (-v, p) }.map { case (p, v) =>
+      cum += v
+      val cls = if (cum * 100 <= tot * 80) "A" else if (cum * 100 <= tot * 95) "B" else "C"
+      p -> ((v.toDouble,
+        math.floor(cum.toDouble / tot.toDouble * 1000000.0) / 1000000.0, cls))
+    }.toMap
+    assert(got === truth)
+    // all three classes fire on this data (the synthetic revenue curve
+    // is near-uniform, so A ≈ 73% of parts — the classifier is graded
+    // on exactness above, not on the data being skewed)
+    assert(Set("A", "B", "C").subsetOf(got.values.map(_._3).toSet))
+  }
+
+  test("weighted_median matches a driver-side cumulative-weight walk") {
+    val got = SparkEntry.queries("weighted_median")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("brand") ->
+        ((r.getAs[Long]("total_qty"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("wmedian_price")))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("l_extendedprice"),
+        r.getAs[Double]("l_quantity").toLong, r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber")))
+    val truth = li.groupBy(_._1).map { case (b, xs) =>
+      val sorted = xs.sortBy(t => (t._2, t._4, t._5))
+      val w = sorted.map(_._3).sum
+      var cum = 0L
+      val crossing = sorted.find { t => cum += t._3; 2 * cum >= w }.get
+      b -> ((w, xs.length.toLong, crossing._2))
+    }
+    assert(got === truth)
+    // the weighted median is a real data value of its brand
+    got.foreach { case (b, (_, _, m)) =>
+      assert(li.exists(t => t._1 == b && t._2 == m), s"brand $b median not a data value")
+    }
+  }
+
+  test("events_mad matches a driver-side robust-statistics recomputation") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    def interp(vs: Seq[Double], p: Double): Double = {
+      val pos = p * (vs.length - 1).toDouble
+      val lo = math.floor(pos); val hi = math.ceil(pos)
+      if (lo == hi) vs(pos.toInt)
+      else vs(lo.toInt) * (hi - pos) + vs(hi.toInt) * (pos - lo)
+    }
+    val got = SparkEntry.queries("events_mad")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers")))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val truth = ev.groupBy(_._1).map { case (t, xs) =>
+      val vs = xs.map(_._2).sorted.toSeq
+      val med = interp(vs, 0.5)
+      val devs = xs.map(x => math.abs(x._2 - med))
+      val mad = interp(devs.sorted.toSeq, 0.5)
+      t -> ((xs.length.toLong, q6(med), q6(mad),
+        devs.count(_ > 4.4478 * mad).toLong))
+    }
+    assert(got === truth)
+  }
+
+  test("text_heavy_hitters equals the full aggregation and its MG bound held") {
+    val got = SparkEntry.queries("text_heavy_hitters")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSeq
+    val full = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSeq
+    assert(got === full)
+    // the Misra-Gries superset guarantee was in force for this cut:
+    // every reported count clears N/(k+1), so no qualifying token can
+    // have been evicted in every partition
+    val n = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token")).count()
+    assert(got.last._2 > n / 257,
+      s"f20=${got.last._2} must exceed N/(k+1)=${n / 257} for the MG bound")
+  }
+
   test("events_balance matches a driver-side clamped fold bit-for-bit") {
     val got = SparkEntry.queries("events_balance")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->
