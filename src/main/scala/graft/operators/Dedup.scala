@@ -484,6 +484,56 @@ object Dedup {
       (spark, dir) => minhashPairs(spark, dir)
     },
 
+    // L33 — leakage-safe train/eval SPLIT: the hygiene step between
+    // dedup and training. Assignment is a deterministic md5 cut
+    // (first hex nibble '0' → eval, ≈ 1/16 — the text_sample
+    // reproducibility rule, so the split is stable across runs and
+    // engines); then any eval document with a VERIFIED near-duplicate
+    // (the shared minhash pairs, jaccard ≥ 0.7) on the train side is
+    // QUARANTINED — its eval loss would be memorization, not
+    // generalization (the cross-split twin of text_contamination's
+    // benchmark n-gram screen). Scale: the split flag is a per-row
+    // codegen'd expression (no join), the leak set is ∝ verified
+    // cross-split duplicate mass (never corpus-shaped), and the
+    // verdict attaches through one keyed left join. Within-split
+    // duplicates are dedup_clusters' job, not quarantined here.
+    QueryDef(
+      "corpus_split",
+      s"""WITH $pairsCtes,
+         |l AS (SELECT CASE
+         |        WHEN substr(md5(CAST(da AS VARCHAR)), 1, 1) = '0'
+         |             AND substr(md5(CAST(db AS VARCHAR)), 1, 1) <> '0' THEN da
+         |        WHEN substr(md5(CAST(db AS VARCHAR)), 1, 1) = '0'
+         |             AND substr(md5(CAST(da AS VARCHAR)), 1, 1) <> '0' THEN db
+         |      END AS doc_id
+         |      FROM pairs),
+         |lc AS (SELECT doc_id, COUNT(*) AS n_cross FROM l
+         |       WHERE doc_id IS NOT NULL GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0' THEN 'train'
+         |            WHEN lc.doc_id IS NULL THEN 'eval'
+         |            ELSE 'quarantine' END AS split,
+         |       CAST(COALESCE(lc.n_cross, 0) AS BIGINT) AS n_cross_dups
+         |FROM documents d LEFT JOIN lc ON lc.doc_id = d.doc_id""".stripMargin) {
+      (spark, dir) =>
+        def isEval(c: org.apache.spark.sql.Column) =
+          substring(md5(c.cast("string")), 1, 1) === "0"
+        val pairs = minhashPairs(spark, dir)
+        val leaks = pairs.select(
+            when(isEval(col("doc_a")) && !isEval(col("doc_b")), col("doc_a"))
+              .when(isEval(col("doc_b")) && !isEval(col("doc_a")), col("doc_b"))
+              .as("l_doc"))
+          .filter(col("l_doc").isNotNull)
+          .groupBy(col("l_doc")).agg(count(lit(1)).as("n_cross"))
+        Tables.documents(spark, dir).select(col("doc_id"))
+          .join(leaks, col("doc_id") === col("l_doc"), "left")
+          .select(col("doc_id"),
+            when(!isEval(col("doc_id")), "train")
+              .when(col("l_doc").isNull, "eval")
+              .otherwise("quarantine").as("split"),
+            coalesce(col("n_cross"), lit(0L)).as("n_cross_dups"))
+    },
+
     // L2-terminal — pairs → duplicate clusters → kept corpus: the step
     // that turns a pair REPORT into a deduplicated DATASET. Cluster id
     // = min doc_id in the connected component of the pair graph; the

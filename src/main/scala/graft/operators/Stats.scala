@@ -359,6 +359,37 @@ object Stats {
           col("mean_raw"), col("mean_winsor"), col("n_clipped"))
     },
 
+    // A56 — per-row percentile rank (empirical CDF): every event
+    // placed at its within-type percentile — the feature-normalization
+    // transform (rank-gauss, CDF features) a modeling pipeline runs
+    // over raw values. PERCENT_RANK semantics exactly: (rank−1)/(n−1)
+    // where rank is the TIE-SHARING rank, built in two steps — global
+    // row numbers from the range-sharded prefix primitive (never a
+    // ~5-key window over row data), then rank = min(row_number) over
+    // the (type, value) tie group, a HIGH-cardinality window that
+    // stays in-partition after its keyed shuffle (the user_quantiles
+    // cardinality rule: fine-keyed windows are the safe kind). A
+    // 1-row group degenerates to 0 in both engines (explicit guard
+    // here, native percent_rank there).
+    QueryDef(
+      "events_percentile",
+      s"""SELECT event_id, event_type, value,
+         |       ${Quant6Sql("percent_rank() OVER (PARTITION BY event_type ORDER BY value)")} AS pct_rank
+         |FROM events WHERE value IS NOT NULL""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+      val ranked = Distributed.globalRunning(e,
+        grp = Seq("event_type"), ord = Seq("value", "event_id"))
+      val wTie = Window.partitionBy(col("event_type"), col("value"))
+      ranked
+        .withColumn("rnk", min(col("g_rank")).over(wTie))
+        .select(col("event_id"), col("event_type"), col("value"),
+          quant6(when(col("g_n") === 1, lit(0.0))
+            .otherwise((col("rnk") - 1).cast("double")
+              / (col("g_n") - 1).cast("double"))).as("pct_rank"))
+    },
+
     // A55 — robust anomaly detection via MAD (median absolute
     // deviation): the outlier rule that survives what breaks
     // events_zscore — a z-score's mean AND stddev are themselves

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.functions.Portable.quant6
+import graft.functions.Portable.{quant6, Quant6Sql}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -249,6 +249,43 @@ object TextStats {
         .filter(col("rn") <= TfIdfTopK)
         .select(col("doc_id"), col("token"), col("tf_d").cast("long").as("tf"),
           quant6(col("score")).as("score"), col("rn").cast("long").as("rank"))
+    },
+
+    // L34 — frequency-of-frequencies spectrum + Good-Turing adjusted
+    // counts: how many token types occur exactly f times, and the
+    // smoothed count r* = (r+1)·n_{r+1}/n_r — the table every
+    // language-model smoothing estimate (Good-Turing, Katz backoff)
+    // starts from, and the corpus-health curve ("how heavy is the
+    // singleton tail?") data-quality reads. Two mergeable
+    // aggregations: term frequency over the exploded token stream
+    // (the text_vocab shuffle — vocabulary-shaped), then the spectrum
+    // over the ≤ max-frequency distinct counts; the lead() window
+    // runs on that TINY aggregate (the events_growth rule). r* is
+    // defined only where n_{r+1} exists (consecutive spectrum rows);
+    // the division is one double op over exact BIGINTs.
+    QueryDef(
+      "text_freq_spectrum",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
+         |sp AS (SELECT f AS freq, COUNT(*) AS n_tokens FROM tf GROUP BY f),
+         |w AS (SELECT freq, n_tokens,
+         |             lead(n_tokens) OVER (ORDER BY freq) AS n_next,
+         |             lead(freq) OVER (ORDER BY freq) AS f_next
+         |      FROM sp)
+         |SELECT freq, n_tokens,
+         |       ${Quant6Sql("CASE WHEN f_next = freq + 1 THEN (CAST(freq AS DOUBLE) + 1.0) * n_next / n_tokens END")} AS gt_count
+         |FROM w""".stripMargin) { (spark, dir) =>
+      val w = Window.orderBy(col("freq"))
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f").as("freq")).agg(count(lit(1)).as("n_tokens"))
+        .withColumn("n_next", lead(col("n_tokens"), 1).over(w))
+        .withColumn("f_next", lead(col("freq"), 1).over(w))
+        .select(col("freq"), col("n_tokens"),
+          quant6(when(col("f_next") === col("freq") + 1,
+            (col("freq").cast("double") + lit(1.0)) * col("n_next") / col("n_tokens")))
+            .as("gt_count"))
     },
 
     // L32 — heavy hitters with BOUNDED candidate state: the top-20

@@ -255,7 +255,8 @@ class PlanSpec extends SparkSuite {
     // disagree on __pid. Exchange reuse must collapse them.
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
         "events_concurrency", "text_pps_sample", "text_mixture",
-        "events_interarrival", "pareto_class", "weighted_median").foreach { q =>
+        "events_interarrival", "pareto_class", "weighted_median",
+        "events_percentile").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>

@@ -1039,6 +1039,74 @@ class QueriesSpec extends SparkSuite {
       s"f20=${got.last._2} must exceed N/(k+1)=${n / 257} for the MG bound")
   }
 
+  test("corpus_split is leakage-free and matches the md5 cut") {
+    val split = SparkEntry.queries("corpus_split")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("n_cross_dups")))).toMap
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def isEval(id: Long) = graft.functions.Portable.md5Hex(id.toString).startsWith("0")
+    // the assignment is exactly the md5 cut, quarantine included
+    split.foreach { case (id, (s, n)) =>
+      if (!isEval(id)) assert(s === "train", s"doc $id")
+      else {
+        val crossDups = pairs.count { case (a, b) =>
+          (a == id && !isEval(b)) || (b == id && !isEval(a))
+        }
+        assert(n === crossDups.toLong, s"doc $id cross-dup count")
+        assert(s === (if (crossDups > 0) "quarantine" else "eval"), s"doc $id")
+      }
+    }
+    // THE invariant the operator exists for: no verified near-dup pair
+    // straddles the final train/eval boundary
+    pairs.foreach { case (a, b) =>
+      val sa = split(a)._1; val sb = split(b)._1
+      assert(!(sa == "train" && sb == "eval") && !(sa == "eval" && sb == "train"),
+        s"leaky pair ($a=$sa, $b=$sb)")
+    }
+    assert(split.values.count(_._1 == "train") > split.size / 2)
+  }
+
+  test("events_percentile matches a driver-side ECDF with tie-sharing ranks") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("events_percentile")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("pct_rank")).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val truth = ev.groupBy(_._2).values.flatMap { xs =>
+      val sorted = xs.map(_._3).sorted
+      val n = sorted.length
+      xs.map { case (id, _, v) =>
+        val rank = sorted.indexWhere(_ == v) + 1 // min rank of the tie group
+        id -> (if (n == 1) 0.0 else q6((rank - 1).toDouble / (n - 1).toDouble))
+      }
+    }.toMap
+    assert(got === truth)
+  }
+
+  test("text_freq_spectrum matches a driver-side Good-Turing table") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("text_freq_spectrum")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("freq") ->
+        ((r.getAs[Long]("n_tokens"),
+          Option(r.get(r.fieldIndex("gt_count"))).map(_.asInstanceOf[Double])))).toMap
+    val tokens = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .flatMap(_.getAs[String]("text").split(" ", -1))
+    val tf = tokens.groupBy(identity(_)).map(_._2.length.toLong)
+    val spectrum = tf.groupBy(identity(_)).map { case (f, xs) => f -> xs.size.toLong }
+    val truth = spectrum.map { case (f, n) =>
+      val gt = spectrum.get(f + 1).map(nNext => q6((f.toDouble + 1.0) * nNext / n))
+      f -> ((n, gt))
+    }
+    assert(got === truth)
+    // conservation: Σ freq·n_tokens = the corpus token count
+    assert(got.map { case (f, (n, _)) => f * n }.sum === tokens.length.toLong)
+  }
+
   test("events_balance matches a driver-side clamped fold bit-for-bit") {
     val got = SparkEntry.queries("events_balance")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->
