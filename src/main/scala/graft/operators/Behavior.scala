@@ -318,5 +318,58 @@ object Behavior {
         .groupBy(col("from_type"), col("event_type"))
         .agg(countAll.as("n"))
         .select(col("from_type"), col("event_type").as("to_type"), col("n"))
+    },
+
+    // A57 — conversion-lag distribution: per weekly signup cohort,
+    // how many users signed up, how many went on to purchase AFTER
+    // their first signup, and the exact median hours to that first
+    // purchase — funnel_steps tells you IF users convert, this tells
+    // you HOW FAST, the number activation teams actually act on.
+    // First-signup and first-qualifying-purchase are user-keyed min
+    // aggregates chained by a co-partitioned join (the funnel_steps
+    // shape; the ts > s_ts predicate rides the equi-join). Cohort
+    // week and the lag in hours are pure integer epoch arithmetic
+    // (truncating div, no engine calendar); the median runs on the
+    // shared groupedQuantiles machinery (cohort week is ~5 keys — the
+    // range-sharded case). Cohorts with zero conversions survive the
+    // left join with a NULL median, which hashes identically in both
+    // engines.
+    QueryDef(
+      "time_to_convert",
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |s AS (SELECT user_id, MIN(ts) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+         |p AS (SELECT s.user_id, s.s_ts, MIN(e.ts) AS p_ts
+         |      FROM s JOIN e ON e.user_id = s.user_id
+         |                   AND e.event_type = 'purchase' AND e.ts > s.s_ts
+         |      GROUP BY s.user_id, s.s_ts),
+         |sc AS (SELECT user_id, (epoch_us(s_ts) // 86400000000 + 3) // 7 AS cw FROM s),
+         |d AS (SELECT sc.cw, (epoch_us(p.p_ts) - epoch_us(p.s_ts)) // 3600000000 AS h
+         |      FROM p JOIN sc ON sc.user_id = p.user_id),
+         |n AS (SELECT cw, COUNT(*) AS n_signups FROM sc GROUP BY 1)
+         |SELECT n.cw AS cohort_week, n.n_signups,
+         |       COUNT(d.h) AS n_converted,
+         |       ${Quant6Sql("quantile_cont(d.h, 0.5)")} AS med_hours
+         |FROM n LEFT JOIN d ON d.cw = n.cw
+         |GROUP BY n.cw, n.n_signups""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val p = s.join(e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          Seq("user_id"))
+        .filter(col("ts") > col("s_ts"))
+        .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
+      val sc = s.select(col("user_id"),
+        expr("(unix_micros(s_ts) div 86400000000 + 3) div 7").as("cw"))
+      val d = p.join(sc, Seq("user_id"))
+        .select(col("cw"),
+          expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 3600000000").as("h"))
+      val q = Distributed.groupedQuantiles(d, "cw", "h", Seq("medv" -> 0.5))
+      sc.groupBy(col("cw")).agg(countAll.as("n_signups"))
+        .join(q, Seq("cw"), "left")
+        .select(col("cw").as("cohort_week"), col("n_signups"),
+          coalesce(col("n"), lit(0L)).as("n_converted"),
+          quant6(col("medv")).as("med_hours"))
     })
 }

@@ -1061,5 +1061,45 @@ object Similarity {
       // table), so bucket size — and with it a query's candidate set —
       // grows with N: salt the final top-k like every other ANN path
       finish(saltedTopK(scored, col("score"), TopK))
+    },
+
+    // L35 — exact per-label centroids (cluster profiling): the
+    // component-wise mean embedding of every label — the supervised
+    // twin of the IVF/SemDeDup centroid tables (those are md5-sampled
+    // + Lloyd-refined; this is the EXACT aggregate a labeled corpus
+    // supports), and the table label-drift monitoring diffs between
+    // corpus versions. Portability is the design problem: a float
+    // vector mean is an order-dependent double sum (unhashable). The
+    // fold rule (events_ewma) cannot apply — the per-(label,
+    // component) group is corpus-sized — so the values are QUANTIZED
+    // to exact micro-units first (floor(x·10⁶) over the widened
+    // double: floor and the ×2⁻ⁿ-free multiply are bit-identical in
+    // both engines), summed as BIGINTs (order-independent, exact —
+    // headroom: |x|≤~10 → 10⁷ per row, overflow needs 10¹² vectors
+    // per label), one double division at the end. A production
+    // pipeline that needs full float precision drops the oracle and
+    // sums doubles with per-partition compensation; the PLAN is
+    // identical. Scale: posexplode fans out ×dim map-side, partial
+    // agg collapses each task to ≤ |labels|·dim rows before the one
+    // tiny-key shuffle.
+    QueryDef(
+      "label_centroids",
+      s"""WITH e AS (SELECT label, j,
+         |                  CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |           FROM (SELECT label, unnest(embedding) AS x,
+         |                        generate_subscripts(embedding, 1) AS j
+         |                 FROM embeddings))
+         |SELECT label, CAST(j AS BIGINT) AS component, COUNT(*) AS n_vecs,
+         |       ${Portable.Quant6Sql("CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0)")} AS mean_val
+         |FROM e GROUP BY label, j""".stripMargin) { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("component"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+        .groupBy(col("label"), col("component"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        .select(col("label"), col("component"), col("n_vecs"),
+          Portable.quant6(col("sq").cast("double")
+            / (col("n_vecs") * lit(1000000)).cast("double")).as("mean_val"))
     })
 }

@@ -1107,6 +1107,64 @@ class QueriesSpec extends SparkSuite {
     assert(got.map { case (f, (n, _)) => f * n }.sum === tokens.length.toLong)
   }
 
+  test("label_centroids matches a driver-side quantized mean per component") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("label_centroids")(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("component")) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_val")))).toMap
+    val em = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Float](1)))
+    val truth = em.groupBy(_._1).toSeq.flatMap { case (l, xs) =>
+      val dim = xs.head._2.length
+      (1 to dim).map { j =>
+        val qs = xs.map(x => math.floor(x._2(j - 1).toDouble * 1000000).toLong)
+        (l, j.toLong) -> ((xs.length.toLong,
+          q6(qs.sum.toDouble / (xs.length.toLong * 1000000L).toDouble)))
+      }
+    }.toMap
+    assert(got === truth)
+    // every label × every component present
+    assert(got.size === got.keys.map(_._1).toSeq.distinct.size * 64)
+  }
+
+  test("time_to_convert matches a driver-side cohort walk") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    def interp(vs: Seq[Long], p: Double): Double = {
+      val pos = p * (vs.length - 1).toDouble
+      val lo = math.floor(pos); val hi = math.ceil(pos)
+      if (lo == hi) vs(pos.toInt).toDouble
+      else vs(lo.toInt).toDouble * (hi - pos) + vs(hi.toInt).toDouble * (pos - lo)
+    }
+    val got = SparkEntry.queries("time_to_convert")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cohort_week") ->
+        ((r.getAs[Long]("n_signups"), r.getAs[Long]("n_converted"),
+          Option(r.get(r.fieldIndex("med_hours"))).map(_.asInstanceOf[Double])))).toMap
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us")))
+    val firstSignup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val lag = firstSignup.flatMap { case (u, s) =>
+      val ps = ev.filter(t => t._1 == u && t._2 == "purchase" && t._3 > s).map(_._3)
+      if (ps.isEmpty) None else Some(u -> (ps.min - s) / 3600000000L)
+    }
+    val cohort = firstSignup.map { case (u, s) => u -> (s / 86400000000L + 3) / 7 }
+    val truth = cohort.groupBy(_._2).map { case (cw, us) =>
+      // keys is a SET — flatMap must leave it before collecting hour
+      // values, or equal lags deduplicate
+      val hs = us.keys.toSeq.flatMap(lag.get).sorted
+      cw -> ((us.size.toLong, hs.length.toLong,
+        if (hs.isEmpty) None else Some(q6(interp(hs, 0.5)))))
+    }
+    assert(got === truth)
+    got.foreach { case (cw, (ns, nc, _)) =>
+      assert(nc <= ns, s"cohort $cw converted > signups")
+    }
+  }
+
   test("events_balance matches a driver-side clamped fold bit-for-bit") {
     val got = SparkEntry.queries("events_balance")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->
