@@ -45,6 +45,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pointer-doubling transitive closure over (node, anc) parent
+    * edges: round r extends every known pair with the ancestor's own
+    * known ancestors, so covered chain distance doubles per round —
+    * `rounds` rounds reach depth 2^rounds exactly. Each round is one
+    * keyed self-join + distinct, localCheckpoint'd so lineage stays
+    * flat and superseded rounds free their storage. */
+  def ancestorClosure(edges: DataFrame, rounds: Int): DataFrame = {
+    var closure = edges.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      closure = closure.unionByName(jump(closure)).distinct().localCheckpoint(true)
+    }
+    closure
+  }
+
+  private def jump(closure: DataFrame): DataFrame =
+    closure.as("x")
+      .join(closure.as("y"), col("x.anc") === col("y.node"))
+      .select(col("x.node").as("node"), col("y.anc").as("anc"))
+
+  /** The DEPTH CONTRACT made checkable: true iff the closure is a
+    * fixpoint (one more jump adds no pair), i.e. every chain fit
+    * inside the round budget. A fixed-round closure on unknown-depth
+    * data runs this once afterwards and fails loudly instead of
+    * silently truncating — the dedup_clusters convergence pattern
+    * applied to the other iterative operator. One extra self-join +
+    * except; same cost order as a single round. */
+  def closureComplete(closure: DataFrame): Boolean =
+    jump(closure).except(closure).isEmpty
+
   private val Base = 1000000000L // integer mass per node
   private val Iters = 5
 
@@ -215,6 +244,10 @@ object Graph {
     // keyed joins) would spread over ~9 serial rounds at this SF.
     // The oracle is DuckDB's native WITH RECURSIVE walking each
     // node's parent chain — recursion semantics proven, not imitated.
+    // The round budget is a CONTRACT, not a hope: [[closureComplete]]
+    // is the fixpoint check a deployment on unknown-depth data runs
+    // after the fixed rounds (spec-proven to flag a depth-40 chain
+    // under 5 rounds and clear it under 6).
     // Depth-0 roots keep themselves (left join + coalesce); min(anc)
     // IS the root because parents strictly decrease along the chain.
     QueryDef(
@@ -238,13 +271,7 @@ object Graph {
       val edges = part
         .select(col("node"), expr("node div 4").as("anc"))
         .filter(col("anc") >= 1)
-      var closure = edges.localCheckpoint(true)
-      for (_ <- 1 to 5) {
-        val jumped = closure.as("x")
-          .join(closure.as("y"), col("x.anc") === col("y.node"))
-          .select(col("x.node").as("node"), col("y.anc").as("anc"))
-        closure = closure.unionByName(jumped).distinct().localCheckpoint(true)
-      }
+      val closure = ancestorClosure(edges, 5)
       val pa = closure.groupBy(col("node"))
         .agg(min(col("anc")).as("root"), countAll.as("depth"))
       part.join(pa, Seq("node"), "left")

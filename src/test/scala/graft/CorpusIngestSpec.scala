@@ -93,6 +93,56 @@ class CorpusIngestSpec extends SparkSuite {
     assert(Seq("corpus", "index", "dups").map(content).head === before.head)
   }
 
+  test("restart from the checkpoint replays the crashed batch; corpus and index stay exactly-once") {
+    // the operational question the events sink already answers, asked
+    // of the dedup ingest: kill the stream in the window between the
+    // batch's state writes and its checkpoint commit, restart, and
+    // every novel doc must sit in corpus AND index exactly once, with
+    // the replayed batch screened against exactly the state its first
+    // attempt saw. Spark writes offsets/N before executing batch N and
+    // commits/N after — deleting the newest commit marker reproduces
+    // that crash window faithfully (the StreamingSpec recipe).
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_eo").toString
+    val st = s"$root/state"
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def addFile(rows: (Long, String)*): Unit =
+      docsDf(rows: _*).repartition(1).write.mode("append").parquet(s"$root/drop")
+    def stream() = CorpusIngest.start(
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/drop"),
+      st, s"$root/ck")
+    def dropNewestCommit(): Unit = {
+      val dir = new java.io.File(s"$root/ck/commits")
+      val newest = dir.listFiles().filter(_.getName.forall(_.isDigit))
+        .sortBy(_.getName.toInt).last
+      new java.io.File(dir, s".${newest.getName}.crc").delete()
+      newest.delete()
+    }
+
+    addFile(1L -> texts(1), 2L -> texts(2))            // batch 0: both novel
+    addFile(3L -> texts(3), 5L -> texts(2))            // batch 1: 3 novel, 5 dups indexed 2
+    val q1 = stream(); q1.processAllAvailable(); q1.stop()
+    dropNewestCommit()                                 // crash before batch 1's commit
+    addFile(6L -> texts(1), 7L -> texts(7))            // batch 2: 6 dups indexed 1, 7 novel
+    val q2 = stream(); q2.processAllAvailable(); q2.stop() // replays 1, then runs 2
+
+    val corpus = readState(st, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(corpus.sorted === Seq(1L, 2L, 3L, 7L),
+      s"each novel doc exactly once after replay, got $corpus")
+    val idx = readState(st, "index")
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(idx.map(_.getLong(0)).toSet === corpus.toSet,
+      "index must cover exactly the kept corpus")
+    assert(idx.forall(_.getLong(1) === 4L),
+      "replay must not double any doc's band keys")
+    val dups = readState(st, "dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups === Map(5L -> 2L, 6L -> 1L))
+  }
+
   test("the streaming wiring drives the same per-batch path end-to-end") {
     val st = state()
     implicit val sqlCtx = spark.sqlContext

@@ -696,6 +696,30 @@ class QueriesSpec extends SparkSuite {
     assert(got.values.map(_._1).sum === keys.length.toLong, "every part in exactly one subtree")
   }
 
+  test("ancestor closure depth contract: 5 rounds cover depth 2^5 and fail LOUDLY past it") {
+    import spark.implicits._
+    // adversarial input: a pure chain 0 ← 1 ← … ← 40 (parent(n) = n−1),
+    // depth 40 > the 2^5 = 32 the production round budget reaches
+    val edges = (1L to 40L).map(n => (n, n - 1L)).toDF("node", "anc")
+    val five = graft.operators.Graph.ancestorClosure(edges, 5)
+    // the truncation is not silent: the fixpoint check reports it
+    assert(!graft.operators.Graph.closureComplete(five),
+      "a depth-40 chain must NOT satisfy the 5-round closure contract")
+    // and the coverage boundary is exactly the documented 2^rounds:
+    // node 40 knows its 32 nearest ancestors (39 down to 8), no root
+    val anc40 = five.filter(col("node") === 40L)
+    assert(anc40.count() === 32L)
+    assert(anc40.agg(min(col("anc"))).head.getLong(0) === 8L)
+    // one more round doubles coverage past the chain depth: the check
+    // clears, and min(anc)/count per node are the true root and depth
+    val six = graft.operators.Graph.ancestorClosure(edges, 6)
+    assert(graft.operators.Graph.closureComplete(six))
+    val got = six.groupBy(col("node"))
+      .agg(min(col("anc")).as("root"), count(lit(1)).as("depth"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === (1L to 40L).map(n => n -> ((0L, n))).toMap)
+  }
+
   test("events_twap matches a driver-side step-function integral per user") {
     val got = SparkEntry.queries("events_twap")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->

@@ -79,6 +79,35 @@ class ScaleSpec extends SparkSuite {
       s"clustering should prune the scan: clustered=$clustered round-robin=$roundrobin")
   }
 
+  test("targeted erasure preserves the clustered layout's pruning contract") {
+    // the compliance path must not quietly degrade the scan layout it
+    // depends on: after eraseKeys rewrites a band, the SAME selective
+    // predicate must still decode only the matching band's pages
+    val dir = java.nio.file.Files.createTempDirectory("graft_erase_layout").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    Warehouse.writeClustered(li, s"$dir/t", 8, "l_partkey")
+    val pred = col("l_partkey") < 20
+    val before = scanRows(spark.read.parquet(s"$dir/t").filter(pred))
+    // one doomed key inside the probed band, one far outside it —
+    // TWO bands rewritten, including the one the predicate reads
+    val r = Warehouse.eraseKeys(spark, s"$dir/t", "l_partkey", Seq(5L, 130L))
+    assert(r.filesRewritten >= 1 && r.rowsDeleted > 0, s"erasure must have bitten: $r")
+    val total = spark.read.parquet(s"$dir/t").count()
+    val after = scanRows(spark.read.parquet(s"$dir/t").filter(pred))
+    // correctness: the erased keys are gone, the rest intact
+    assert(spark.read.parquet(s"$dir/t").filter(col("l_partkey").isin(5, 130)).count() === 0)
+    assert(spark.read.parquet(s"$dir/t").filter(pred).count()
+      === li.filter(pred && col("l_partkey") =!= 5).count())
+    // layout: the rewritten region was re-range-sorted on the key, so
+    // pruning holds exactly as the pre-erase contract demanded — the
+    // probed band's pages, not the table
+    assert(after <= total / 3,
+      s"post-erase clustered scan must still prune: decoded $after of $total")
+    assert(after <= before,
+      s"erasure only removed rows; decoding MORE ($after > $before) means the rewrite spread the band")
+  }
+
   test("z-order layout prunes BOTH predicate dimensions; single-key sort sacrifices one") {
     // the measured trade: sort-by-partkey gives near-perfect pruning
     // on partkey and NONE on orderkey; the Morton interleave bounds
