@@ -18,35 +18,55 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 has no native
-    * type for (PARQUET_TYPE_ILLEGAL). Read it as a long of nanos and
-    * truncate to micros with integer division — double division would
-    * lose precision above 2^53, and truncation matches the oracle's
-    * CAST(ts AS TIMESTAMP) (TIMESTAMP_NS -> us) exactly. */
+  /** events.ts has shipped in TWO parquet encodings across driver
+    * rounds: TIMESTAMP(NANOS) (no native Spark 4 type —
+    * PARQUET_TYPE_ILLEGAL unless read as a long of nanos) and plain
+    * TIMESTAMP(MICROS)/NTZ. Detect from the scanned schema: a LONG ts
+    * is nanos (truncate to micros with integer division — double
+    * division would lose precision above 2^53, and truncation matches
+    * the oracle's CAST(ts AS TIMESTAMP) exactly); a timestamp ts is
+    * native micros and is only normalized NTZ→LTZ (a wall-clock no-op
+    * under the UTC session every entry point pins) so every downstream
+    * unix_micros/date function sees one type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** events restricted to `[fromSec, untilSec)` (epoch seconds), with
-    * the bounds applied to the RAW nanos long BEFORE the micros
-    * conversion so they reach the parquet scan as plain long
-    * comparisons (`PushedFilters`) — a filter on the derived timestamp
-    * column cannot push. Taking the bounds in whole SECONDS (not a
-    * free-form predicate) is deliberate: second boundaries are exact
-    * under the div-1000 truncation, so the pushed raw-nanos filter is
-    * provably equivalent to the same bound on the converted timestamp,
-    * and a caller can never accidentally compare a micros value
-    * against the nanos column. */
+    * the bounds applied to the RAW scan column BEFORE any conversion
+    * so they reach the parquet scan (`PushedFilters`) — a filter on a
+    * derived column cannot push. For the nanos-long encoding the bound
+    * is a plain long comparison; for the native-timestamp encoding it
+    * is a constant-folded timestamp literal (cast to the scan's exact
+    * NTZ/LTZ type, so no runtime cast blocks pushdown). Taking the
+    * bounds in whole SECONDS (not a free-form predicate) is
+    * deliberate: second boundaries are exact under both encodings, so
+    * the pushed filter is provably equivalent to the same bound on the
+    * converted timestamp, and a caller can never accidentally compare
+    * a micros value against a nanos column. */
   def eventsInRange(spark: SparkSession, dir: String,
       fromSec: Option[Long] = None, untilSec: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    val bounded = (fromSec.map(s => col("ts") >= s * 1000000000L) ++
-      untilSec.map(s => col("ts") < s * 1000000000L))
-      .reduceOption(_ && _).map(raw.filter).getOrElse(raw)
-    bounded.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val bounded = (fromSec.map(s => col("ts") >= s * 1000000000L) ++
+          untilSec.map(s => col("ts") < s * 1000000000L))
+          .reduceOption(_ && _).map(raw.filter).getOrElse(raw)
+        bounded.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case dt =>
+        def bound(s: Long) = timestamp_seconds(lit(s)).cast(dt)
+        val bounded = (fromSec.map(s => col("ts") >= bound(s)) ++
+          untilSec.map(s => col("ts") < bound(s)))
+          .reduceOption(_ && _).map(raw.filter).getOrElse(raw)
+        bounded.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
