@@ -10,6 +10,7 @@ object SparkEntry {
     operators.Analytics.defs ++
       operators.Events.defs ++
       operators.Behavior.defs ++
+      operators.Journey.defs ++
       operators.CourseFlatten.defs ++
       operators.TextOps.defs ++
       operators.TextStats.defs ++

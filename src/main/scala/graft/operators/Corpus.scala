@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.functions.Portable.countAll
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -64,6 +65,115 @@ object Corpus {
          |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
          |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
       decide(spark, dir, Broadcast)
+    },
+
+    // L36 — line-level dedup with document RECOMPOSITION (the
+    // CCNet/RefinedWeb stage): every non-overlapping 16-token block
+    // whose hash appears in ≥ 2 distinct documents is removed from
+    // EVERY document carrying it, and the cleaned text is re-emitted
+    // (hashed here — the 100 TB output carries the cleaned text; the
+    // hash keeps the oracle comparable). This is the transform twin of
+    // text_substring_dedup's PROFILE: that one measures duplicated
+    // span mass, this one rewrites the corpus without it. Blocks fan
+    // out map-side (∝ doc length ÷ 16, never corpus-shaped), the
+    // frequency table is vocabulary-shaped ((hash, doc) distinct →
+    // count — no count-distinct Expand), the join back is AQE-decided,
+    // and recomposition buffers only a document's OWN blocks (the
+    // user_quantiles own-history rule) before an in-order filtered
+    // re-join. Work ∝ corpus tokens; no pair enumeration anywhere.
+    QueryDef(
+      "text_line_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, tk, unnest(range(1, n + 1, 16)) AS s FROM t),
+        |b AS (SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS idx,
+        |             array_to_string(tk[s:s + 15], ' ') AS blk
+        |      FROM s),
+        |f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd
+        |      FROM (SELECT DISTINCT md5(blk) AS h, doc_id FROM b) GROUP BY h),
+        |j AS (SELECT b.doc_id, b.idx, b.blk, f.nd
+        |      FROM b JOIN f ON f.h = md5(b.blk))
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       floor(CAST(COUNT(*) - SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS kept_frac,
+        |       md5(COALESCE(string_agg(CASE WHEN nd < 2 THEN blk END, ' ' ORDER BY idx), ''))
+        |         AS clean_hash
+        |FROM j GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      val b = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, size(tk), 16)")).as("s"))
+        .select(col("doc_id"),
+          expr("(s - 1) div 16").cast("long").as("idx"),
+          array_join(expr("slice(tk, s, 16)"), " ").as("blk"))
+        .withColumn("h", md5(col("blk")))
+      val freq = b.select(col("h"), col("doc_id")).distinct()
+        .groupBy(col("h")).agg(countAll.as("nd"))
+      b.join(freq, "h")
+        .withColumn("dup", col("nd") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(countAll.as("n_blocks"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+          // in-order recomposition of the SURVIVING blocks only: sort
+          // by idx, drop dups, re-join — ≤ the doc's own block count
+          md5(array_join(
+            transform(
+              filter(array_sort(collect_list(struct(col("idx"), col("dup"), col("blk")))),
+                x => !x("dup")),
+              x => x("blk")), " ")).as("clean_hash"))
+        .select(col("doc_id"), col("n_blocks"), col("n_removed"),
+          graft.functions.Portable.quant6(
+            (col("n_blocks") - col("n_removed")).cast("double")
+              / col("n_blocks").cast("double")).as("kept_frac"),
+          col("clean_hash"))
+    },
+
+    // L39 — domain-level quality gate (the RefinedWeb/C4 source
+    // blocklist stage): aggregate per-SOURCE health — document count,
+    // exact-duplicate count (corpus-wide md5 identity), exact mean
+    // length — and a keep/drop verdict from RATIONAL threshold
+    // comparisons (sum_chars ≥ 280·n and 20·n_dup ≤ n — exact BIGINT
+    // inequalities, no FP boundary to drift). Upstream of per-document
+    // filtering: a source that fails wholesale is dropped before
+    // anyone scores its documents. One mergeable per-source aggregate
+    // (constant-size report at any corpus size); the dup flag joins
+    // the vocabulary-shaped hash-frequency table back (AQE-decided).
+    QueryDef(
+      "domain_filter",
+      """WITH d AS (SELECT source, doc_id, n_chars, md5(text) AS h FROM documents),
+        |f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY h),
+        |j AS (SELECT d.source, d.n_chars,
+        |             CASE WHEN f.c >= 2 THEN 1 ELSE 0 END AS isdup
+        |      FROM d JOIN f ON f.h = d.h),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |             CAST(SUM(isdup) AS BIGINT) AS n_dup
+        |      FROM j GROUP BY source)
+        |SELECT source, n_docs, n_dup,
+        |       floor(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000.0)
+        |         / 1000000.0 AS mean_chars,
+        |       CASE WHEN sum_chars >= 280 * n_docs AND 20 * n_dup <= n_docs
+        |            THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM g""".stripMargin) { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars"), md5(col("text")).as("h"))
+      val freq = d.groupBy(col("h")).agg(countAll.as("c"))
+      d.join(freq, "h")
+        .select(col("source"), col("n_chars"),
+          when(col("c") >= 2, 1L).otherwise(0L).as("isdup"))
+        .groupBy(col("source"))
+        .agg(countAll.as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("isdup")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          graft.functions.Portable.quant6(
+            col("sum_chars").cast("double") / col("n_docs").cast("double"))
+            .as("mean_chars"),
+          when(col("sum_chars") >= lit(280) * col("n_docs")
+            && lit(20) * col("n_dup") <= col("n_docs"), "keep")
+            .otherwise("drop").as("verdict"))
     })
 
   /** END-TO-END materialization: run the keep/drop decision and land

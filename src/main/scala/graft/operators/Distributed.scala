@@ -120,6 +120,22 @@ object Distributed {
     out.drop("__pid", "__lr", "__ls", "__coff", "__soff", "__n")
   }
 
+  /** NTILE(n) reconstructed from [[globalRunning]]'s (g_rank, g_n) in
+    * pure LONG arithmetic (`div`, not `/` — double division would
+    * drift past 2^53 rows), matching SQL ntile's "larger groups
+    * first" rule: the first r = n mod k buckets take q+1 = n div k +
+    * 1 rows, the rest take q (ceil(a/b) = (a + b - 1) div b). The
+    * else-branch divides by q, but q = 0 implies fewer rows than
+    * buckets, which puts every rank in the then-branch — the division
+    * never sees zero. Oracled against DuckDB's NATIVE ntile in
+    * events_ntile and rfm_segments. */
+  def ntileFromRank(k: Int): org.apache.spark.sql.Column = expr(
+    s"""CASE WHEN g_rank <= (g_n div $k + 1) * (g_n % $k)
+       |     THEN (g_rank + g_n div $k) div (g_n div $k + 1)
+       |     ELSE g_n % $k
+       |          + (g_rank - (g_n div $k + 1) * (g_n % $k) + g_n div $k - 1) div (g_n div $k)
+       |END""".stripMargin).cast("long")
+
   /** Exact interpolated quantiles per LOW-cardinality group — the
     * rank-based selection events_quantiles established, extracted so
     * every consumer (plain quantiles, inter-arrival gaps, the MAD

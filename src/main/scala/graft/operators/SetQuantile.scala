@@ -7,14 +7,48 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Remaining analytics families (SURVEY.md §2.2): exact interpolated
-  * quantiles (A15) and set operations INTERSECT/EXCEPT (A16). Both
-  * sort-free on the Spark side beyond what the semantics require:
-  * percentile is a per-group aggregate (no global sort), and the set
-  * ops are hash-based distinct joins.
+  * quantiles (A15), set operations INTERSECT/EXCEPT (A16), and the
+  * exact mode (A63). All sort-free on the Spark side beyond what the
+  * semantics require: percentile is a per-group aggregate (no global
+  * sort), the set ops are hash-based distinct joins, and the mode is
+  * a two-level bounded aggregate.
   */
 object SetQuantile {
 
   val defs: Seq[QueryDef] = Seq(
+
+    // A63 — exact MODE with a deterministic tie-break: the most
+    // common order priority per market segment. The count matrix is
+    // ≤ |segments|·|priorities| rows (mergeable partials cap each
+    // task's output at the matrix size — the events_histogram rule),
+    // the per-segment max is a second tiny aggregate, and the winner
+    // is selected by an equi-join on (segment, max-count) + MIN(prio)
+    // — ties resolve to the lexicographically smallest priority in
+    // BOTH engines, so the output is total-order deterministic where
+    // a bare mode()/max_by() would be engine-dependent. The
+    // orders⋈customer key join is left to AQE (customer is
+    // corpus-shaped, not a provably bounded dim — the §5 rule).
+    QueryDef(
+      "mode_agg",
+      """WITH c AS (SELECT c.c_mktsegment AS segment, o.o_orderpriority AS prio,
+        |                  CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |           GROUP BY 1, 2),
+        |m AS (SELECT segment, MAX(n) AS mx FROM c GROUP BY segment)
+        |SELECT c.segment, MIN(c.prio) AS mode_priority, m.mx AS n_orders
+        |FROM c JOIN m ON m.segment = c.segment AND c.n = m.mx
+        |GROUP BY c.segment, m.mx""".stripMargin) { (spark, dir) =>
+      val counts = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("prio"))
+        .agg(countAll.as("n"))
+      val mx = counts.groupBy(col("segment")).agg(max(col("n")).as("mx"))
+      counts.join(broadcast(mx), Seq("segment"))
+        .filter(col("n") === col("mx"))
+        .groupBy(col("segment"), col("mx"))
+        .agg(min(col("prio")).as("mode_priority"))
+        .select(col("segment"), col("mode_priority"), col("mx").as("n_orders"))
+    },
 
     // A15b — grouped exact quantiles at a HIGH-CARDINALITY key: per
     // user, exact median (interpolated) + nearest-rank p90 over the

@@ -1101,5 +1101,60 @@ object Similarity {
         .select(col("label"), col("component"), col("n_vecs"),
           Portable.quant6(col("sq").cast("double")
             / (col("n_vecs") * lit(1000000)).cast("double")).as("mean_val"))
+    },
+
+    // L37 — hard-negative mining for contrastive training: for each
+    // label's EXACT centroid, the top-5 nearest vectors carrying a
+    // DIFFERENT label — the "confusable" examples a contrastive or
+    // metric-learning objective wants in the batch. Composes
+    // label_centroids' exact aggregate (micro-quantized BIGINT
+    // component sums, so both engines build the IDENTICAL centroid
+    // doubles — a raw float mean would be an order-dependent sum) with
+    // the brute-force scoring stage: the ≤|labels|-row centroid table
+    // broadcasts against one corpus scan (the ann_bruteforce shape
+    // with the roles flipped — queries are the bounded side BY
+    // CONSTRUCTION here, so broadcast is provably safe, not a
+    // strategy choice), cross-label filter rides the scan, and the
+    // per-label top-5 runs salted + WindowGroupLimit like every other
+    // growing top-k.
+    QueryDef(
+      "hard_negatives",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qx AS (SELECT label, j, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |       FROM (SELECT label, unnest(embedding) AS x,
+         |                    generate_subscripts(embedding, 1) AS j FROM embeddings)),
+         |cm AS (SELECT label, j, CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean
+         |       FROM qx GROUP BY label, j),
+         |c AS (SELECT label, list(mean ORDER BY j) AS cv FROM cm GROUP BY label),
+         |s AS (SELECT c.label, e.vec_id AS nid,
+         |             floor(list_cosine_similarity(e.v, c.cv) * 1000000.0) / 1000000.0 AS score
+         |      FROM e JOIN c ON e.label <> c.label),
+         |r AS (SELECT label, nid, score,
+         |             ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, nid) AS rn
+         |      FROM s)
+         |SELECT label, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+         |FROM r WHERE rn <= 5""".stripMargin) { (spark, dir) =>
+      ensureRegistered(spark)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val centroids = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("j"),
+          expr("CAST(floor(x * 1000000) AS BIGINT)").as("q"))
+        .groupBy(col("label"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .withColumn("mean", col("sq").cast("double")
+          / (col("n") * lit(1000000)).cast("double"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("j"), col("mean")))).as("jm"))
+        .select(col("label").as("qid"), transform(col("jm"), x => x("mean")).as("cv"))
+      val scored = emb.crossJoin(broadcast(centroids))
+        .filter(col("label") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          Portable.quant6(cosine(col("v"), col("cv"))).as("score"))
+      saltedTopK(scored, col("score"), 5)
+        .select(col("qid").cast("int").as("label"), col("nid").as("neighbor_id"),
+          col("rn").cast("long").as("rank"), col("score"))
     })
 }

@@ -158,12 +158,7 @@ object Stats {
       // ceil(a/b) = (a + b - 1) div b). The else-branch divides by q,
       // but q = 0 implies n < 10, which puts every rank in the
       // then-branch — the division never sees zero.
-      val decile = expr(
-        """CASE WHEN g_rank <= (g_n div 10 + 1) * (g_n % 10)
-          |     THEN (g_rank + g_n div 10) div (g_n div 10 + 1)
-          |     ELSE g_n % 10
-          |          + (g_rank - (g_n div 10 + 1) * (g_n % 10) + g_n div 10 - 1) div (g_n div 10)
-          |END""".stripMargin).cast("long")
+      val decile = Distributed.ntileFromRank(10)
       ranked
         .withColumn("decile", decile)
         .groupBy(col("event_type"), col("decile"))

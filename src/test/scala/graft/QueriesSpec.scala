@@ -1209,4 +1209,227 @@ class QueriesSpec extends SparkSuite {
     // exact double equality: the clamped fold must be bit-stable
     truth.foreach { case (u, t) => assert(got(u) === t, s"user $u") }
   }
+
+  /** Ordered per-user event tuples (user, type, micros, event_id) —
+    * shared by the Journey-layer driver-side recomputations. */
+  private def collectedEvents(): Array[(Long, String, Long, Long)] =
+    graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+
+  test("session_paths matches a driver-side first-3 path census") {
+    val got = SparkEntry.queries("session_paths")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_users")))
+    val paths = collectedEvents().groupBy(_._1).map { case (_, xs) =>
+      xs.sortBy(t => (t._3, t._4)).take(3).map(_._2).mkString(">")
+    }
+    val truth = paths.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq === truth)
+  }
+
+  test("sequence_match matches a driver-side regex scan") {
+    val got = SparkEntry.queries("sequence_match")(spark, sf0001).collect()(0)
+    val streams = collectedEvents().groupBy(_._1).map { case (_, xs) =>
+      xs.sortBy(t => (t._3, t._4)).map(_._2.head).mkString
+    }
+    val occ = streams.map(s => "v[^p]*p".r.findAllIn(s).size)
+    assert(got.getAs[Long]("n_users") === streams.size.toLong)
+    assert(got.getAs[Long]("n_matched") === occ.count(_ > 0).toLong)
+    assert(got.getAs[Long]("n_occurrences") === occ.map(_.toLong).sum)
+  }
+
+  test("ab_test matches a driver-side z-test recomputation") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("ab_test")(spark, sf0001).collect()(0)
+    val users = collectedEvents().groupBy(_._1).toSeq.map { case (u, xs) =>
+      val f = xs.map(_._3).min
+      val conv = xs.exists(t => t._2 == "purchase" && t._3 > f && t._3 - f <= 86400000000L)
+      val arm = if (graft.functions.Portable.md5Hex(u.toString).head <= '7') "A" else "B"
+      (arm, conv)
+    }
+    val (na, ca) = (users.count(_._1 == "A").toLong, users.count(u => u._1 == "A" && u._2).toLong)
+    val (nb, cb) = (users.count(_._1 == "B").toLong, users.count(u => u._1 == "B" && u._2).toLong)
+    assert((got.getAs[Long]("n_a"), got.getAs[Long]("conv_a")) === ((na, ca)))
+    assert((got.getAs[Long]("n_b"), got.getAs[Long]("conv_b")) === ((nb, cb)))
+    val (pa, pb) = (ca.toDouble / na.toDouble, cb.toDouble / nb.toDouble)
+    val pp = (ca + cb).toDouble / (na + nb).toDouble
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    assert(got.getAs[Double]("z_score") === q6((pa - pb) / se))
+  }
+
+  test("kaplan_meier matches a driver-side survival walk") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("kaplan_meier")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("t_days") ->
+        ((r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_deaths"),
+          r.getAs[Double]("survival")))).toMap
+    val users = collectedEvents().groupBy(_._1).toSeq.map { case (_, xs) =>
+      val f = xs.map(_._3).min
+      val ps = xs.filter(t => t._2 == "purchase" && t._3 > f).map(_._3)
+      val lagH = if (ps.isEmpty) None else Some((ps.min - f) / 3600000000L)
+      lagH.filter(_ <= 48L).map(t => (t, 1L)).getOrElse((48L, 0L))
+    }
+    val byT = users.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = users.size.toLong
+    var surv = 1.0
+    val truth = byT.flatMap { case (t, d, c) =>
+      val row = if (d > 0) {
+        surv = surv * (1.0 - d.toDouble / atRisk.toDouble)
+        Some(t -> ((atRisk, d, q6(surv))))
+      } else None
+      atRisk -= c
+      row
+    }.toMap
+    assert(got === truth)
+    // the curve is a survival function: non-increasing, within (0, 1]
+    val ordered = truth.toSeq.sortBy(_._1).map(_._2._3)
+    assert(ordered === ordered.sorted.reverse)
+  }
+
+  test("rfm_segments matches a driver-side quintile walk") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    def ntile5(rank: Long, n: Long): Long = {
+      val q = n / 5; val r = n % 5
+      if (rank <= (q + 1) * r) (rank + q) / (q + 1)
+      else r + (rank - (q + 1) * r + q - 1) / q
+    }
+    val got = SparkEntry.queries("rfm_segments")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score")) ->
+        ((r.getAs[String]("segment"), r.getAs[Long]("n_customers"),
+          r.getAs[Double]("avg_monetary")))).toMap
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("od"),
+        col("o_totalprice").cast("decimal(12,2)").as("tp"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("od"),
+        r.getAs[java.math.BigDecimal]("tp")))
+    val base = orders.groupBy(_._1).map { case (ck, xs) =>
+      (ck, xs.map(_._2).max, xs.size.toLong,
+        xs.map(t => BigDecimal(t._3)).sum)
+    }.toSeq
+    val mxd = base.map(_._2).max
+    def scores(key: ((Long, Long, Long, BigDecimal)) => (BigDecimal, Long)) = {
+      val sorted = base.sortBy(key)
+      val n = sorted.size.toLong
+      sorted.zipWithIndex.map { case (b, i) => b._1 -> ntile5(i + 1L, n) }.toMap
+    }
+    val rS = scores(b => (BigDecimal(-(mxd - b._2)), b._1))
+    val fS = scores(b => (BigDecimal(b._3), b._1))
+    val mS = scores(b => (b._4, b._1))
+    val truth = base.groupBy(b => (rS(b._1), fS(b._1), mS(b._1)))
+      .map { case (k @ (r, f, m), xs) =>
+        val seg =
+          if (r == 5 && f >= 4 && m >= 4) "champion"
+          else if (r <= 2 && f >= 4) "at_risk"
+          else if (r <= 2 && f <= 2) "hibernating"
+          else "other"
+        k -> ((seg, xs.size.toLong,
+          q6(xs.map(_._4).sum.toDouble / xs.size.toDouble)))
+      }
+    assert(got === truth)
+  }
+
+  test("text_line_dedup removes exactly the cross-document blocks and recomposes in order") {
+    def md5 = graft.functions.Portable.md5Hex _
+    val got = SparkEntry.queries("text_line_dedup")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_hash")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val blocks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(16).map(_.mkString(" ")).toSeq
+    }
+    val nd = blocks.flatMap { case (id, bs) => bs.distinct.map(b => (md5(b), id)) }
+      .distinct.groupBy(_._1).map { case (h, xs) => h -> xs.length }
+    val truth = blocks.map { case (id, bs) =>
+      val kept = bs.filter(b => nd(md5(b)) < 2)
+      id -> ((bs.size.toLong, (bs.size - kept.size).toLong, md5(kept.mkString(" "))))
+    }.toMap
+    assert(got === truth)
+    // the planted near-dups guarantee the operator actually fires
+    assert(truth.values.map(_._2).sum > 0, "no duplicated blocks in fixture")
+  }
+
+  test("domain_filter verdicts match a driver-side source census") {
+    val got = SparkEntry.queries("domain_filter")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"),
+          r.getAs[String]("verdict")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("source"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars"),
+        r.getAs[String]("text")))
+    val dupTexts = docs.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val truth = docs.groupBy(_._1).map { case (s, xs) =>
+      val n = xs.length.toLong
+      val nd = xs.count(d => dupTexts(d._3)).toLong
+      val sc = xs.map(_._2).sum
+      s -> ((n, nd, if (sc >= 280 * n && 20 * nd <= n) "keep" else "drop"))
+    }
+    assert(got === truth)
+    // both verdicts must occur or the gate is vacuous at this fixture
+    assert(truth.values.map(_._3).toSet.size === 2)
+  }
+
+  test("hard_negatives are the true cross-label top-5 by centroid cosine") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("hard_negatives")(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("score")))).toMap
+    val em = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val centroids = em.groupBy(_._2).map { case (l, xs) =>
+      val dim = xs.head._3.length
+      l -> (0 until dim).map { j =>
+        xs.map(x => math.floor(x._3(j) * 1000000).toLong).sum.toDouble /
+          (xs.length.toLong * 1000000L).toDouble
+      }.toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = centroids.toSeq.flatMap { case (l, cv) =>
+      em.filter(_._2 != l)
+        .map(x => (x._1, q6(cos(x._3, cv))))
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, s), i) => (l, i + 1L) -> ((nid, s)) }
+    }.toMap
+    assert(got === truth)
+    // no hard negative may carry its own query label
+    val labelOf = em.map(x => x._1 -> x._2).toMap
+    got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
+  }
+
+  test("mode_agg matches a driver-side census and breaks ties low") {
+    val got = SparkEntry.queries("mode_agg")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("segment") ->
+        ((r.getAs[String]("mode_priority"), r.getAs[Long]("n_orders")))).toMap
+    val cust = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_mktsegment")).toMap
+    val counts = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (cust(r.getAs[Long]("o_custkey")), r.getAs[String]("o_orderpriority")))
+      .groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+    val truth = counts.groupBy(_._1._1).map { case (seg, m) =>
+      val mx = m.values.max
+      seg -> ((m.filter(_._2 == mx).keys.map(_._2).min, mx))
+    }
+    assert(got === truth)
+  }
 }
