@@ -14,6 +14,7 @@ object SparkEntry {
       operators.CourseFlatten.defs ++
       operators.TextOps.defs ++
       operators.TextStats.defs ++
+      operators.Bpe.defs ++
       operators.Dedup.defs ++
       operators.Fuzzy.defs ++
       operators.Graph.defs ++

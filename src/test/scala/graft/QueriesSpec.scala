@@ -1415,6 +1415,43 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("bpe_merges matches a driver-side sequential BPE trainer") {
+    val got = SparkEntry.queries("bpe_merges")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("weight"))).sortBy(_._1)
+    // reference trainer: sequential greedy left-to-right merges — the
+    // textbook formulation the island-parity window trick must equal
+    var vocab: Map[String, (Vector[String], Long)] =
+      graft.sources.Tables.documents(spark, sf0001)
+        .select(col("text")).collect()
+        .flatMap(_.getAs[String]("text").split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity)
+        .map { case (w, xs) => w -> ((w.map(_.toString).toVector, xs.length.toLong)) }
+    val truth = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((l, rr), w) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (word, (s, f)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == l && s(i + 1) == rr) {
+            out += (l + rr); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        word -> ((out.result(), f))
+      }
+      (r.toLong, l, rr, l + rr, w)
+    }
+    assert(got.toSeq === truth)
+    // three distinct merges, strictly useful (every weight >= 2)
+    assert(truth.map(_._4).distinct.size === 3)
+    assert(truth.forall(_._5 >= 2L))
+  }
+
   test("mode_agg matches a driver-side census and breaks ties low") {
     val got = SparkEntry.queries("mode_agg")(spark, sf0001).collect()
       .map(r => r.getAs[String]("segment") ->
