@@ -432,5 +432,122 @@ object Stats {
           quant6(min(col("mad"))).as("mad"),
           sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
             .as("n_outliers"))
+    },
+
+    // A64 — two-sample Kolmogorov–Smirnov drift test between the
+    // first and second time-halves of the value stream: the
+    // distribution-shift monitor a feature pipeline runs before
+    // trusting new data. KS = max_x |F₁(x) − F₂(x)| computed WITHOUT
+    // any floating CDF: per distinct value, the signed integer
+    // d = cnt₁·n₂ − cnt₂·n₁ makes the running sum Σd = cum₁·n₂ −
+    // cum₂·n₁, so the statistic is max |Σd| / (n₁·n₂) — ONE exact
+    // integer running sum (in DECIMAL: cnt·n products overflow int64
+    // past ~3e9 rows; Spark would wrap silently where DuckDB widens —
+    // the events_autocorr divergence class), ONE double division at
+    // the end, and a rational argmax for the drift location. The
+    // running sum rides Distributed.globalRunning over the
+    // VALUE-DOMAIN AGGREGATE (≤ |distinct 2dp values| rows — already
+    // reduced from the corpus, then range-sharded anyway, so no
+    // corpus-sized window exists even if the domain grows); the
+    // midpoint split is a broadcast scalar; ties at the max break to
+    // the SMALLEST value via a two-level tiny aggregate (the mode_agg
+    // rule).
+    QueryDef(
+      "events_ks_drift",
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+        |           WHERE value IS NOT NULL),
+        |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+        |s AS (SELECT value, CASE WHEN us < mid THEN 1 ELSE 0 END AS a FROM e, b),
+        |n AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+        |             CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb FROM s),
+        |g AS (SELECT value, CAST(SUM(a) AS BIGINT) AS ca,
+        |             CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb FROM s GROUP BY value),
+        |r AS (SELECT value,
+        |             SUM(CAST(ca AS DECIMAL(30,0)) * nb - CAST(cb AS DECIMAL(30,0)) * na)
+        |               OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dsum
+        |      FROM g, n),
+        |m AS (SELECT MAX(ABS(dsum)) AS mxd FROM r)
+        |SELECT n.na AS n_first, n.nb AS n_second,
+        |       floor(CAST(m.mxd AS DOUBLE) / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE))
+        |             * 1000000.0) / 1000000.0 AS ks_stat,
+        |       (SELECT MIN(value) FROM r WHERE ABS(dsum) = m.mxd) AS ks_at
+        |FROM m, n""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .filter(col("value").isNotNull)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+      val b = e.agg(expr("(MIN(us) + MAX(us)) div 2").as("mid"))
+      val s = e.crossJoin(broadcast(b))
+        .select(col("value"), when(col("us") < col("mid"), 1L).otherwise(0L).as("a"))
+      val n = s.agg(sum(col("a")).as("na"), (countAll - sum(col("a"))).as("nb"))
+      val g = s.groupBy(col("value"))
+        .agg(sum(col("a")).as("ca"), (countAll - sum(col("a"))).as("cb"))
+      val d = g.crossJoin(broadcast(n))
+        .select(lit(1L).as("grp"), col("value"),
+          (col("ca").cast("decimal(30,0)") * col("nb")
+            - col("cb").cast("decimal(30,0)") * col("na")).as("d"))
+      val ranked = Distributed.globalRunning(d, Seq("grp"), Seq("value"), Some("d"))
+        .select(col("value"), col("g_run").as("dsum"))
+      val m = ranked.agg(max(abs(col("dsum"))).as("mxd"))
+      val at = ranked.crossJoin(broadcast(m))
+        .filter(abs(col("dsum")) === col("mxd"))
+        .agg(min(col("value")).as("ks_at"))
+      m.crossJoin(broadcast(n)).crossJoin(broadcast(at))
+        .select(col("na").as("n_first"), col("nb").as("n_second"),
+          quant6(col("mxd").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double"))).as("ks_stat"),
+          col("ks_at"))
+    },
+
+    // A66 — CUSUM change-point detection on the daily volume series
+    // per event type: the level-shift monitor beside events_zscore
+    // (point outliers), events_mad (robust outliers) and
+    // events_autocorr (persistence). The classic statistic
+    // max_k |Σ_{i≤k} (x_i − x̄)| needs no floating mean: with n days
+    // and total T, the scaled deviation d_i = n·x_i − T is integer and
+    // Σd over a prefix = n·Σx − k·T, so the change day is the argmax
+    // of an exact integer running sum and the normalized magnitude is
+    // ONE double division. Everything past the daily rollup lives on
+    // the ≤|days|·|types| aggregate (the events_growth rule): the
+    // prefix sum is a per-type window over the tiny table, the argmax
+    // a two-level aggregate with an earliest-day tie-break.
+    QueryDef(
+      "events_changepoint",
+      """WITH d AS (SELECT event_type,
+        |                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |                  CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS tot
+        |      FROM d GROUP BY event_type),
+        |r AS (SELECT d.event_type, d.day, t.n, t.tot,
+        |             SUM(CAST(d.c AS DECIMAL(30,0)) * t.n - t.tot)
+        |               OVER (PARTITION BY d.event_type ORDER BY d.day
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cus
+        |      FROM d JOIN t ON t.event_type = d.event_type),
+        |m AS (SELECT event_type, MAX(ABS(cus)) AS mxc FROM r GROUP BY event_type)
+        |SELECT r.event_type, strftime(MIN(r.day), '%Y-%m-%d') AS change_day,
+        |       floor(CAST(m.mxc AS DOUBLE) / (CAST(r.n AS DOUBLE) * CAST(r.n AS DOUBLE))
+        |             * 1000000.0) / 1000000.0 AS cusum_stat
+        |FROM r JOIN m ON m.event_type = r.event_type AND ABS(r.cus) = m.mxc
+        |GROUP BY r.event_type, m.mxc, r.n""".stripMargin) { (spark, dir) =>
+      val d = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(countAll.as("c"))
+      val t = d.groupBy(col("event_type"))
+        .agg(countAll.as("n"), sum(col("c")).as("tot"))
+      // the window is keyed per type over the ≤|days| aggregate rows
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = d.join(broadcast(t), "event_type")
+        .withColumn("cus",
+          sum(col("c").cast("decimal(30,0)") * col("n") - col("tot")).over(w))
+      val m = r.groupBy(col("event_type")).agg(max(abs(col("cus"))).as("mxc"))
+      r.join(broadcast(m), "event_type")
+        .filter(abs(col("cus")) === col("mxc"))
+        .groupBy(col("event_type"), col("mxc"), col("n"))
+        .agg(min(col("day")).as("cd"))
+        .select(col("event_type"), fmtDay(col("cd")).as("change_day"),
+          quant6(col("mxc").cast("double")
+            / (col("n").cast("double") * col("n").cast("double"))).as("cusum_stat"))
     })
 }

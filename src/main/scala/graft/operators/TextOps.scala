@@ -575,5 +575,41 @@ object TextOps {
         .select(col("source"), col("n_docs"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    },
+
+    // L41 — deterministic span-corruption preview (the T5/BERT
+    // masking objective as a DATA-PIPELINE step): every token is
+    // masked iff the first md5 nibble of (doc_id, position) falls in
+    // {0, 1} — an exact 2/16 = 12.5% rate that is REPRODUCIBLE across
+    // runs, engines, and partitionings (the ONLY acceptable
+    // randomness in an oracle-checked pipeline; rand() would hash
+    // differently every run). A pure per-row map stage: the token
+    // array transforms in place (1-based positions shared with the
+    // oracle), masked count and corrupted-text hash ride the same
+    // projection, nothing shuffles. At 100 TB this runs at scan speed
+    // and the trainer reads (doc_id, corrupted_hash) to verify its
+    // own masking lines up with the pipeline's.
+    QueryDef(
+      "span_corrupt",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |             list_transform(range(1, len(tk) + 1), i ->
+        |               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+        |                         IN ('0', '1') THEN '<X>' ELSE tk[i] END) AS ck,
+        |             len(tk) AS n
+        |      FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(ck, x -> x = '<X>')) AS BIGINT) AS n_masked,
+        |       md5(array_to_string(ck, ' ')) AS corrupted_hash
+        |FROM c""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("ck", expr(
+          """transform(sequence(1, size(tk)), i ->
+            |  CASE WHEN substring(md5(concat(CAST(doc_id AS STRING), '_', CAST(i AS STRING))), 1, 1)
+            |            IN ('0', '1') THEN '<X>' ELSE element_at(tk, i) END)""".stripMargin))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          size(expr("filter(ck, x -> x = '<X>')")).cast("long").as("n_masked"),
+          md5(array_join(col("ck"), " ")).as("corrupted_hash"))
     })
 }

@@ -335,5 +335,39 @@ object TextStats {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(20)
+    },
+
+    // A65 — Gini diversity of each source's language mix: 1 − Σ pₗ²,
+    // the 0-(uniform)-to-1 concentration index a corpus dashboard
+    // tracks per domain — and the ENTROPY STAND-IN that stays
+    // engine-portable: H = −Σ p·ln p needs ln(), which is not
+    // correctly rounded and differs between libm builds, while the
+    // Gini form is pure RATIONAL arithmetic over exact BIGINTs
+    // ((n² − Σ nₗ²) / n² — one double division at the end, the
+    // basket_lift rule). Counts are two nested mergeable aggregates
+    // (≤ |sources|·|langs| then ≤ |sources| rows); decimal products
+    // guard the n² overflow past ~3e9 docs/source.
+    QueryDef(
+      "gini_diversity",
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(SUM(nl) AS BIGINT) AS n,
+        |             CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |             CAST(SUM(CAST(nl AS DECIMAL(30,0)) * nl) AS DECIMAL(38,0)) AS ss
+        |      FROM c GROUP BY source)
+        |SELECT source, n AS n_docs, n_langs,
+        |       floor(CAST(CAST(n AS DECIMAL(30,0)) * n - ss AS DOUBLE)
+        |             / CAST(CAST(n AS DECIMAL(30,0)) * n AS DOUBLE) * 1000000.0)
+        |         / 1000000.0 AS gini
+        |FROM g""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+        .groupBy(col("source"))
+        .agg(sum(col("nl")).as("n"), count(lit(1)).as("n_langs"),
+          sum(col("nl").cast("decimal(30,0)") * col("nl")).as("ss"))
+        .select(col("source"), col("n").as("n_docs"), col("n_langs"),
+          quant6((col("n").cast("decimal(30,0)") * col("n") - col("ss")).cast("double")
+            / (col("n").cast("decimal(30,0)") * col("n")).cast("double")).as("gini"))
     })
 }

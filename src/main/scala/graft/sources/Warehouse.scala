@@ -159,10 +159,26 @@ object Warehouse {
         val del = sortedKeys.toSeq.toDF("__delete_key")
         src.join(broadcast(del), col(key).cast("long") === col("__delete_key"), "left_anti")
       }
-    // keep the file granularity of the region being rewritten
-    kept.repartitionByRange(files.length, kept.col(key))
-      .sortWithinPartitions(kept.col(key))
-      .write.mode("overwrite").parquet(tmp)
+    // Rewrite each affected file's survivors under that file's OWN
+    // identity (a per-source-file partitioned write), NOT one joint
+    // repartitionByRange over the union: when the delete set hits
+    // DISJOINT bands, a joint range-shuffle must place some output
+    // file across the gap between them, and that file's min/max span
+    // then defeats the page pruning the clustered layout exists for
+    // (observed: a two-band erasure regressed a selective scan from
+    // 744 to 772 decoded rows). Hash-repartitioning on the file index
+    // sends each source file's rows to one task, the in-partition
+    // sort keeps (file, key) runs contiguous, and partitionBy splits
+    // the write per source file — so every rewritten file's span is a
+    // SUBSET of its original's and pruning can only improve. Still
+    // ONE Spark job at any batch size.
+    import spark.implicits._
+    val lookup = broadcast(files.zipWithIndex.toSeq.toDF("__file", "__fidx"))
+    kept.withColumn("__file", input_file_name())
+      .join(lookup, "__file").drop("__file")
+      .repartition(files.length, col("__fidx"))
+      .sortWithinPartitions(col("__fidx"), col(key))
+      .write.partitionBy("__fidx").mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
 
     // rename in, THEN delete: the crash window duplicates, never loses.
@@ -172,15 +188,26 @@ object Warehouse {
     // row loss this ordering exists to prevent, so every boolean is
     // checked and a failed rename aborts BEFORE any original is
     // deleted (leaving the documented duplicate-rows state).
+    // a task that owns several __fidx groups writes IDENTICALLY-named
+    // part files into each group dir, so the flat target name carries
+    // the fidx to stay collision-free (and keeps the part- prefix the
+    // compaction globs rely on)
     val failedRenames = fs.listStatus(new Path(tmp)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .filterNot(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__fidx="))
+      .flatMap { d =>
+        val fidx = d.getPath.getName.stripPrefix("__fidx=")
+        fs.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(s => (s.getPath,
+            new Path(path, s"part-e$fidx-${s.getPath.getName.stripPrefix("part-")}")))
+      }
+      .filterNot { case (from, to) => fs.rename(from, to) }
     if (failedRenames.nonEmpty)
       throw new java.io.IOException(
         s"eraseKeys: ${failedRenames.size} rename(s) into $path returned false; " +
         "originals NOT deleted (rows for renamed files are duplicated, never lost " +
         "- re-run the surrounding compaction): " +
-        failedRenames.map(_.getPath.getName).mkString(", "))
+        failedRenames.map(_._1.getName).mkString(", "))
     val failedDeletes = files.filterNot { f =>
       val p = new Path(new java.net.URI(f))
       fs.delete(p, false) || !fs.exists(p)

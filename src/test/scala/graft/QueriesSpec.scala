@@ -1415,6 +1415,96 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("events_ks_drift matches a driver-side two-sample KS walk") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("events_ks_drift")(spark, sf0001).collect()(0)
+    val rows = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Double]("value")))
+    val mid = (rows.map(_._1).min + rows.map(_._1).max) / 2
+    val a = rows.filter(_._1 < mid).map(_._2)
+    val b = rows.filter(_._1 >= mid).map(_._2)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    assert(got.getAs[Long]("n_first") === na)
+    assert(got.getAs[Long]("n_second") === nb)
+    val support = (a ++ b).distinct.sorted
+    val diffs = support.map { v =>
+      v -> math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)
+    }
+    val mx = diffs.map(_._2).max
+    assert(got.getAs[Double]("ks_stat") === q6(mx.toDouble / (na.toDouble * nb.toDouble)))
+    assert(got.getAs[Double]("ks_at") === diffs.filter(_._2 == mx).map(_._1).min)
+  }
+
+  test("events_changepoint matches a driver-side CUSUM walk") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("events_changepoint")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[String]("change_day"), r.getAs[Double]("cusum_stat")))).toMap
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_type"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }
+      .toSeq.groupBy(_._1)
+    val truth = daily.map { case (t, xs) =>
+      val ordered = xs.sortBy(_._2)
+      val n = ordered.size.toLong
+      val tot = ordered.map(_._3).sum
+      var cum = BigInt(0)
+      val cus = ordered.map { case (_, d, c) => cum += BigInt(c) * n - tot; (d, cum.abs) }
+      val mx = cus.map(_._2).max
+      t -> ((cus.filter(_._2 == mx).map(_._1).min,
+        q6(mx.toDouble / (n.toDouble * n.toDouble))))
+    }
+    assert(got === truth)
+  }
+
+  test("gini_diversity matches the rational impurity form") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("gini_diversity")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+          r.getAs[Double]("gini")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    val truth = docs.groupBy(_._1).map { case (s, xs) =>
+      val byLang = xs.groupBy(_._2).map(_._2.length.toLong)
+      val n = xs.length.toLong
+      val ss = byLang.map(l => BigInt(l) * l).sum
+      s -> ((n, byLang.size.toLong,
+        q6((BigInt(n) * n - ss).toDouble / (BigInt(n) * n).toDouble)))
+    }
+    assert(got === truth)
+    // impurity bounds: [0, 1 - 1/|langs|]
+    got.values.foreach { case (_, nl, g) => assert(g >= 0.0 && g <= 1.0 - 1.0 / nl + 1e-9) }
+  }
+
+  test("span_corrupt masks exactly the md5-selected positions") {
+    def md5 = graft.functions.Portable.md5Hex _
+    val got = SparkEntry.queries("span_corrupt")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+          r.getAs[String]("corrupted_hash")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val truth = docs.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      val ck = tk.zipWithIndex.map { case (x, i0) =>
+        if ("01".contains(md5(s"${id}_${i0 + 1}").head)) "<X>" else x
+      }
+      id -> ((tk.length.toLong, ck.count(_ == "<X>").toLong, md5(ck.mkString(" "))))
+    }.toMap
+    assert(got === truth)
+    // the deterministic nibble rule masks 2/16 of tokens in expectation
+    val (tot, masked) = (truth.values.map(_._1).sum, truth.values.map(_._2).sum)
+    val rate = masked.toDouble / tot.toDouble
+    assert(rate > 0.08 && rate < 0.17, s"mask rate $rate implausible for 2/16 nibbles")
+  }
+
   test("bpe_merges matches a driver-side sequential BPE trainer") {
     val got = SparkEntry.queries("bpe_merges")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
