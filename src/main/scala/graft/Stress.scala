@@ -35,7 +35,13 @@ object Stress {
     // rule), so ×10 input should cost ~×10, never ×100
     "corpus_keep",
     "sessionize", "events_growth", "cohort_retention", "funnel_steps",
-    "events_wau", "user_streaks", "event_transitions")
+    "events_wau", "user_streaks", "event_transitions",
+    // round-6 corpus transforms: line dedup and the masking preview
+    // scale with the token stream; BPE is VOCABULARY-shaped — tiling
+    // documents ×10 multiplies token counts but barely grows the
+    // distinct-word vocabulary, so the merge rounds should cost
+    // nearly the same and only the vocab aggregation pays the ×10
+    "text_line_dedup", "span_corrupt", "bpe_merges")
 
   /** The worst-case ×copies corpus (shared with [[RecallCurve]]):
     * every document and embedding tiled `copies` times with a small

@@ -44,8 +44,11 @@ object Bpe {
   private[graft] val MergeRounds = 3
 
   /** One merge round on a (word, freq, s: array<string>) vocabulary:
-    * returns (merged vocab, the winning (left, right, weight) row). */
-  private def mergeRound(vocab: DataFrame): (DataFrame, DataFrame) = {
+    * returns (merged vocab, the winning (left, right, weight) row).
+    * private[graft] so PlanSpec can audit the round's physical plan —
+    * the rounds run under localCheckpoint, so the top-level query plan
+    * no longer contains them. */
+  private[graft] def mergeRound(vocab: DataFrame): (DataFrame, DataFrame) = {
     val spark = vocab.sparkSession
     // 1. weighted adjacent-pair counts (map-side fan-out ∝ |word|).
     // Single-symbol words carry no pair and are filtered BEFORE the

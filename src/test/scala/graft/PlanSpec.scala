@@ -256,7 +256,7 @@ class PlanSpec extends SparkSuite {
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
         "events_concurrency", "text_pps_sample", "text_mixture",
         "events_interarrival", "pareto_class", "weighted_median",
-        "events_percentile").foreach { q =>
+        "events_percentile", "events_ks_drift").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>
@@ -268,6 +268,49 @@ class PlanSpec extends SparkSuite {
       assert(reused >= 1,
         s"$q: the second consumer must read the range shuffle via ReusedExchange")
     }
+  }
+
+  test("span_corrupt is a pure map stage — zero exchanges") {
+    // the masking preview claims scan speed at 100 TB; any Exchange in
+    // the plan would falsify it
+    assert(!plan("span_corrupt").contains("Exchange"),
+      "span_corrupt must not shuffle")
+  }
+
+  test("session_paths cuts the census with TakeOrdered, not a global sort") {
+    assert(plan("session_paths").contains("TakeOrdered"),
+      "top-20 paths must plan as TakeOrderedAndProject")
+  }
+
+  test("rfm_segments runs all three quintile passes on the range-sharded primitive") {
+    // three metrics → three independent range shuffles (different sort
+    // keys — reuse is impossible and NOT expected), each feeding
+    // ntileFromRank; no corpus-wide single-reducer window anywhere
+    val finalPlan = plan("rfm_segments").split("== Initial Plan ==")(0)
+    val ranges = finalPlan.split("\n")
+      .count(l => l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    assert(ranges === 3, s"expected 3 materialized range shuffles, saw $ranges")
+    assert(finalPlan.contains("__pid"), "quintile windows must carry the shard id")
+  }
+
+  test("bpe_merges broadcasts the round's winning pair into the match scan") {
+    // the rounds run under localCheckpoint, so the top-level plan no
+    // longer contains them — audit one round directly: the 1-row
+    // top-pair table must reach the merge stage as a broadcast, never
+    // a shuffled join key, and the round must not plan a cartesian
+    import org.apache.spark.sql.functions._
+    val vocab = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("s",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val (merged, _) = graft.operators.Bpe.mergeRound(vocab)
+    merged.collect()
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the winning pair should broadcast into the match scan")
+    assert(!p.contains("CartesianProduct"), "a merge round must not plan a cartesian")
   }
 
   test("corpus-sized running windows shard by range partition, never by the group alone") {
