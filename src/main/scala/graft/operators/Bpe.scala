@@ -148,5 +148,55 @@ object Bpe {
           col("w").as("weight"))
       }
       tops.reduce(_ union _)
+    },
+
+    // L42 — BPE ENCODING stats: the apply side of the tokenizer loop
+    // (train with bpe_merges, then encode). Because merges rewrite
+    // WORDS, encoding the corpus needs only the trained vocabulary:
+    // every token occurrence of a word costs |s_final| symbols, so the
+    // corpus-level compression curve is ONE weighted aggregate over
+    // the ≤|vocab| merged rows — Σ freq·len(word) chars vs
+    // Σ freq·|s| symbols, the number a tokenizer team actually tracks
+    // per merge budget. Decimal products guard the Σ freq·len
+    // overflow; one double division at the end (the basket_lift
+    // rule). Shares mergeRound verbatim with bpe_merges — the train
+    // and apply paths cannot drift.
+    QueryDef(
+      "bpe_encode", {
+        val rounds = (1 to MergeRounds).map(oracleRound).mkString(",\n")
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+           |vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+           |          WHERE len(word) > 0 GROUP BY word),
+           |v0 AS (SELECT word, freq,
+           |              list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS s
+           |       FROM vocab),
+           |$rounds
+           |SELECT CAST(SUM(freq) AS BIGINT) AS n_word_occurrences,
+           |       CAST(SUM(CAST(freq AS DECIMAL(30,0)) * len(word)) AS BIGINT) AS n_chars,
+           |       CAST(SUM(CAST(freq AS DECIMAL(30,0)) * len(s)) AS BIGINT) AS n_symbols,
+           |       floor(CAST(SUM(CAST(freq AS DECIMAL(30,0)) * len(word)) AS DOUBLE)
+           |             / CAST(SUM(CAST(freq AS DECIMAL(30,0)) * len(s)) AS DOUBLE)
+           |             * 1000000.0) / 1000000.0 AS chars_per_symbol
+           |FROM v$MergeRounds""".stripMargin
+      }) { (spark, dir) =>
+      var vocab = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(countAll.as("freq"))
+        .withColumn("s",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .localCheckpoint()
+      (1 to MergeRounds).foreach { _ =>
+        vocab = mergeRound(vocab)._1.localCheckpoint()
+      }
+      vocab.agg(
+        sum(col("freq")).as("n_word_occurrences"),
+        sum(col("freq").cast("decimal(30,0)") * length(col("word")))
+          .cast("long").as("n_chars"),
+        sum(col("freq").cast("decimal(30,0)") * size(col("s")))
+          .cast("long").as("n_symbols"))
+        .select(col("n_word_occurrences"), col("n_chars"), col("n_symbols"),
+          quant6(col("n_chars").cast("double") / col("n_symbols").cast("double"))
+            .as("chars_per_symbol"))
     })
 }

@@ -1505,20 +1505,18 @@ class QueriesSpec extends SparkSuite {
     assert(rate > 0.08 && rate < 0.17, s"mask rate $rate implausible for 2/16 nibbles")
   }
 
-  test("bpe_merges matches a driver-side sequential BPE trainer") {
-    val got = SparkEntry.queries("bpe_merges")(spark, sf0001).collect()
-      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
-        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
-        r.getAs[Long]("weight"))).sortBy(_._1)
-    // reference trainer: sequential greedy left-to-right merges — the
-    // textbook formulation the island-parity window trick must equal
+  /** Reference BPE trainer: sequential greedy left-to-right merges —
+    * the textbook formulation the island-parity window trick must
+    * equal. Returns (merges, final vocabulary). */
+  private def sequentialBpe(rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], Map[String, (Vector[String], Long)]) = {
     var vocab: Map[String, (Vector[String], Long)] =
       graft.sources.Tables.documents(spark, sf0001)
         .select(col("text")).collect()
         .flatMap(_.getAs[String]("text").split(" ", -1)).filter(_.nonEmpty)
         .groupBy(identity)
         .map { case (w, xs) => w -> ((w.map(_.toString).toVector, xs.length.toLong)) }
-    val truth = (1 to 3).map { r =>
+    val merges = (1 to rounds).map { r =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.values.foreach { case (s, f) =>
         s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
@@ -1536,10 +1534,34 @@ class QueriesSpec extends SparkSuite {
       }
       (r.toLong, l, rr, l + rr, w)
     }
+    (merges, vocab)
+  }
+
+  test("bpe_merges matches a driver-side sequential BPE trainer") {
+    val got = SparkEntry.queries("bpe_merges")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("weight"))).sortBy(_._1)
+    val (truth, _) = sequentialBpe(3)
     assert(got.toSeq === truth)
     // three distinct merges, strictly useful (every weight >= 2)
     assert(truth.map(_._4).distinct.size === 3)
     assert(truth.forall(_._5 >= 2L))
+  }
+
+  test("bpe_encode compression stats match the sequentially trained vocabulary") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("bpe_encode")(spark, sf0001).collect()(0)
+    val (_, vocab) = sequentialBpe(3)
+    val nOcc = vocab.values.map(_._2).sum
+    val nChars = vocab.map { case (w, (_, f)) => f * w.length }.sum
+    val nSyms = vocab.values.map { case (s, f) => f * s.length }.sum
+    assert(got.getAs[Long]("n_word_occurrences") === nOcc)
+    assert(got.getAs[Long]("n_chars") === nChars)
+    assert(got.getAs[Long]("n_symbols") === nSyms)
+    assert(got.getAs[Double]("chars_per_symbol") === q6(nChars.toDouble / nSyms.toDouble))
+    // merging strictly compresses: fewer symbols than chars
+    assert(nSyms < nChars)
   }
 
   test("mode_agg matches a driver-side census and breaks ties low") {
