@@ -337,6 +337,63 @@ object TextStats {
         .limit(20)
     },
 
+    // L43 — positional phrase search: exact 3-token phrase lookup by
+    // POSTING-LIST INTERSECTION — the position-aware index shape a
+    // search engine adds on top of text_bm25's frequency postings.
+    // The query phrase is mined from the corpus (most frequent
+    // trigram, lexicographic tie-break — a deterministic stand-in for
+    // the user's query string), broadcast as one row, and resolved by
+    // joining the three words' (doc, pos) postings on (doc, pos+1),
+    // (doc, pos+2): work ∝ the matched postings (the text_bm25 rule),
+    // never the corpus — the selective word's posting list prices the
+    // query. The oracle deliberately takes the OTHER algorithm (a
+    // trigram scan over every document), so the index formulation is
+    // proven against a direct scan — the golden_record
+    // two-algorithms-one-output pattern.
+    QueryDef(
+      "phrase_search",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |tg AS (SELECT doc_id, array_to_string(tk[i:i + 2], ' ') AS g
+        |       FROM (SELECT doc_id, tk, unnest(range(1, n - 1)) AS i FROM d WHERE n >= 3)),
+        |c AS (SELECT g, COUNT(*) AS cnt FROM tg GROUP BY g),
+        |t AS (SELECT g FROM c ORDER BY cnt DESC, g LIMIT 1)
+        |SELECT tg.doc_id, t.g AS phrase, COUNT(*) AS n_occurrences
+        |FROM tg, t WHERE tg.g = t.g
+        |GROUP BY tg.doc_id, t.g""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // phrase mining: most frequent trigram (TakeOrdered-1 total order)
+      val top = docs.filter(size(col("tk")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
+          .as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g")).limit(1)
+        .select(col("g"),
+          element_at(split(col("g"), " "), 1).as("w1"),
+          element_at(split(col("g"), " "), 2).as("w2"),
+          element_at(split(col("g"), " "), 3).as("w3"))
+      // search: positional postings of the three words, intersected on
+      // (doc, pos+1)/(doc, pos+2) — keyed equi-joins, matched-postings
+      // sized
+      val tokpos = docs
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+        .crossJoin(broadcast(top))
+      val p1 = tokpos.filter(col("w") === col("w1"))
+        .select(col("doc_id"), col("pos"), col("g"))
+      val p2 = tokpos.filter(col("w") === col("w2"))
+        .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+      val p3 = tokpos.filter(col("w") === col("w3"))
+        .select(col("doc_id").as("d3"), col("pos").as("pos3"))
+      p1.join(p2, col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+        .join(p3, col("doc_id") === col("d3") && col("pos3") === col("pos") + 2)
+        .groupBy(col("doc_id"), col("g").as("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    },
+
     // A65 — Gini diversity of each source's language mix: 1 − Σ pₗ²,
     // the 0-(uniform)-to-1 concentration index a corpus dashboard
     // tracks per domain — and the ENTROPY STAND-IN that stays

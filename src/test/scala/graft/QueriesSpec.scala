@@ -1415,6 +1415,25 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("phrase_search posting intersection equals a driver-side trigram scan") {
+    val got = SparkEntry.queries("phrase_search")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("phrase"), r.getAs[Long]("n_occurrences")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val grams = docs.flatMap { case (id, tk) =>
+      tk.sliding(3).filter(_.length == 3).map(g => (id, g.mkString(" ")))
+    }
+    val top = grams.groupBy(_._2).map { case (g, xs) => (g, xs.length) }
+      .toSeq.minBy { case (g, c) => (-c, g) }._1
+    val truth = grams.filter(_._2 == top).groupBy(_._1)
+      .map { case (id, xs) => id -> ((top, xs.length.toLong)) }
+    assert(got === truth)
+    // the phrase genuinely occurs in >1 document at this fixture
+    assert(truth.size > 1)
+  }
+
   test("events_ks_drift matches a driver-side two-sample KS walk") {
     def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
     val got = SparkEntry.queries("events_ks_drift")(spark, sf0001).collect()(0)
