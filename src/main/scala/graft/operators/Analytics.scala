@@ -514,5 +514,41 @@ object Analytics {
           when(lit(100) * col("g_run") <= lit(80) * col("tot"), "A")
             .when(lit(100) * col("g_run") <= lit(95) * col("tot"), "B")
             .otherwise("C").as("abc_class"))
+    },
+
+    // A68 — day-of-week seasonality index: per-weekday average order
+    // revenue as a ratio to the overall average — the demand-shape
+    // profile capacity planning reads. Day-of-week is pure INTEGER
+    // epoch arithmetic ((epoch_day + 3) mod 7, 0 = Monday — the
+    // events_chisq rule: no engine calendar in the hash path), the
+    // index is the rational rearrangement (sum_dow · n_total) /
+    // (n_dow · sum_total) over exact decimal/bigint products with ONE
+    // double division, and the whole query is one mergeable 7-row
+    // aggregate plus a broadcast 1-row total.
+    QueryDef(
+      "dow_seasonality",
+      """WITH o AS (SELECT (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+        |           FROM orders),
+        |g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n, SUM(tp) AS s FROM o GROUP BY dow),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st FROM g)
+        |SELECT CAST(g.dow AS BIGINT) AS dow, g.n AS n_orders,
+        |       CAST(g.s AS DOUBLE) AS revenue,
+        |       floor(CAST(g.s * t.nt AS DOUBLE) / CAST(g.n * t.st AS DOUBLE)
+        |             * 1000000.0) / 1000000.0 AS seasonal_index
+        |FROM g, t""".stripMargin) { (spark, dir) =>
+      val g = Tables.orders(spark, dir)
+        .select(
+          expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 + 3) % 7")
+            .as("dow"),
+          dec(col("o_totalprice")).as("tp"))
+        .groupBy(col("dow"))
+        .agg(countAll.as("n"), sum(col("tp")).as("s"))
+      val t = g.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"))
+      g.crossJoin(broadcast(t))
+        .select(col("dow"), col("n").as("n_orders"),
+          col("s").cast("double").as("revenue"),
+          quant6((col("s") * col("nt")).cast("double")
+            / (col("n") * col("st")).cast("double")).as("seasonal_index"))
     })
 }

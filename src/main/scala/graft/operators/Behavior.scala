@@ -214,6 +214,45 @@ object Behavior {
         .agg(countAll.as("n_orders"))
     },
 
+    // A67 — item-item cosine on the co-occurrence matrix: the
+    // collaborative-filtering similarity sim(a,b) = n_ab/√(n_a·n_b)
+    // beside basket_lift's independence ratio — lift asks "more than
+    // chance?", cosine asks "how aligned?", and a recommender ranks
+    // by the latter. The √ of an exact BIGINT product is ONE
+    // correctly-rounded IEEE op (identical both engines — the ab_test
+    // sqrt rule), then one division; everything upstream is the
+    // order-keyed bounded-fan-out pair join and broadcast marginals
+    // the basket family shares.
+    QueryDef(
+      "basket_cosine",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |m AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM ob GROUP BY b),
+        |pr AS (SELECT a.b AS brand_a, bb.b AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+        |       GROUP BY 1, 2)
+        |SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+        |       floor(CAST(pr.n_ab AS DOUBLE)
+        |             / sqrt(CAST(ma.cb * mb.cb AS DOUBLE)) * 1000000.0) / 1000000.0 AS cosine
+        |FROM pr
+        |JOIN m ma ON ma.b = pr.brand_a
+        |JOIN m mb ON mb.b = pr.brand_b""".stripMargin) { (spark, dir) =>
+      val ob = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct().cache()
+      val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
+      ob.as("a").join(ob.as("bb"),
+          col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
+        .groupBy(col("a.b").as("brand_a"), col("bb.b").as("brand_b"))
+        .agg(countAll.as("n_ab"))
+        .join(broadcast(marg.as("ma")), col("brand_a") === col("ma.b"))
+        .join(broadcast(marg.as("mb")), col("brand_b") === col("mb.b"))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          quant6(col("n_ab").cast("double")
+            / sqrt((col("ma.cb") * col("mb.cb")).cast("double"))).as("cosine"))
+    },
+
     // A34b — association scoring on the co-occurrence matrix: lift =
     // P(a,b) / (P(a)·P(b)) computed as (n_orders_total · c_ab) /
     // (c_a · c_b). All counts are exact BIGINTs (order-independent

@@ -1415,6 +1415,53 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("basket_cosine matches a driver-side pair census") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("basket_cosine")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("brand_a"), r.getAs[String]("brand_b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Double]("cosine")))).toMap
+    val ob = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[String]("p_brand")))
+    val marg = ob.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val truth = ob.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val bs = xs.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).map { case (p @ (a, b), xs) =>
+      val n = xs.length.toLong
+      p -> ((n, q6(n.toDouble / math.sqrt((marg(a) * marg(b)).toDouble))))
+    }
+    assert(got === truth)
+    // cosine is a similarity: every cell in (0, 1]
+    got.values.foreach { case (_, c) => assert(c > 0.0 && c <= 1.0) }
+  }
+
+  test("dow_seasonality indexes average to 1 and match a driver walk") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("dow_seasonality")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("seasonal_index")))).toMap
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("ed"),
+        col("o_totalprice").cast("decimal(12,2)").as("tp")).collect()
+      .map(r => ((r.getAs[Long]("ed") + 3) % 7,
+        BigDecimal(r.getAs[java.math.BigDecimal]("tp"))))
+    val nt = orders.length.toLong
+    val st = orders.map(_._2).sum
+    val truth = orders.groupBy(_._1).map { case (d, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      d -> ((n, q6((s * nt).toDouble / (BigDecimal(n) * st).toDouble)))
+    }
+    assert(got === truth)
+    assert(got.size === 7)
+    // the weighted mean of the indexes is exactly 1 by construction
+    val wmean = got.map { case (d, (n, idx)) => idx * n }.sum / nt.toDouble
+    assert(math.abs(wmean - 1.0) < 1e-3)
+  }
+
   test("phrase_search posting intersection equals a driver-side trigram scan") {
     val got = SparkEntry.queries("phrase_search")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") ->
