@@ -214,6 +214,63 @@ object Behavior {
         .agg(countAll.as("n_orders"))
     },
 
+    // A70 — frequent triples with A-Priori candidate pruning
+    // (Agrawal & Srikant, VLDB 1994): brand triples bought together
+    // in ≥ 0.5% of orders. The Spark side runs the REAL A-Priori
+    // shape — frequent pairs first (≤|brands|² rows, broadcast), then
+    // triple candidates generated by extending only FREQUENT-pair
+    // prefixes and pruned against the pair set on all three faces
+    // BEFORE counting (downward closure guarantees no qualifying
+    // triple is lost), so generation work scales with frequent-pair
+    // occurrences, not C(brands-in-order, 3). The oracle deliberately
+    // counts ALL triples brute-force and thresholds at the end — the
+    // two-algorithms pattern proving the pruning exact. The support
+    // cut is RATIONAL (1000·n ≥ 5·n_orders — no FP boundary).
+    QueryDef(
+      "basket_triples",
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        |            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nt FROM ob),
+        |tr AS (SELECT a.b AS brand_a, bb.b AS brand_b, c.b AS brand_c,
+        |              CAST(COUNT(*) AS BIGINT) AS n_orders
+        |       FROM ob a
+        |       JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+        |       JOIN ob c ON a.o = c.o AND bb.b < c.b
+        |       GROUP BY 1, 2, 3)
+        |SELECT tr.brand_a, tr.brand_b, tr.brand_c, tr.n_orders
+        |FROM tr, n WHERE 1000 * tr.n_orders >= 5 * n.nt""".stripMargin) { (spark, dir) =>
+      val ob = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct().cache()
+      val nt = ob.agg(countDistinct(col("o")).as("nt"))
+      // pass 1: frequent pairs at the same relative support (downward
+      // closure: any frequent triple's faces are frequent pairs)
+      val fp = ob.as("a").join(ob.as("bb"),
+          col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
+        .groupBy(col("a.b").as("x"), col("bb.b").as("y"))
+        .agg(countAll.as("c"))
+        .crossJoin(broadcast(nt))
+        .filter(lit(1000) * col("c") >= lit(5) * col("nt"))
+        .select(col("x"), col("y"))
+      // pass 2: extend only frequent-pair prefixes, prune the other
+      // two faces against the broadcast pair set, THEN count
+      val cand = ob.as("a").join(ob.as("bb"),
+          col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
+        .select(col("a.o").as("o"), col("a.b").as("ba"), col("bb.b").as("bb2"))
+        .join(broadcast(fp), col("ba") === col("x") && col("bb2") === col("y"), "left_semi")
+        .withColumnRenamed("o", "po")
+        .join(ob.as("c"), col("po") === col("c.o") && col("bb2") < col("c.b"))
+        .select(col("po"), col("ba"), col("bb2"), col("c.b").as("bc"))
+        .join(broadcast(fp), col("bb2") === col("x") && col("bc") === col("y"), "left_semi")
+        .join(broadcast(fp), col("ba") === col("x") && col("bc") === col("y"), "left_semi")
+      cand.groupBy(col("ba").as("brand_a"), col("bb2").as("brand_b"), col("bc").as("brand_c"))
+        .agg(countAll.as("n_orders"))
+        .crossJoin(broadcast(nt))
+        .filter(lit(1000) * col("n_orders") >= lit(5) * col("nt"))
+        .select(col("brand_a"), col("brand_b"), col("brand_c"), col("n_orders"))
+    },
+
     // A67 — item-item cosine on the co-occurrence matrix: the
     // collaborative-filtering similarity sim(a,b) = n_ab/√(n_a·n_b)
     // beside basket_lift's independence ratio — lift asks "more than

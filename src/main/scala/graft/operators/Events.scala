@@ -500,5 +500,49 @@ object Events {
         .agg(
           sum(when(valid, 1).otherwise(0)).cast("long").as("n_valid"),
           sum(when(valid, 0).otherwise(1)).cast("long").as("n_invalid"))
+    },
+
+    // A69 — refractory debounce: keep an event only if > 300 s have
+    // passed since the last KEPT event of that user (telemetry /
+    // alert-storm suppression). The "since last KEPT" chain is
+    // NON-ASSOCIATIVE — no window frame expresses it (sessionize's
+    // gap rule compares to the previous EVENT; debounce compares to
+    // the previous SURVIVOR) — so it runs as the events_ewma ordered
+    // fold, with the whole state packed into ONE BIGINT:
+    // acc = last_kept_sec · 2²⁴ + kept_count (seconds are corpus-
+    // epoch-relative and shifted +1000 so 0 means "none kept yet";
+    // 2²⁴ leaves 16 M events/user of counter headroom and the pack
+    // stays pure integer arithmetic — div/mod, bit-identical in both
+    // engines where a struct-state fold wouldn't fit DuckDB's
+    // first-element-seeded list_reduce at all). Oracle prepends the
+    // 0 seed (the events_balance trick); sorted equal-second ties
+    // fold identically regardless of collect order.
+    QueryDef(
+      "events_debounce",
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT MIN(us) AS mn FROM e),
+        |d AS (SELECT user_id, (us - mn) // 1000000 + 1000 AS sec FROM e, b),
+        |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |             list_prepend(CAST(0 AS BIGINT), list_sort(list(sec))) AS xs
+        |      FROM d GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CAST(list_reduce(xs, (acc, x) ->
+        |         CASE WHEN acc // 16777216 = 0 OR x - acc // 16777216 > 300
+        |              THEN x * 16777216 + acc % 16777216 + 1
+        |              ELSE acc END) % 16777216 AS BIGINT) AS n_kept
+        |FROM l""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mn = e.agg(min(col("us")).as("mn"))
+      e.crossJoin(broadcast(mn))
+        .select(col("user_id"), expr("(us - mn) div 1000000 + 1000").as("sec"))
+        .groupBy(col("user_id"))
+        .agg(countAll.as("n_events"), sort_array(collect_list(col("sec"))).as("xs"))
+        .select(col("user_id"), col("n_events"),
+          (expr(
+            """aggregate(xs, 0L, (acc, x) ->
+              |  IF(acc div 16777216 = 0 OR x - acc div 16777216 > 300,
+              |     x * 16777216 + acc % 16777216 + 1, acc))""".stripMargin)
+            % 16777216).cast("long").as("n_kept"))
     })
 }

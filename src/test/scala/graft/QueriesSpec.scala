@@ -1415,6 +1415,44 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("events_debounce packed fold equals a driver-side greedy refractory walk") {
+    val got = SparkEntry.queries("events_debounce")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_kept")))).toMap
+    val ev = collectedEvents()
+    val mn = ev.map(_._3).min
+    val truth = ev.groupBy(_._1).map { case (u, xs) =>
+      val secs = xs.map(t => (t._3 - mn) / 1000000L + 1000L).sorted
+      var lastKept = -1L; var kept = 0L
+      secs.foreach { s => if (lastKept < 0 || s - lastKept > 300) { lastKept = s; kept += 1 } }
+      u -> ((xs.length.toLong, kept))
+    }
+    assert(got === truth)
+    // the debounce genuinely suppresses something at this fixture
+    assert(truth.values.exists { case (n, k) => k < n })
+    assert(truth.values.forall { case (n, k) => k >= 1 && k <= n })
+  }
+
+  test("basket_triples A-Priori pruning equals the brute-force census") {
+    val got = SparkEntry.queries("basket_triples")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"),
+        r.getAs[String]("brand_c")) -> r.getAs[Long]("n_orders")).toMap
+    val ob = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[String]("p_brand")))
+    val nt = ob.map(_._1).distinct.length.toLong
+    val truth = ob.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val bs = xs.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length; k <- j + 1 until bs.length)
+        yield (bs(i), bs(j), bs(k))
+    }.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      .filter { case (_, n) => 1000 * n >= 5 * nt }
+    assert(got === truth)
+    assert(truth.nonEmpty, "support threshold should keep some triples at this fixture")
+  }
+
   test("basket_cosine matches a driver-side pair census") {
     def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
     val got = SparkEntry.queries("basket_cosine")(spark, sf0001).collect()
