@@ -516,6 +516,70 @@ object Analytics {
             .otherwise("C").as("abc_class"))
     },
 
+    // A71 — mix-shift decomposition of a metric movement (the
+    // Oaxaca–Blinder / "why did the number move" analysis): average
+    // order value changed between the two halves of the window —
+    // how much of Δ came from each customer segment's SHARE moving
+    // (mix), its own mean moving (rate), and the cross term?
+    // Per-segment contributions: mix = (w₂−w₁)·m₁, rate = w₁·(m₂−m₁),
+    // inter = (w₂−w₁)·(m₂−m₁); they sum EXACTLY to ΔAOV by algebra,
+    // and the spec asserts that conservation. All inputs are exact
+    // (BIGINT counts, decimal sums); shares/means are single double
+    // divisions in one fixed op order (the stats_corr rule). The
+    // orders⋈customer key join is AQE-decided; everything after is a
+    // ≤2·|segments| mergeable aggregate pivoted by conditional sums.
+    QueryDef(
+      "metric_decomposition",
+      """WITH o AS (SELECT c.c_mktsegment AS seg,
+        |                  epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS us,
+        |                  CAST(o.o_totalprice AS DECIMAL(12,2)) AS tp
+        |           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM o),
+        |h AS (SELECT seg, CASE WHEN us < mid THEN 1 ELSE 2 END AS half, tp FROM o, b),
+        |g AS (SELECT seg,
+        |             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |             SUM(CASE WHEN half = 1 THEN tp END) AS s1,
+        |             CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |             SUM(CASE WHEN half = 2 THEN tp END) AS s2
+        |      FROM h GROUP BY seg),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM g),
+        |w AS (SELECT seg,
+        |             CAST(n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE) AS w1,
+        |             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |             CAST(n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE) AS w2,
+        |             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |      FROM g, t)
+        |SELECT seg AS segment,
+        |       floor((w2 - w1) * m1 * 1000000.0) / 1000000.0 AS mix_effect,
+        |       floor(w1 * (m2 - m1) * 1000000.0) / 1000000.0 AS rate_effect,
+        |       floor((w2 - w1) * (m2 - m1) * 1000000.0) / 1000000.0 AS interaction
+        |FROM w""".stripMargin) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+          dec(col("o_totalprice")).as("tp"))
+      val b = o.agg(expr("(MIN(us) + MAX(us)) div 2").as("mid"))
+      val g = o.crossJoin(broadcast(b))
+        .select(col("seg"), when(col("us") < col("mid"), 1).otherwise(2).as("half"),
+          col("tp"))
+        .groupBy(col("seg"))
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 1, col("tp"))).as("s1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("half") === 2, col("tp"))).as("s2"))
+      val t = g.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+      val w1 = col("n1").cast("double") / col("t1").cast("double")
+      val m1 = col("s1").cast("double") / col("n1").cast("double")
+      val w2 = col("n2").cast("double") / col("t2").cast("double")
+      val m2 = col("s2").cast("double") / col("n2").cast("double")
+      g.crossJoin(broadcast(t))
+        .select(col("seg").as("segment"),
+          quant6((w2 - w1) * m1).as("mix_effect"),
+          quant6(w1 * (m2 - m1)).as("rate_effect"),
+          quant6((w2 - w1) * (m2 - m1)).as("interaction"))
+    },
+
     // A68 — day-of-week seasonality index: per-weekday average order
     // revenue as a ratio to the overall average — the demand-shape
     // profile capacity planning reads. Day-of-week is pure INTEGER

@@ -434,6 +434,63 @@ object Stats {
             .as("n_outliers"))
     },
 
+    // A72 — OLS trend line per event type: slope/intercept of the
+    // daily-count series against the day index — the "is volume
+    // growing and how fast" regression beside events_autocorr's
+    // persistence and events_changepoint's level shifts. Pure
+    // closed-form least squares from EXACT integer sums (x = day −
+    // first-day per type stays small; products in DECIMAL(30,0) so
+    // n·Σxy can never wrap int64 at scale where DuckDB would widen),
+    // evaluated in ONE fixed op order with two double divisions
+    // (slope, then intercept from it — the stats_corr rule).
+    // Everything past the daily rollup lives on the ≤|days|·|types|
+    // aggregate (the events_growth rule). Single-day types guard to
+    // NULL slope via nullif (hash-identical both engines).
+    QueryDef(
+      "events_trend",
+      """WITH d AS (SELECT event_type,
+        |                  epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000 AS ed,
+        |                  CAST(COUNT(*) AS BIGINT) AS y
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, MIN(ed) AS mind FROM d GROUP BY event_type),
+        |x AS (SELECT d.event_type, d.ed - m.mind AS x, d.y
+        |      FROM d JOIN m ON m.event_type = d.event_type),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |             CAST(SUM(CAST(x AS DECIMAL(30,0)) * x) AS BIGINT) AS sxx,
+        |             CAST(SUM(CAST(x AS DECIMAL(30,0)) * y) AS BIGINT) AS sxy
+        |      FROM x GROUP BY event_type)
+        |SELECT event_type, n AS n_days,
+        |       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0) * 1000000.0)
+        |         / 1000000.0 AS slope,
+        |       floor((CAST(sy AS DOUBLE)
+        |              - CAST(n * sxy - sx * sy AS DOUBLE)
+        |                / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)
+        |                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000.0)
+        |         / 1000000.0 AS intercept
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val d = Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("ed"))
+        .groupBy(col("event_type"), col("ed"))
+        .agg(countAll.as("y"))
+      val m = d.groupBy(col("event_type")).agg(min(col("ed")).as("mind"))
+      val s = d.join(broadcast(m), "event_type")
+        .select(col("event_type"), (col("ed") - col("mind")).as("x"), col("y"))
+        .groupBy(col("event_type"))
+        .agg(countAll.as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast("decimal(30,0)") * col("x")).cast("long").as("sxx"),
+          sum(col("x").cast("decimal(30,0)") * col("y")).cast("long").as("sxy"))
+      val denom = nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+        lit(0.0))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / denom
+      s.select(col("event_type"), col("n").as("n_days"),
+        quant6(slope).as("slope"),
+        quant6((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+    },
+
     // A64 — two-sample Kolmogorov–Smirnov drift test between the
     // first and second time-halves of the value stream: the
     // distribution-shift monitor a feature pipeline runs before

@@ -1415,6 +1415,66 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("events_trend matches a driver-side least-squares fit") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("events_trend")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept")))).toMap
+    val daily = collectedEvents()
+      .map(t => (t._2, t._3 / 86400000000L))
+      .groupBy(identity).map { case ((ty, d), xs) => (ty, d, xs.size.toLong) }
+      .toSeq.groupBy(_._1)
+    val truth = daily.map { case (ty, xs) =>
+      val mind = xs.map(_._2).min
+      val pts = xs.map(p => (p._2 - mind, p._3))
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      ty -> ((n, q6(slope), q6(icept)))
+    }
+    assert(got === truth)
+  }
+
+  test("metric_decomposition contributions conserve the AOV delta") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("metric_decomposition")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("segment") ->
+        ((r.getAs[Double]("mix_effect"), r.getAs[Double]("rate_effect"),
+          r.getAs[Double]("interaction")))).toMap
+    val cust = graft.sources.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_mktsegment")).toMap
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_totalprice").cast("decimal(12,2)").as("tp")).collect()
+      .map(r => (cust(r.getAs[Long]("o_custkey")), r.getAs[Long]("us"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("tp"))))
+    val mid = (orders.map(_._2).min + orders.map(_._2).max) / 2
+    val halves = orders.map(o => (o._1, if (o._2 < mid) 1 else 2, o._3))
+    val t1 = halves.count(_._2 == 1).toLong; val t2 = halves.count(_._2 == 2).toLong
+    val raw = halves.groupBy(_._1).map { case (s, xs) =>
+      val h1 = xs.filter(_._2 == 1); val h2 = xs.filter(_._2 == 2)
+      val w1 = h1.length.toDouble / t1.toDouble
+      val m1 = h1.map(_._3).sum.toDouble / h1.length.toDouble
+      val w2 = h2.length.toDouble / t2.toDouble
+      val m2 = h2.map(_._3).sum.toDouble / h2.length.toDouble
+      s -> (((w2 - w1) * m1, w1 * (m2 - m1), (w2 - w1) * (m2 - m1),
+        w2 * m2 - w1 * m1))
+    }
+    assert(got === raw.map { case (s, (a, b, c, _)) => s -> ((q6(a), q6(b), q6(c))) })
+    // the three effects sum to the segment's exact AOV contribution
+    raw.values.foreach { case (a, b, c, d) => assert(math.abs(a + b + c - d) < 1e-9) }
+    // and across segments, to the total AOV movement
+    val aov1 = halves.filter(_._2 == 1).map(_._3).sum.toDouble / t1.toDouble
+    val aov2 = halves.filter(_._2 == 2).map(_._3).sum.toDouble / t2.toDouble
+    val total = raw.values.map { case (a, b, c, _) => a + b + c }.sum
+    assert(math.abs(total - (aov2 - aov1)) < 1e-6)
+  }
+
   test("events_debounce packed fold equals a driver-side greedy refractory walk") {
     val got = SparkEntry.queries("events_debounce")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->
