@@ -192,6 +192,52 @@ object Journey {
         quant6((pa - pb) / nullif(se, lit(0.0))).as("z_score"))
     },
 
+    // A74 — Wilson 95% confidence interval per event-type reach: the
+    // uncertainty-aware companion to ab_test — every "X% of users do
+    // Y" number published with the interval that survives small n
+    // (the normal approximation's interval goes negative near 0;
+    // Wilson's never does). p̂ = k/n from exact BIGINT counts; the
+    // interval is the closed form evaluated in ONE fixed op order
+    // with z = 1.96 as a shared literal — division, sqrt and the
+    // fixed-order adds are correctly rounded IEEE ops, so both
+    // engines produce the identical doubles (the ab_test rule). One
+    // per-user distinct relation, one ≤|types| mergeable aggregate,
+    // one broadcast scalar.
+    QueryDef(
+      "conversion_ci",
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+        |k AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ku FROM u GROUP BY event_type),
+        |w AS (SELECT event_type, ku, nu,
+        |             CAST(ku AS DOUBLE) / CAST(nu AS DOUBLE) AS p,
+        |             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(nu AS DOUBLE) AS zz
+        |      FROM k, n)
+        |SELECT event_type, nu AS n_users, ku AS n_reached,
+        |       floor(p * 1000000.0) / 1000000.0 AS reach_rate,
+        |       floor((p + zz / 2 - CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1 AS DOUBLE) - p) / CAST(nu AS DOUBLE)
+        |                                       + zz / (4 * CAST(nu AS DOUBLE)))) / (CAST(1 AS DOUBLE) + zz)
+        |             * 1000000.0) / 1000000.0 AS ci_lo,
+        |       floor((p + zz / 2 + CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1 AS DOUBLE) - p) / CAST(nu AS DOUBLE)
+        |                                       + zz / (4 * CAST(nu AS DOUBLE)))) / (CAST(1 AS DOUBLE) + zz)
+        |             * 1000000.0) / 1000000.0 AS ci_hi
+        |FROM w""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir)
+      val u = e.select(col("user_id"), col("event_type")).distinct()
+      val n = e.agg(countDistinct(col("user_id")).as("nu"))
+      val k = u.groupBy(col("event_type")).agg(countAll.as("ku"))
+      val p = col("ku").cast("double") / col("nu").cast("double")
+      val zz = lit(1.96) * lit(1.96) / col("nu").cast("double")
+      def bound(sign: Double) =
+        (p + zz / lit(2) + lit(sign) * lit(1.96)
+          * sqrt(p * (lit(1).cast("double") - p) / col("nu").cast("double")
+            + zz / (lit(4) * col("nu").cast("double")))) / (lit(1).cast("double") + zz)
+      k.crossJoin(broadcast(n))
+        .select(col("event_type"), col("nu").as("n_users"), col("ku").as("n_reached"),
+          quant6(p).as("reach_rate"),
+          quant6(bound(-1.0)).as("ci_lo"),
+          quant6(bound(1.0)).as("ci_hi"))
+    },
+
     // A61 — Kaplan–Meier survival estimator for time-to-first-purchase
     // under a fixed CensorHours follow-up window: t = hours from a
     // user's first activity to their first subsequent purchase; users

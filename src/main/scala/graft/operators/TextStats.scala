@@ -394,6 +394,29 @@ object TextStats {
         .agg(count(lit(1)).as("n_occurrences"))
     },
 
+    // L44 — language-ID confusion matrix: the classifier-evaluation
+    // harness AS a query — every (true lang, predicted lang) cell of
+    // the L8 heuristic against the corpus's labeled lang column, the
+    // table a model-quality dashboard renders before anyone trusts a
+    // language gate. SHARES the per-row argmax formula with
+    // text_langid/corpus_keep (predictedExpr / predictedSqlExpr —
+    // drift-guarded the same way corpus_keep's gates are), so the
+    // evaluation can never measure a different classifier than the
+    // one in production. One scan-speed projection + a ≤|langs|²
+    // mergeable count matrix (the events_histogram rule).
+    QueryDef(
+      "langid_confusion",
+      s"""SELECT lang AS true_lang,
+         |       ${TextOps.predictedSqlExpr} AS pred_lang,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang").as("true_lang"), TextOps.predictedExpr.as("pred_lang"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // A65 — Gini diversity of each source's language mix: 1 − Σ pₗ²,
     // the 0-(uniform)-to-1 concentration index a corpus dashboard
     // tracks per domain — and the ENTROPY STAND-IN that stays

@@ -1415,6 +1415,52 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("langid_confusion diagonal equals text_langid's per-doc agreement") {
+    val got = SparkEntry.queries("langid_confusion")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // cross-check against the standalone classifier query — shared
+    // formula means the matrix must reproduce its per-doc predictions
+    val preds = SparkEntry.queries("text_langid")(spark, sf0001)
+      .select(col("lang"), col("predicted")).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")))
+    val truth = preds.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got === truth)
+    // matrix mass = corpus size; the classifier is better than chance
+    assert(got.values.sum === preds.length.toLong)
+    val correct = got.collect { case ((t, p), n) if t == p => n }.sum
+    // better than the 1-in-5 chance baseline (the heuristic is weak
+    // on synthetic word-soup; the matrix exists to MEASURE that)
+    assert(correct.toDouble / preds.length > 0.25)
+  }
+
+  test("conversion_ci Wilson bounds match a driver-side closed form") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("conversion_ci")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_reached"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi")))).toMap
+    val ev = collectedEvents()
+    val nu = ev.map(_._1).distinct.length.toLong
+    val truth = ev.map(t => (t._1, t._2)).distinct.groupBy(_._2).map { case (ty, xs) =>
+      val k = xs.length.toLong
+      val p = k.toDouble / nu.toDouble
+      val zz = 1.96 * 1.96 / nu.toDouble
+      def bound(sign: Double) =
+        (p + zz / 2 + sign * 1.96 *
+          math.sqrt(p * (1.0 - p) / nu.toDouble + zz / (4 * nu.toDouble))) / (1.0 + zz)
+      ty -> ((nu, k, q6(bound(-1.0)), q6(bound(1.0))))
+    }
+    assert(got === truth)
+    // the interval is proper: 0 < lo < p̂ <= hi <= 1 (p̂ = 1 pins
+    // the Wilson upper bound AT 1 exactly — the reason this interval
+    // exists instead of the normal approximation)
+    got.foreach { case (ty, (n, k, lo, hi)) =>
+      val p = k.toDouble / n.toDouble
+      assert(lo > 0.0 && hi <= 1.0 && lo < p && p <= hi, s"$ty: [$lo, $hi] vs $p")
+    }
+  }
+
   test("events_trend matches a driver-side least-squares fit") {
     def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
     val got = SparkEntry.queries("events_trend")(spark, sf0001).collect()
