@@ -509,8 +509,10 @@ object Events {
     // gap rule compares to the previous EVENT; debounce compares to
     // the previous SURVIVOR) — so it runs as the events_ewma ordered
     // fold, with the whole state packed into ONE BIGINT:
-    // acc = last_kept_sec · 2²⁴ + kept_count (seconds are corpus-
-    // epoch-relative and shifted +1000 so 0 means "none kept yet";
+    // acc = last_kept_sec · 2²⁴ + kept_count (truncated absolute
+    // epoch seconds — the SAME convention the streaming twin uses, so
+    // batch and stream decide identically at boundaries; epoch-sec ·
+    // 2²⁴ ≈ 3·10¹⁶ stays far under 2⁶³, 0 means "none kept yet";
     // 2²⁴ leaves 16 M events/user of counter headroom and the pack
     // stays pure integer arithmetic — div/mod, bit-identical in both
     // engines where a struct-state fold wouldn't fit DuckDB's
@@ -520,8 +522,7 @@ object Events {
     QueryDef(
       "events_debounce",
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |b AS (SELECT MIN(us) AS mn FROM e),
-        |d AS (SELECT user_id, (us - mn) // 1000000 + 1000 AS sec FROM e, b),
+        |d AS (SELECT user_id, us // 1000000 AS sec FROM e),
         |l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |             list_prepend(CAST(0 AS BIGINT), list_sort(list(sec))) AS xs
         |      FROM d GROUP BY user_id)
@@ -531,11 +532,8 @@ object Events {
         |              THEN x * 16777216 + acc % 16777216 + 1
         |              ELSE acc END) % 16777216 AS BIGINT) AS n_kept
         |FROM l""".stripMargin) { (spark, dir) =>
-      val e = Tables.events(spark, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-      val mn = e.agg(min(col("us")).as("mn"))
-      e.crossJoin(broadcast(mn))
-        .select(col("user_id"), expr("(us - mn) div 1000000 + 1000").as("sec"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"))
         .groupBy(col("user_id"))
         .agg(countAll.as("n_events"), sort_array(collect_list(col("sec"))).as("xs"))
         .select(col("user_id"), col("n_events"),

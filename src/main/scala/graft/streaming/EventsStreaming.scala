@@ -129,6 +129,65 @@ object EventsStreaming {
       }
       .start()
 
+  case class DebounceState(lastKeptSec: Long, pending: List[Event])
+
+  /** Refractory debounce via flatMapGroupsWithState — streaming twin
+    * of the batch `events_debounce` query: an event SURVIVES iff more
+    * than `gapSec` have passed since the user's last survivor. The
+    * chain is order-sensitive and non-associative ("since the last
+    * KEPT", not "since the last event"), so an out-of-order arrival
+    * could flip every later decision — arrivals are therefore
+    * BUFFERED in state and decided only once the event-time watermark
+    * passes them, in (second, event_id) order; the decisions are then
+    * identical to the batch fold regardless of arrival order. The
+    * buffer is bounded by the watermark delay × the user's own rate.
+    *
+    * State is evictable: while events are pending the timeout fires
+    * just past the oldest one; once the buffer drains, the entry only
+    * matters while an admissible future event could still land inside
+    * the refractory window (sec ≥ wm − delay AND sec ≤ lastKept +
+    * gap), so the timeout at (lastKept + gap + delay) removes it —
+    * after that, any event Spark still admits is automatically a
+    * survivor and a fresh chain starts. An idle user cannot pin state
+    * forever (the sessionize eviction argument). */
+  def debounce(
+      events: Dataset[Event],
+      gapSec: Long = 300,
+      watermarkDelaySec: Long = 1800): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$watermarkDelaySec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebounceState, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[DebounceState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val prev = state.getOption.getOrElse(DebounceState(-1L, Nil))
+          val pending = prev.pending ++ batch
+          // decide everything the watermark has sealed, in the batch
+          // fold's exact order (equal seconds are interchangeable
+          // there; event_id makes the streaming order total anyway)
+          val (ripe, stillPending) = pending.partition(_.ts.getTime / 1000 <= wmSec)
+          var lastKept = prev.lastKeptSec
+          val out = Seq.newBuilder[Event]
+          ripe.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (lastKept < 0 || sec - lastKept > gapSec) { lastKept = sec; out += e }
+          }
+          if (stillPending.nonEmpty) {
+            state.update(DebounceState(lastKept, stillPending))
+            state.setTimeoutTimestamp(math.max(
+              stillPending.map(_.ts.getTime).min + 1000, (wmSec + 1) * 1000))
+          } else if (lastKept >= 0 && (lastKept + gapSec + watermarkDelaySec) > wmSec) {
+            state.update(DebounceState(lastKept, Nil))
+            state.setTimeoutTimestamp((lastKept + gapSec + watermarkDelaySec) * 1000)
+          } else {
+            state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
     * twin of the batch `sessionize` query (30-minute gap).
     *

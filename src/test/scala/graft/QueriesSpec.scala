@@ -1526,9 +1526,8 @@ class QueriesSpec extends SparkSuite {
       .map(r => r.getAs[Long]("user_id") ->
         ((r.getAs[Long]("n_events"), r.getAs[Long]("n_kept")))).toMap
     val ev = collectedEvents()
-    val mn = ev.map(_._3).min
     val truth = ev.groupBy(_._1).map { case (u, xs) =>
-      val secs = xs.map(t => (t._3 - mn) / 1000000L + 1000L).sorted
+      val secs = xs.map(_._3 / 1000000L).sorted
       var lastKept = -1L; var kept = 0L
       secs.foreach { s => if (lastKept < 0 || s - lastKept > 300) { lastKept = s; kept += 1 } }
       u -> ((xs.length.toLong, kept))

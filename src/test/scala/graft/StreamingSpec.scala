@@ -475,4 +475,53 @@ class StreamingSpec extends SparkSuite {
     assert(s.session_value === 3.0)
     assert(s.session_start === ts(0) && s.session_end === ts(10))
   }
+
+  test("streaming debounce decides out-of-order arrivals like the in-order chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.debounce(input.toDS(), gapSec = 300, watermarkDelaySec = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("deb_ooo").start()
+    // user 7's events arrive OUT OF ORDER: in event time the survivor
+    // chain is 0 min (kept) → 4 min (suppressed) → 6 min (kept);
+    // naive arrival-order processing would keep 4 and suppress 6
+    input.addData(
+      Event(2, ts(4), 7, "click", 1.0),
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(3, ts(6), 7, "click", 1.0))
+    q.processAllAvailable()
+    // a far-future sentinel (other user) drags the watermark past the
+    // buffered events so their decisions flush via timeout
+    input.addData(Event(99, ts(10000), 8, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("deb_ooo").as[Event].collect()
+      .filter(_.user_id == 7L).map(_.event_id).sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("streaming debounce agrees with the batch events_debounce query on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.debounce(input.toDS(), gapSec = 300, watermarkDelaySec = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("deb_eq").start()
+    val events = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    input.addData(events.toSeq)
+    q.processAllAvailable()
+    // sentinel beyond every real event + the watermark delay: every
+    // buffered decision must flush (real user_ids are << 1e9)
+    val mx = events.map(_.ts.getTime).max
+    input.addData(Event(-1L, new Timestamp(mx + 86400000L), 999999999L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("deb_eq").as[Event].collect()
+      .filter(_.user_id != 999999999L)
+      .groupBy(_.user_id).map { case (u, xs) => u -> xs.length.toLong }
+    val batch = SparkEntry.queries("events_debounce")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(got === batch)
+  }
 }
