@@ -35,6 +35,10 @@ object Dedup {
   private val NumBands = 4 // LSH bands (3 rows per band)
   private val RowsPerBand = NumHashes / NumBands
   private val JaccardThreshold = 0.7
+
+  /** Fixed audit-sample size for dedup_audit — corpus-size-independent
+    * by construction (md5-ordered LIMIT). */
+  private val AuditSample = 200
   private val Mod = 4294967296L // 2^32
   // Cap on shingle start positions per doc — MUST match the oracle's
   // generate_series(0, 4095) bound or long docs diverge cross-engine.
@@ -482,6 +486,89 @@ object Dedup {
       s"""WITH $pairsCtes
          |SELECT da AS doc_a, db AS doc_b, n_common, jaccard FROM pairs""".stripMargin) {
       (spark, dir) => minhashPairs(spark, dir)
+    },
+
+    // L45 — dedup QUALITY AUDIT on a bounded sample: precision/recall
+    // of the production minhash detector against exact all-pairs
+    // ground truth — computable at 100 TB because the audit universe
+    // is a FIXED-SIZE md5-ordered sample (the IVF centroid-sampling
+    // rule: ORDER BY md5(id) LIMIT k is deterministic, engine-portable
+    // and corpus-size-independent), so the brute-force side is k²
+    // pairs by construction, never corpus-shaped. The detector runs
+    // corpus-wide exactly as in production (restricting its INPUT
+    // would audit a different system); its pairs are then restricted
+    // to the sample. Precision is structurally 1 — detected pairs are
+    // exact-verified at the same threshold — and the audit ASSERTS
+    // that property end-to-end; recall measures what the banded-LSH
+    // candidate stage (hot-bucket caps included) actually misses.
+    QueryDef(
+      "dedup_audit",
+      s"""WITH $pairsCtes,
+         |smp AS (SELECT doc_id FROM documents
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $AuditSample),
+         |tsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN smp ON smp.doc_id = sh.doc_id),
+         |tns AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+         |tj AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS nc
+         |       FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT tj.da, tj.db FROM tj
+         |          JOIN tns na ON na.doc_id = tj.da JOIN tns nb ON nb.doc_id = tj.db
+         |          WHERE CAST(tj.nc AS DOUBLE) / (na.n + nb.n - tj.nc) >= $JaccardThreshold),
+         |dets AS (SELECT p.da, p.db FROM pairs p
+         |         JOIN smp a ON a.doc_id = p.da JOIN smp b ON b.doc_id = p.db),
+         |tp AS (SELECT da, db FROM truth INTERSECT SELECT da, db FROM dets),
+         |c AS (SELECT (SELECT COUNT(*) FROM smp) AS n_sample,
+         |             (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+         |             (SELECT COUNT(*) FROM dets) AS n_detected,
+         |             (SELECT COUNT(*) FROM tp) AS n_true_pos)
+         |SELECT CAST(n_sample AS BIGINT) AS n_sample,
+         |       CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+         |       CAST(n_detected AS BIGINT) AS n_detected,
+         |       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+         |       floor(CAST(n_true_pos AS DOUBLE) / NULLIF(CAST(n_detected AS DOUBLE), 0)
+         |             * 1000000.0) / 1000000.0 AS precision,
+         |       floor(CAST(n_true_pos AS DOUBLE) / NULLIF(CAST(n_truth_pairs AS DOUBLE), 0)
+         |             * 1000000.0) / 1000000.0 AS recall
+         |FROM c""".stripMargin) { (spark, dir) =>
+      import graft.functions.Portable.quant6
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val sample = docs
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("doc_id")).limit(AuditSample)
+        .select(col("doc_id"))
+      val sa = broadcast(sample)
+      val detS = minhashPairs(spark, dir)
+        .select(col("doc_a").as("da"), col("doc_b").as("db"))
+        .join(sa.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+        .join(sa.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+      // exact ground truth WITHIN the sample: all-pairs shingle-word
+      // join — k² bounded by the fixed sample size
+      val words = shingleWords(tokenized(docs.join(sa, Seq("doc_id"), "left_semi")))
+      val ns = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = words.as("a").join(words.as("b"),
+          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("nc"))
+        .join(broadcast(ns.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+        .join(broadcast(ns.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+        .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc"))
+          >= JaccardThreshold)
+        .select(col("da"), col("db"))
+      // intersect is POSITIONAL and the second semi-join moved its key
+      // column first — re-project both sides to (da, db)
+      val tp = truth.select(col("da"), col("db"))
+        .intersect(detS.select(col("da"), col("db")))
+      sample.agg(count(lit(1)).as("n_sample"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth_pairs"))))
+        .crossJoin(broadcast(detS.agg(count(lit(1)).as("n_detected"))))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_true_pos"))))
+        .select(col("n_sample"), col("n_truth_pairs"), col("n_detected"),
+          col("n_true_pos"),
+          quant6(col("n_true_pos").cast("double")
+            / nullif(col("n_detected").cast("double"), lit(0.0))).as("precision"),
+          quant6(col("n_true_pos").cast("double")
+            / nullif(col("n_truth_pairs").cast("double"), lit(0.0))).as("recall"))
     },
 
     // L33 — leakage-safe train/eval SPLIT: the hygiene step between

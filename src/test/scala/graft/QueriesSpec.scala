@@ -1415,6 +1415,41 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("dedup_audit scores the detector against a driver-side exact ground truth") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("dedup_audit")(spark, sf0001).collect()(0)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val sample = docs.map(_._1)
+      .sortBy(id => (graft.functions.Portable.md5Hex(id.toString), id)).take(200).toSet
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      (0 to math.min(math.max(tk.length - 5, 0), 199))
+        .map(i => tk.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val sh = docs.filter(d => sample(d._1)).map { case (id, t) => id -> shingles(t) }
+    val truth = (for {
+      i <- sh.indices; j <- i + 1 until sh.length
+      (a, sa) = if (sh(i)._1 < sh(j)._1) sh(i) else sh(j)
+      (b, sb) = if (sh(i)._1 < sh(j)._1) sh(j) else sh(i)
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.7
+    } yield (a, b)).toSet
+    val det = SparkEntry.queries("dedup_minhash")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter(p => sample(p._1) && sample(p._2)).toSet
+    val tp = truth & det
+    assert(got.getAs[Long]("n_sample") === sample.size.toLong)
+    assert(got.getAs[Long]("n_truth_pairs") === truth.size.toLong)
+    assert(got.getAs[Long]("n_detected") === det.size.toLong)
+    assert(got.getAs[Long]("n_true_pos") === tp.size.toLong)
+    assert(got.getAs[Double]("recall") === q6(tp.size.toDouble / truth.size.toDouble))
+    // the verify stage makes precision structurally 1 — assert it
+    assert(truth.nonEmpty && det.nonEmpty, "audit must be non-vacuous at this fixture")
+    assert(got.getAs[Double]("precision") === 1.0)
+  }
+
   test("langid_confusion diagonal equals text_langid's per-doc agreement") {
     val got = SparkEntry.queries("langid_confusion")(spark, sf0001).collect()
       .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")) ->
