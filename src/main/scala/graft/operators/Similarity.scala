@@ -251,6 +251,30 @@ object Similarity {
   private def quantize(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), quantizeExpr(col("v")).as("qv"))
 
+  /** L7 — the LSH-bucketed search (shared by the ann_lsh query and
+    * the ann_audit recall scorer, so the audit measures the exact
+    * search that ships). */
+  private[graft] def lshSearch(spark: SparkSession, dir: String): DataFrame = {
+    val bk = buckets(spark, dir)
+    val qb = bk.filter(col("vec_id") % 100 === 0)
+    val cand = qb.as("a")
+      .join(bk.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
+      .distinct()
+    val emb = embV(spark, dir)
+    val scored = cand
+      .join(emb.select(col("vec_id").as("qid"), col("v").as("qe")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("v").as("ne")), "nid")
+      .select(col("qid"), col("nid"),
+        Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
+    // sign buckets are a constant partition of the space (16 per
+    // table), so bucket size — and with it a query's candidate set —
+    // grows with N: salt the final top-k like every other ANN path
+    finish(saltedTopK(scored, col("score"), TopK))
+  }
+
   /** L6 — exact brute-force cosine top-k for a query batch. */
   def bruteForce(
       emb: DataFrame, queries: DataFrame, broadcastQueries: Boolean = true,
@@ -1043,24 +1067,7 @@ object Similarity {
          |      FROM sc)
          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
          |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
-      val bk = buckets(spark, dir)
-      val qb = bk.filter(col("vec_id") % 100 === 0)
-      val cand = qb.as("a")
-        .join(bk.as("b"),
-          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
-            && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"))
-        .distinct()
-      val emb = embV(spark, dir)
-      val scored = cand
-        .join(emb.select(col("vec_id").as("qid"), col("v").as("qe")), "qid")
-        .join(emb.select(col("vec_id").as("nid"), col("v").as("ne")), "nid")
-        .select(col("qid"), col("nid"),
-          Portable.quant6(cosine(col("ne"), col("qe"))).as("score"))
-      // sign buckets are a constant partition of the space (16 per
-      // table), so bucket size — and with it a query's candidate set —
-      // grows with N: salt the final top-k like every other ANN path
-      finish(saltedTopK(scored, col("score"), TopK))
+      lshSearch(spark, dir)
     },
 
     // L35 — exact per-label centroids (cluster profiling): the
@@ -1156,5 +1163,63 @@ object Similarity {
       saltedTopK(scored, col("score"), 5)
         .select(col("qid").cast("int").as("label"), col("nid").as("neighbor_id"),
           col("rn").cast("long").as("rank"), col("score"))
+    },
+
+    // L46 — ANN recall audit as a QUERY (the dedup_audit idea applied
+    // to retrieval): recall@k of the SHIPPED LSH search against the
+    // exact brute-force baseline over the standard query sample —
+    // previously only a ScalaTest measurement, now a driver-checked
+    // operator a quality dashboard can run on every index build. Both
+    // sides are the production code paths (lshSearch / bruteForce
+    // shared with their standalone queries — the audit cannot drift
+    // from what ships); the score is a pure rational hits/baseline
+    // with one double division. Cost = the two searches it audits.
+    QueryDef(
+      "ann_audit",
+      s"""WITH $bucketCtes,
+         |cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
+         |         FROM bkt qb JOIN bkt vb
+         |           ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
+         |         WHERE qb.vec_id % 100 = 0),
+         |sc AS (SELECT c.qid, c.nid, ${Portable.Quant6Sql(cosSql)} AS score
+         |       FROM cand c
+         |       JOIN embeddings ea ON ea.vec_id = c.qid
+         |       JOIN embeddings eb ON eb.vec_id = c.nid),
+         |r AS (SELECT qid, nid,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |      FROM sc),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |bc AS (SELECT q.qid, e.vec_id AS nid,
+         |              floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000.0) / 1000000.0 AS score
+         |       FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |rb AS (SELECT qid, nid,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |       FROM bc),
+         |h AS (SELECT COUNT(*) AS n_hits FROM (
+         |        SELECT qid, nid FROM r WHERE rn <= $TopK
+         |        INTERSECT SELECT qid, nid FROM rb WHERE rn <= $TopK)),
+         |nb AS (SELECT COUNT(*) AS n_baseline FROM rb WHERE rn <= $TopK),
+         |nq AS (SELECT COUNT(*) AS n_queries FROM q)
+         |SELECT CAST(nq.n_queries AS BIGINT) AS n_queries,
+         |       CAST($TopK AS BIGINT) AS k,
+         |       CAST(nb.n_baseline AS BIGINT) AS n_baseline,
+         |       CAST(h.n_hits AS BIGINT) AS n_hits,
+         |       floor(CAST(h.n_hits AS DOUBLE) / CAST(nb.n_baseline AS DOUBLE)
+         |             * 1000000.0) / 1000000.0 AS recall
+         |FROM nq, nb, h""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      val brute = bruteForce(emb, defaultQueries(emb))
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = lshSearch(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.intersect(lsh)
+      defaultQueries(emb).agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_baseline"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_queries"), lit(TopK.toLong).as("k"), col("n_baseline"),
+          col("n_hits"),
+          Portable.quant6(col("n_hits").cast("double")
+            / col("n_baseline").cast("double")).as("recall"))
     })
 }

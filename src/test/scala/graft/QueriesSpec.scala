@@ -1415,6 +1415,22 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case ((l, _), (nid, _)) => assert(labelOf(nid) !== l) }
   }
 
+  test("ann_audit recall equals the intersection of the shipped search results") {
+    def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
+    val got = SparkEntry.queries("ann_audit")(spark, sf0001).collect()(0)
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs("ann_bruteforce")
+    val lsh = pairs("ann_lsh")
+    val hits = (brute & lsh).size.toLong
+    assert(got.getAs[Long]("n_baseline") === brute.size.toLong)
+    assert(got.getAs[Long]("n_hits") === hits)
+    assert(got.getAs[Double]("recall") === q6(hits.toDouble / brute.size.toDouble))
+    // the probabilistic path retrieves something real but not everything
+    val r = got.getAs[Double]("recall")
+    assert(r > 0.2 && r < 1.0, s"recall $r implausible for 4x4 sign buckets")
+  }
+
   test("dedup_audit scores the detector against a driver-side exact ground truth") {
     def q6(x: Double) = math.floor(x * 1000000.0) / 1000000.0
     val got = SparkEntry.queries("dedup_audit")(spark, sf0001).collect()(0)
