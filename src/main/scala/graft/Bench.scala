@@ -112,14 +112,19 @@ object Bench {
     val sh = results.map { case (k, _, s, _) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
     val sp = results.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
     val total = results.collect { case (_, rs, _, _) if rs.min >= 0 => rs.min }.sum
-    // Two artifacts (rounds 1–5 proved one is not enough): the driver
-    // tail-captures stdout, so the line it must parse has to be SHORT
-    // and LAST. stdout therefore carries exactly ONE compact JSON line
-    // (per-query seconds at 3 dp, ~2 KB for ~100 queries); the full
-    // detail (both runs, shuffle/spill MB) goes to bench_full.json on
-    // disk, and the human-readable slowest-10 digest goes to stderr.
+    // Two artifacts (rounds 1–6 proved one is not enough): the driver
+    // tail-captures ~2.3 KB of stdout, so the line it must parse has to
+    // be SHORT (hard budget: <= 1 KB) and LAST. Embedding the full
+    // per-query map (~3 KB at 135 queries) got the line's HEAD — and
+    // "value" with it — truncated away in every round so far. stdout
+    // therefore carries total + count + the slowest-10 map ONLY; the
+    // full detail (per-query seconds, both runs, shuffle/spill MB)
+    // lives in bench_full.json on disk.
+    val slowTen = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
+      .map { case (k, rs, _, _) => "\"" + k + "\":" + s3(rs.min) }
+      .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","slowest":$slowTen}"""
     val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}"""
     for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {
@@ -137,6 +142,10 @@ object Bench {
       System.err.println(f"[bench]   $k%-24s ${rs.min}%7.2fs  shuffle ${s}%8.1f MB")
     }
     spark.stop()
+    // Budget enforced at emit time: a future query-name explosion must
+    // fail HERE, visibly, not silently re-break the driver's parse.
+    require(compact.length <= 1024,
+      s"bench stdout line is ${compact.length} bytes; the driver tail-captures ~2.3KB — keep it <= 1024")
     println(compact)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] failed queries: ${failed.mkString(", ")}")
