@@ -53,6 +53,13 @@ object Bench {
     // Unset (the driver's invocation) = the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fail fast on unknown names (mirrors Verify): a misspelled filter
+    // would silently time nothing.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
     var failed = List.empty[String]

@@ -20,6 +20,14 @@ object Verify {
     // replay iterates the same subset). Unset = the driver's full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fail fast on unknown names: a misspelled filter would otherwise
+    // match nothing, write zero outputs, and the replay's "0 fail"
+    // would look green.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -544,10 +544,10 @@ object Analytics {
         |      FROM h GROUP BY seg),
         |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM g),
         |w AS (SELECT seg,
-        |             CAST(n1 AS DOUBLE) / CAST(t.t1 AS DOUBLE) AS w1,
-        |             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-        |             CAST(n2 AS DOUBLE) / CAST(t.t2 AS DOUBLE) AS w2,
-        |             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |             CAST(n1 AS DOUBLE) / nullif(CAST(t.t1 AS DOUBLE), 0.0) AS w1,
+        |             CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0) AS m1,
+        |             CAST(n2 AS DOUBLE) / nullif(CAST(t.t2 AS DOUBLE), 0.0) AS w2,
+        |             CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0) AS m2
         |      FROM g, t)
         |SELECT seg AS segment,
         |       floor((w2 - w1) * m1 * 1000000.0) / 1000000.0 AS mix_effect,
@@ -569,10 +569,14 @@ object Analytics {
           sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"),
           sum(when(col("half") === 2, col("tp"))).as("s2"))
       val t = g.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
-      val w1 = col("n1").cast("double") / col("t1").cast("double")
-      val m1 = col("s1").cast("double") / col("n1").cast("double")
-      val w2 = col("n2").cast("double") / col("t2").cast("double")
-      val m2 = col("s2").cast("double") / col("n2").cast("double")
+      // nullif-guard every count denominator (the ab_test/events_trend
+      // convention): a segment absent from one half has n=0, and an
+      // unguarded 0-division is NaN/Infinity in Spark vs NULL in DuckDB
+      def nz(c: org.apache.spark.sql.Column) = when(c =!= 0.0d, c)
+      val w1 = col("n1").cast("double") / nz(col("t1").cast("double"))
+      val m1 = col("s1").cast("double") / nz(col("n1").cast("double"))
+      val w2 = col("n2").cast("double") / nz(col("t2").cast("double"))
+      val m2 = col("s2").cast("double") / nz(col("n2").cast("double"))
       g.crossJoin(broadcast(t))
         .select(col("seg").as("segment"),
           quant6((w2 - w1) * m1).as("mix_effect"),

@@ -525,7 +525,7 @@ object Stats {
         |      FROM g, n),
         |m AS (SELECT MAX(ABS(dsum)) AS mxd FROM r)
         |SELECT n.na AS n_first, n.nb AS n_second,
-        |       floor(CAST(m.mxd AS DOUBLE) / (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE))
+        |       floor(CAST(m.mxd AS DOUBLE) / nullif(CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE), 0.0)
         |             * 1000000.0) / 1000000.0 AS ks_stat,
         |       (SELECT MIN(value) FROM r WHERE ABS(dsum) = m.mxd) AS ks_at
         |FROM m, n""".stripMargin) { (spark, dir) =>
@@ -548,10 +548,14 @@ object Stats {
       val at = ranked.crossJoin(broadcast(m))
         .filter(abs(col("dsum")) === col("mxd"))
         .agg(min(col("value")).as("ks_at"))
+      // nullif-guard na·nb (the events_trend convention): min==max puts
+      // every row in one half, and 0-division is NaN in Spark vs NULL
+      // in DuckDB
+      val nanb = col("na").cast("double") * col("nb").cast("double")
       m.crossJoin(broadcast(n)).crossJoin(broadcast(at))
         .select(col("na").as("n_first"), col("nb").as("n_second"),
           quant6(col("mxd").cast("double")
-            / (col("na").cast("double") * col("nb").cast("double"))).as("ks_stat"),
+            / when(nanb =!= 0.0d, nanb)).as("ks_stat"),
           col("ks_at"))
     },
 

@@ -81,6 +81,37 @@ object Warehouse {
     * (their key band intersected the delete set), rows deleted. */
   case class EraseReport(filesTotal: Int, filesRewritten: Int, rowsDeleted: Long)
 
+  /** Band discovery for [[eraseKeys]], kept distributed end-to-end:
+    * the per-file (min, max, count) band table never leaves the
+    * executors; the sorted delete set is broadcast and range-semi-
+    * joined against it, and ONLY the affected (file, rowCount) list is
+    * collected — O(affected) driver state instead of O(|files|).
+    * Returns (total data files, affected files with their row counts).
+    * The semi-join is a broadcast nested-loop over |files| × |keys|
+    * band comparisons — distributed, and this is a maintenance path
+    * driven by a bounded compliance batch, not a query path. Files
+    * with no non-null keys have NULL bands and never match. */
+  def discoverAffected(spark: SparkSession, path: String, key: String,
+      sortedKeys: Array[Long]): (Long, Array[(String, Long)]) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bands = spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(key).cast("long").as("k"))
+      .groupBy(col("file"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"), count(lit(1)).as("c"))
+      .persist() // |files| rows; reused by the count and the semi-join
+    try {
+      val filesTotal = bands.count()
+      val del = broadcast(sortedKeys.toSeq.toDF("__dk"))
+      val affected = bands
+        .join(del, col("__dk").between(col("lo"), col("hi")), "left_semi")
+        .select(col("file"), col("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      (filesTotal, affected)
+    } finally bands.unpersist()
+  }
+
   /** Targeted erasure (right-to-be-forgotten) on a clustered table:
     * delete every row whose `key` is in `deleteKeys`, rewriting ONLY
     * the files whose [min, max] key band can contain a deleted key.
@@ -95,9 +126,13 @@ object Warehouse {
     * Mechanics:
     *  1. band discovery is a ONE-COLUMN scan grouped by
     *     `input_file_name()` (column pruning makes it footer + single
-    *     column I/O), collecting (band, row count) per file — the
-    *     band list is |files|-sized driver state, never row data, and
-    *     the counts make the report free (no second read);
+    *     column I/O) into a DISTRIBUTED per-file (band, row count)
+    *     table; the broadcast delete set is range-semi-joined against
+    *     it so only the AFFECTED file list ever reaches the driver —
+    *     a 100 TB table has 10⁶–10⁷ files and collecting every path
+    *     string would be hundreds of MB of driver state, while the
+    *     affected list is O(K) for K deleted entities (and is needed
+    *     on the driver anyway, as the re-read file list);
     *  2. only intersecting files are re-read, anti-filtered (null
     *     keys are KEPT — a NULL is never one of the requested keys),
     *     and rewritten into a sibling temp dir;
@@ -121,26 +156,9 @@ object Warehouse {
     import org.apache.spark.sql.functions._
     require(deleteKeys.nonEmpty, "empty delete set")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bands = spark.read.parquet(path)
-      .select(input_file_name().as("file"), col(key).cast("long").as("k"))
-      .groupBy(col("file"))
-      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"), count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(0), Option(r.getAs[java.lang.Long]("lo")),
-        Option(r.getAs[java.lang.Long]("hi")), r.getAs[Long]("c")))
-    // Sorted keys + binary search per band: O(|files| · log |keys|),
-    // so a large compliance batch costs the driver log-time per file,
-    // not a full scan of the key set.
     val sortedKeys = deleteKeys.sorted.toArray
-    def bandHit(lo: Long, hi: Long): Boolean = {
-      var i = java.util.Arrays.binarySearch(sortedKeys, lo)
-      if (i < 0) i = -i - 1
-      i < sortedKeys.length && sortedKeys(i) <= hi
-    }
-    val affected = bands.collect {
-      case (f, Some(lo), Some(hi), c) if bandHit(lo, hi) => (f, c)
-    }
-    if (affected.isEmpty) return EraseReport(bands.length, 0, 0L)
+    val (filesTotal, affected) = discoverAffected(spark, path, key, sortedKeys)
+    if (affected.isEmpty) return EraseReport(filesTotal.toInt, 0, 0L)
 
     val before = affected.map(_._2).sum
     val files = affected.map(_._1)
@@ -174,12 +192,20 @@ object Warehouse {
     // ONE Spark job at any batch size.
     import spark.implicits._
     val lookup = broadcast(files.zipWithIndex.toSeq.toDF("__file", "__fidx"))
-    kept.withColumn("__file", input_file_name())
+    val toWrite = kept.withColumn("__file", input_file_name())
       .join(lookup, "__file").drop("__file")
+    toWrite
       .repartition(files.length, col("__fidx"))
       .sortWithinPartitions(col("__fidx"), col(key))
       .write.partitionBy("__fidx").mode("overwrite").parquet(tmp)
-    val after = spark.read.parquet(tmp).count()
+    // Explicit schema on the read-back: a batch that deletes EVERY row
+    // of the affected files writes no data files at all (dynamic-
+    // partition writes emit nothing for zero rows), and schema
+    // inference over the empty tmp dir would throw — turning a valid
+    // "erase everything in these files" batch into one that can never
+    // complete. With the schema pinned, the count is 0 and the swap
+    // proceeds (renames find no files; originals are deleted).
+    val after = spark.read.schema(toWrite.schema).parquet(tmp).count()
 
     // rename in, THEN delete: the crash window duplicates, never loses.
     // fs.rename/delete report many failures as `false` WITHOUT
@@ -218,7 +244,7 @@ object Warehouse {
         "rewritten rows are duplicated until these are removed: " +
         failedDeletes.mkString(", "))
     fs.delete(new Path(tmp), true)
-    EraseReport(bands.length, files.length, before - after)
+    EraseReport(filesTotal.toInt, files.length, before - after)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

@@ -206,6 +206,40 @@ class SinksSpec extends SparkSuite {
       .filesRewritten === 0)
   }
 
+  test("erasure band discovery collects only AFFECTED files to the driver") {
+    import spark.implicits._
+    val dir = tmp() + "/clustered_disc"
+    val df = (0L until 8000L).map(i => (i % 800, s"row$i")).toDF("user_id", "payload")
+    graft.sources.Warehouse.writeClustered(df, dir, 8, "user_id")
+    // 3 keys from one narrow band: the driver-side list must be the
+    // affected files only (O(K)), never the full 8-file band table —
+    // at 100 TB the full table is 10^6-10^7 path strings.
+    val (total, affected) =
+      graft.sources.Warehouse.discoverAffected(spark, dir, "user_id", Array(5L, 7L, 11L))
+    assert(total === 8L)
+    assert(affected.length <= 2 && affected.nonEmpty,
+      s"driver received ${affected.length} files; band pruning should localize to <=2 of 8")
+    // row counts ride along so the report needs no second read
+    assert(affected.map(_._2).sum === 8000L / 8 * affected.length)
+  }
+
+  test("erasure completes when a batch deletes EVERY row of the affected files") {
+    import spark.implicits._
+    val dir = tmp() + "/clustered_all"
+    // 4 users × 25 rows clustered into 4 single-user files: deleting
+    // user 0 empties its file entirely — the dynamic-partition rewrite
+    // emits NO data files, which used to break schema inference on the
+    // tmp read and abort the batch (fail-safe but never completable)
+    val df = (0L until 100L).map(i => (i % 4, s"row$i")).toDF("user_id", "payload")
+    graft.sources.Warehouse.writeClustered(df, dir, 4, "user_id")
+    val r = graft.sources.Warehouse.eraseKeys(spark, dir, "user_id", Seq(0L))
+    assert(r.rowsDeleted === 25L)
+    spark.catalog.refreshByPath(dir)
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 75L)
+    assert(out.filter(col("user_id") === 0L).count() === 0L)
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
