@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Skew.defs ++
       operators.Audit.defs ++
       operators.Decontam.defs ++
-      operators.Corpus.defs
+      operators.Corpus.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

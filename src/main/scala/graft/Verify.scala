@@ -41,22 +41,37 @@ object Verify {
       // doesn't pin 50 queries' worth of storage memory
       spark.sharedState.cacheManager.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      Verify.oracleJson(only))
+    spark.stop()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def oracleJson(only: Option[Set[String]]): String =
+    SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+}
+
+/** Writes oracle_sql.json alone (no Spark session, no query runs) —
+  * the input dev/baseline.py needs to time every oracle in DuckDB
+  * without paying for a full Verify dump first. */
+object DumpOracles {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/oracle_sql.json")
+    Files.writeString(Paths.get(out), Verify.oracleJson(None))
+    System.err.println(s"[dump-oracles] ${SparkEntry.oracleSql.size} oracles -> $out")
   }
 }

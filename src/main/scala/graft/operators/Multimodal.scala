@@ -445,6 +445,135 @@ object Multimodal {
     hammingBandPairs(audioFingerprint(media),
       nBlocks = 4, blockBits = 8, maxHamming = maxHamming)
 
+  /** Offset separating planted twin doc_ids from their bases in the
+    * [[plantedMedia]] fixture. */
+  val TwinOffset = 1000000000L
+
+  /** Planted-pattern media fixture for the driver-checked
+    * `media_neardup` query — the two-algorithms pattern applied to
+    * codecs. Each even doc gets a 16×16 PNG whose 2×2 blocks encode a
+    * 60-bit md5-derived pattern P (white block = bit set): nearest-
+    * neighbor 8×8 downsample hits each block's top-left corner and the
+    * integer-luma mean threshold sits strictly between all-white and
+    * all-black, so [[imageAHash]] recovers EXACTLY P — but only by
+    * actually round-tripping ImageIO encode→decode→resample→threshold.
+    * Each odd doc gets a WAV of 32 constant-amplitude segments doing a
+    * ±7 walk driven by a 31-bit pattern Q, so [[audioFingerprint]]'s
+    * segment-sum comparisons recover EXACTLY Q through the RIFF codec.
+    * Docs with doc_id % 10 ∈ {0,1} also get a TWIN (id + TwinOffset)
+    * whose pattern has ≤3 planted bit flips — guaranteed near-dup
+    * pairs. The oracle recomputes P/Q arithmetically from md5 hex (no
+    * codec) and brute-force sweeps all pairs: agreement proves the
+    * whole codec path bit-for-bit, not just the join. */
+  def plantedMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+    val img = docs.filter(col("doc_id") % 2 === 0).withColumn("h",
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    val aud = docs.filter(col("doc_id") % 2 === 1).withColumn("h",
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) & 2147483647"))
+    def twins(base: DataFrame, bits: Int, residue: Int): DataFrame = base
+      .filter(col("doc_id") % 10 === residue)
+      .select((col("doc_id") + TwinOffset).as("doc_id"),
+        expr(s"""h ^ (shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 7 % $bits AS INT))
+                    | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 13 % $bits AS INT))
+                    | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 29 % $bits AS INT)))""").as("h"))
+    val all = img.unionByName(twins(img, 60, 0)).withColumn("fmt", lit("png"))
+      .unionByName(aud.unionByName(twins(aud, 31, 1)).withColumn("fmt", lit("wav")))
+    all.select(col("doc_id"), col("h"), col("fmt")).as[(Long, Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, h, fmt) =>
+          if (fmt == "png")
+            MediaRow(id, encodePatternPng(h), "png", 16, 16)
+          else
+            MediaRow(id, encodeWavPcm16(patternSamples(h), WavRate), "wav", WavRate.toInt, 1)
+        }
+      }
+  }
+
+  /** 16×16 PNG whose 2×2 blocks spell out the 60-bit pattern: block
+    * (x, y) is white iff bit 8y+x of `h` is set (bits 60–63 stay
+    * black, keeping the popcount < 64 the threshold argument needs). */
+  private def encodePatternPng(h: Long): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val rgb = if (((h >>> i) & 1L) == 1L) 0xffffff else 0x000000
+      val bx = (i % 8) * 2
+      val by = (i / 8) * 2
+      im.setRGB(bx, by, rgb); im.setRGB(bx + 1, by, rgb)
+      im.setRGB(bx, by + 1, rgb); im.setRGB(bx + 1, by + 1, rgb)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 256 PCM16 samples in 32 constant segments of 8: amplitudes walk
+    * a(k+1) = a(k) ± 7 by bit k of `h`, starting at 500 (always
+    * positive — |sum| comparisons see the walk direction exactly). */
+  private def patternSamples(h: Long): Array[Short] = {
+    val amps = new Array[Int](32)
+    amps(0) = 500
+    var k = 0
+    while (k < 31) {
+      amps(k + 1) = amps(k) + (if (((h >>> k) & 1L) == 1L) 7 else -7)
+      k += 1
+    }
+    Array.tabulate(256)(i => amps(i / 8).toShort)
+  }
+
+  /** L12b as a driver-checked query: near-dup pairs across BOTH media
+    * modalities on the planted fixture, via the production pigeonhole
+    * band join + bit_count verify. The fixture is fully planted, so
+    * the DuckDB oracle reproduces the hashes arithmetically and
+    * brute-force sweeps — any codec, hash, banding, or verify drift
+    * shows up as a driver hash mismatch. */
+  def defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "media_neardup",
+      """WITH img AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |aud AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) & 2147483647 AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |imga AS (
+        |  SELECT doc_id, h FROM img
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |         xor(h, (CAST(1 AS BIGINT) << CAST(doc_id * 7 % 60 AS INT))
+        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 13 % 60 AS INT))
+        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 29 % 60 AS INT)))
+        |  FROM img WHERE doc_id % 10 = 0),
+        |auda AS (
+        |  SELECT doc_id, h FROM aud
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |         xor(h, (CAST(1 AS BIGINT) << CAST(doc_id * 7 % 31 AS INT))
+        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 13 % 31 AS INT))
+        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 29 % 31 AS INT)))
+        |  FROM aud WHERE doc_id % 10 = 1)
+        |SELECT 'image' AS modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM imga a JOIN imga b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |UNION ALL
+        |SELECT 'audio' AS modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM auda a JOIN auda b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin) { (spark, dir) =>
+      val media = plantedMedia(spark, dir).cache()
+      imageNearDupPairs(media).withColumn("modality", lit("image"))
+        .unionByName(audioNearDupPairs(media).withColumn("modality", lit("audio")))
+        .select(col("modality"), col("doc_a"), col("doc_b"), col("hamming"))
+    })
+
   /** Frame/chunk sampling: split each payload into fixed-size chunks →
     * one row per sampled chunk (every `stride`-th), columnar explode. */
   def sampleChunks(media: DataFrame, chunkBytes: Int, stride: Int): DataFrame =

@@ -295,6 +295,37 @@ class MultimodalSpec extends SparkSuite {
     assert(hs.forall(_._1 != 999L), "non-audio rows must not reach the hash stage")
   }
 
+  test("plantedMedia patterns survive the codec roundtrip bit-for-bit") {
+    import spark.implicits._
+    // The media_neardup oracle's whole premise: the 60-bit image
+    // pattern and 31-bit audio pattern planted from md5 arithmetic are
+    // recovered EXACTLY by the production aHash / envelope fingerprint
+    // after a real PNG/WAV encode→decode. Any codec, threshold, or
+    // bit-order drift breaks equality here before the driver sees it.
+    val media = Multimodal.plantedMedia(spark, sf0001).cache()
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .as[(Long, Long)].collect().toMap
+    val got = Multimodal.imageAHash(media).as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.filter(_._1 < Multimodal.TwinOffset).foreach { case (id, h) =>
+      assert(h === expected(id), s"doc $id: codec roundtrip changed the pattern")
+    }
+    val expectedAud = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") % 2 === 1)
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) & 2147483647"))
+      .as[(Long, Long)].collect().toMap
+    val gotAud = Multimodal.audioFingerprint(media).as[(Long, Long)].collect()
+    assert(gotAud.nonEmpty)
+    gotAud.filter(_._1 < Multimodal.TwinOffset).foreach { case (id, h) =>
+      assert(h === expectedAud(id), s"doc $id: wav roundtrip changed the pattern")
+    }
+    media.unpersist()
+  }
+
   test("sampleChunks explodes payloads into strided fixed-size chunks") {
     val media = Multimodal.attachMedia(spark, sf0001)
     val chunks = Multimodal.sampleChunks(media, chunkBytes = 32, stride = 2)
