@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   *  - `ann_ivf_sq8`: the IVFADC composition — the int8 coarse pass runs
   *    ONLY inside the query's probed IVF cells, the shape real
   *    billion-vector systems use (Jegou et al.).
-  *  - `ann_pq`: true product quantization — 8 code bytes per vector,
+  *  - `ann_pq`: true product quantization — 16 half-byte codes per vector,
   *    per-query ADC lookup tables, no vector math at scan time.
   *  - `ann_ivf_pq`: the complete residual IVFADC (PQ codes of
   *    v − centroid inside probed cells).
@@ -447,24 +447,30 @@ object Similarity {
     sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes, excludeSelf)
   }
 
-  /** PQ geometry: M subspaces × Cn codes. 64 dims / 8 = 8-dim
-    * subvectors; 16 codes per subspace store a vector as 8 half-byte
-    * codes — 64× narrower than the float64 column (vs SQ8's 8×). */
-  private val PqM = 8
+  /** PQ geometry: M subspaces × Cn codes. 64 dims / 16 = 4-dim
+    * subvectors; 16 codes per subspace store a vector as 16 half-byte
+    * codes — 32× narrower than the float64 column (vs SQ8's 8×).
+    * M=16 over M=8 is the standard recall/size trade (Jegou et al.
+    * §V.A: finer subspaces quantize better at the same code budget):
+    * a 16-entry book covers a 4-dim subspace far more densely than an
+    * 8-dim one, which lifted measured recall@5 on the worst-case
+    * random corpus well past the 8-subspace 0.60 (ScaleSpec pins the
+    * floor at 0.75); the scan cost moves from 8 to 16 table lookups
+    * per candidate — still no vector arithmetic at scan time. */
+  private val PqM = 16
   private val PqCodes = 16
   private val PqSub = Dims / PqM
-  // PQ keeps a wider coarse list than the SQ8 paths: with 8 lookups
-  // per candidate the coarse pass is nearly free, and the 64×
-  // quantization is lossier than int8 — spending rerank width is the
-  // cheapest recall lever (recall@5 0.36 at R=20 → 0.60 at R=64 on
-  // the worst-case random corpus, level with ann_ivf; ScaleSpec
-  // pins the 0.4 floor).
+  // PQ keeps a wider coarse list than the SQ8 paths: with table
+  // lookups per candidate the coarse pass is nearly free, and the
+  // PQ quantization is lossier than int8 — spending rerank width is
+  // the cheapest recall lever (at M=8: recall@5 0.36 at R=20 → 0.60
+  // at R=64 on the worst-case random corpus).
   private val PqRerank = 64
 
   /** L7e — product quantization with asymmetric distance (the PQ/ADC
     * of Jegou/Douze/Schmid, TPAMI 2011 — the composition ann_quantized
     * stands in for with scalar quantization). Each vector is stored as
-    * M=8 per-subspace code ids (argmin-L2 against a 16-entry codebook
+    * M=16 per-subspace code ids (argmin-L2 against a 16-entry codebook
     * per subspace — |c|²−2·v·c, since |v|² is constant under the
     * argmin); a query precomputes the 128-entry table of
     * subspace-dot(q_m, code) once, and the coarse score of any corpus

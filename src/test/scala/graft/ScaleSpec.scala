@@ -160,8 +160,11 @@ class ScaleSpec extends SparkSuite {
       .select(col("query_id"), col("neighbor_id")).cache()
     val nExact = exact.count()
     assert(nExact > 0)
+    // ann_pq/ann_ivf_pq floors reflect the M=16 subspace geometry
+    // (measured 0.80 / 0.76 on the worst-case random corpus; M=8
+    // measured 0.60 / 0.68)
     Seq("ann_lsh" -> 0.4, "ann_ivf" -> 0.4, "ann_quantized" -> 0.9,
-      "ann_ivf_sq8" -> 0.9, "ann_pq" -> 0.4, "ann_ivf_pq" -> 0.5).foreach { case (q, floor) =>
+      "ann_ivf_sq8" -> 0.9, "ann_pq" -> 0.75, "ann_ivf_pq" -> 0.7).foreach { case (q, floor) =>
       val approx = SparkEntry.queries(q)(spark, sf0001)
         .select(col("query_id"), col("neighbor_id"))
       val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
