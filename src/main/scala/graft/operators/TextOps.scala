@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Portable.quant6
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.3 L1,
@@ -106,6 +106,80 @@ object TextOps {
   private[operators] def predictedSqlExpr: String =
     predictedSqlFrom(hitsSql(enM), hitsSql(frM), hitsSql(esM), hitsSql(deM))
 
+  /** The per-doc rarity-sorted shingle relation the PPJoin stages
+    * share: same md5-word shingle relation as text_ngram_jaccard
+    * (16-byte join keys, tokenize-once), each doc's shingles in
+    * global (df, h1, h2) ascending-rarity order, arrays bounded by
+    * the doc's own shingle count. */
+  def ppjoinSorted(docs: DataFrame): DataFrame = {
+    val sh = Dedup.tokenized(docs)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, least(greatest(size(tk) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
+            "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+      .distinct()
+    val df_ = sh.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
+    sh.join(df_, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h1"), col("h2")))).as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, s -> struct(s.h1, s.h2))").as("tks"),
+        size(col("st")).cast("long").as("n"))
+  }
+
+  /** PPJoin candidate pairs from the prefix equi-join. With
+    * `lengthFilter` on (the production setting), the Bayardo et al.
+    * 2007 §3.1 length bound rides the join: J(x,y) ≥ τ forces
+    * τ·|y| ≤ |x| (for |x| ≤ |y|), integer form 10·min(na,nb) ≥
+    * 7·max(na,nb) — a pair whose sizes already rule out τ never
+    * reaches the distinct or the verify. The prefix rows carry the
+    * doc's shingle count for it (one long per row); the filter
+    * evaluates inside the equi-join's post-match predicate, cutting
+    * candidates BEFORE the distinct's shuffle. Exposed (with the
+    * toggle) so QueriesSpec can assert the cut preserves the final
+    * pair set and measurably shrinks the candidate count. */
+  def ppjoinCandidates(sorted: DataFrame, lengthFilter: Boolean = true): DataFrame = {
+    val prefix = sorted.select(col("doc_id"), col("n"),
+      explode(expr("slice(tks, 1, cast(n - (7 * n + 9) div 10 + 1 as int))")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.h1").as("ph1"), col("p.h2").as("ph2"))
+    val lengthOk =
+      if (lengthFilter)
+        lit(10) * least(col("a.n"), col("b.n")) >= lit(7) * greatest(col("a.n"), col("b.n"))
+      else lit(true)
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.ph1") === col("b.ph1") && col("a.ph2") === col("b.ph2")
+          && col("a.doc_id") < col("b.doc_id") && lengthOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** L28 — the full exact PPJoin: rarity-ordered prefixes → length-
+    * filtered candidate equi-join → exact array_intersect verify with
+    * the integer τ gate. See the QueryDef commentary for the
+    * completeness argument. */
+  def ppjoin(docs: DataFrame): DataFrame = {
+    val sorted = ppjoinSorted(docs)
+    ppjoinVerify(sorted, ppjoinCandidates(sorted))
+  }
+
+  /** text_ppjoin's verify stage over an explicit candidate set —
+    * lets QueriesSpec prove the length filter drops no true pair. */
+  def ppjoinVerify(sorted: DataFrame, cands: DataFrame): DataFrame =
+    cands
+      .join(sorted.select(col("doc_id").as("doc_a"),
+        col("tks").as("ta"), col("n").as("na")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"),
+        col("tks").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(lit(10) * col("n_common") >= lit(7) * (col("na") + col("nb") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        quant6(col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // L10 — token counting: whitespace tokens, uniques, BPE-ish estimate.
@@ -194,46 +268,7 @@ object TextOps {
          |       floor((CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE)) * 1000000.0) / 1000000.0 AS jaccard
          |FROM j JOIN ns na ON na.doc_id = j.da JOIN ns nb ON nb.doc_id = j.db
          |WHERE 10 * n_common >= 7 * (na.n + nb.n - n_common)""".stripMargin) { (spark, dir) =>
-      // same md5-word shingle relation as text_ngram_jaccard (minus
-      // the source column): 16-byte join keys, tokenize-once
-      val sh = Dedup.tokenized(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          explode(expr(
-            s"transform(sequence(0, least(greatest(size(tk) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
-              "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
-        .select(col("doc_id"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
-        .distinct()
-      val df_ = sh.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
-      // per-doc shingles in global (df, h1, h2) rarity order; arrays
-      // bounded by the doc's own shingle count
-      val sorted = sh.join(df_, Seq("h1", "h2"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("h1"), col("h2")))).as("st"))
-        .select(col("doc_id"),
-          expr("transform(st, s -> struct(s.h1, s.h2))").as("tks"),
-          size(col("st")).cast("long").as("n"))
-      val prefix = sorted.select(col("doc_id"),
-        explode(expr("slice(tks, 1, cast(n - (7 * n + 9) div 10 + 1 as int))")).as("p"))
-        .select(col("doc_id"), col("p.h1").as("ph1"), col("p.h2").as("ph2"))
-      val cands = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.ph1") === col("b.ph1") && col("a.ph2") === col("b.ph2")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cands
-        .join(sorted.select(col("doc_id").as("doc_a"),
-          col("tks").as("ta"), col("n").as("na")), "doc_a")
-        .join(sorted.select(col("doc_id").as("doc_b"),
-          col("tks").as("tb"), col("n").as("nb")), "doc_b")
-        .withColumn("n_common", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .filter(lit(10) * col("n_common") >= lit(7) * (col("na") + col("nb") - col("n_common")))
-        .select(col("doc_a"), col("doc_b"), col("n_common"),
-          quant6(col("n_common").cast("double")
-            / (col("na") + col("nb") - col("n_common")).cast("double")).as("jaccard"))
+      ppjoin(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     },
 
     // L29 — weighted (PPS) sampling for training-mix construction:

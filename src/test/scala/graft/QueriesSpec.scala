@@ -578,6 +578,46 @@ class QueriesSpec extends SparkSuite {
     assert(truth.nonEmpty, "the check is vacuous if no pair clears the threshold")
   }
 
+  test("ppjoin length filter cuts candidates without losing a single true pair") {
+    // Bayardo et al. 2007 §3.1: J >= 0.7 forces 10*min(n) >= 7*max(n),
+    // so a size-incompatible pair can be dropped at the candidate join
+    // — cheaper than letting the verify stage reject it after the
+    // distinct's shuffle. The planted shape is the one the prefix
+    // filter alone cannot block: a short doc whose only shingle is
+    // shared with a long doc whose OTHER shingles are common
+    // boilerplate — the shared shingle is rare, so it sits in both
+    // prefixes and generates the candidate, while the sizes (1 vs ~55)
+    // already rule out tau. Both claims measured, not assumed.
+    import spark.implicits._
+    val boiler = (1 to 54).map(i => s"b$i").mkString(" ")
+    val s5 = "s1 s2 s3 s4 s5"
+    val docs = Seq(
+      (1L, s5), (2L, s"$boiler $s5"),
+      (3L, boiler), (4L, boiler), (5L, boiler), (6L, boiler)
+    ).toDF("doc_id", "text")
+    val sorted = graft.operators.TextOps.ppjoinSorted(docs).cache()
+    val without = graft.operators.TextOps.ppjoinCandidates(sorted, lengthFilter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = graft.operators.TextOps.ppjoinCandidates(sorted)
+    val withFilter = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"ppjoin candidates: ${without.size} unfiltered -> ${withFilter.size} length-filtered")
+    assert(without.contains((1L, 2L)),
+      "the planted size-incompatible pair must be a prefix candidate")
+    assert(!withFilter.contains((1L, 2L)) && withFilter.size < without.size,
+      s"length filter should cut the size-incompatible candidate ($withFilter)")
+    // completeness: the filtered candidates verify to the same pair
+    // set the unfiltered ones do (and the planted true pairs survive)
+    val fromFiltered = graft.operators.TextOps.ppjoinVerify(sorted, cands)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val fromAll = graft.operators.TextOps.ppjoinVerify(sorted,
+      graft.operators.TextOps.ppjoinCandidates(sorted, lengthFilter = false))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(fromFiltered === fromAll)
+    assert(fromFiltered.contains((3L, 4L)) && fromFiltered.contains((2L, 3L)),
+      s"expected identical and 50/55-overlap pairs to survive: $fromFiltered")
+    sorted.unpersist()
+  }
+
   test("text_pps_sample matches a driver-side systematic-PPS walk") {
     val got = SparkEntry.queries("text_pps_sample")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"),
