@@ -129,6 +129,112 @@ object EventsStreaming {
       }
       .start()
 
+  case class Feature(user_id: Long, feat_ts: Timestamp, feat_n: Long, feat_value: Double)
+  case class Label(event_id: Long, user_id: Long, ts: Timestamp)
+  case class FeatureAsof(event_id: Long, user_id: Long, event_time: Timestamp,
+      feat_ts: Option[Timestamp], feat_n: Option[Long], feat_value: Option[Double])
+  // public like the other state classes: Catalyst's generated
+  // (de)serializers cannot touch a private case class
+  case class AsofIn(user_id: Long, t: Timestamp, is_feat: Int, event_id: Long,
+      feat_n: Long, feat_value: Double)
+  case class AsofState(snapT: Long, snapN: Long, snapV: Double, pending: List[AsofIn])
+
+  /** Stream-STREAM as-of join — the streaming twin of the batch
+    * `feature_asof` point-in-time join (A17b): every label joins the
+    * user's LATEST feature snapshot with feat_ts ≤ label ts, so a
+    * training example can never see its own day's data (the temporal-
+    * leakage contract), now maintained incrementally over two live
+    * streams.
+    *
+    * Spark's built-in stream-stream joins can't express "latest prior
+    * row" (that is an ORDER-sensitive reduction, not an interval
+    * predicate — an interval join would emit EVERY prior snapshot in
+    * the bound, and a max-per-label post-aggregate would need a second
+    * stateful operator). So the operator reuses the BATCH query's own
+    * trick — union the two sides into one tagged per-user stream —
+    * and folds it in `flatMapGroupsWithState`, exactly like
+    * [[debounce]]: arrivals BUFFER in state until the event-time
+    * watermark seals them, then fold in (t, feature-first, id) order —
+    * the same total order as the batch window's (t, is_feat DESC,
+    * event_id) — so a feature and a label arriving out of order
+    * across micro-batches still resolve identically to the batch
+    * plan (spec-asserted batch equivalence, including the tie rule:
+    * a snapshot is visible AT its publication instant).
+    *
+    * State per user is one O(1) snapshot plus the watermark-bounded
+    * pending buffer. The snapshot cannot live forever (billions of
+    * one-label users would pin the store): `maxFeatureAgeSec` is the
+    * feature-FRESHNESS contract — once the watermark passes
+    * snapT + maxAge, no future label may use the snapshot (it would
+    * be stale), so the timeout evicts the entry; a later label gets
+    * NULL features, which is what a feature store serves for a user
+    * whose features expired. Labels with no admissible snapshot keep
+    * NULL features (left semantics), matching the batch query. */
+  def asofFeatureJoin(
+      features: Dataset[Feature], labels: Dataset[Label],
+      watermarkDelaySec: Long = 1800,
+      maxFeatureAgeSec: Long = 30L * 86400): Dataset[FeatureAsof] = {
+    import features.sparkSession.implicits._
+    val tagged = features.toDF()
+      .select(col("user_id"), col("feat_ts").as("t"), lit(1).as("is_feat"),
+        lit(-1L).as("event_id"), col("feat_n"), col("feat_value"))
+      .unionByName(labels.toDF()
+        .select(col("user_id"), col("ts").as("t"), lit(0).as("is_feat"),
+          col("event_id"), lit(-1L).as("feat_n"), lit(0.0).as("feat_value")))
+      .as[AsofIn]
+      .withWatermark("t", s"$watermarkDelaySec seconds")
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, FeatureAsof](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          // a TIMEOUT invocation is not an eviction signal by itself:
+          // for a pending buffer it is the watermark-advance tick that
+          // SEALS it, so both paths run the same fold (with an empty
+          // arrival set on timeout) and eviction falls out of the
+          // retention rules at the end
+          val wmMs = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsofState(-1L, 0L, 0.0, Nil))
+          val all = prev.pending ++ (if (state.hasTimedOut) Nil else batch.toList)
+          // decide everything the watermark has sealed; later arrivals
+          // for these instants would be dropped by Spark anyway, so
+          // the fold order is final
+          val (ripe, stillPending) = all.partition(_.t.getTime <= wmMs)
+          var snapT = prev.snapT; var snapN = prev.snapN; var snapV = prev.snapV
+          val out = Seq.newBuilder[FeatureAsof]
+          ripe.sortBy(e => (e.t.getTime, -e.is_feat, e.event_id)).foreach { e =>
+            if (e.is_feat == 1) {
+              // sealed instants are monotone across batches, but keep
+              // the guard: a newer snapshot must never regress
+              if (e.t.getTime >= snapT) {
+                snapT = e.t.getTime; snapN = e.feat_n; snapV = e.feat_value
+              }
+            } else {
+              val has = snapT >= 0
+              out += FeatureAsof(e.event_id, uid, e.t,
+                if (has) Some(new Timestamp(snapT)) else None,
+                if (has) Some(snapN) else None,
+                if (has) Some(snapV) else None)
+            }
+          }
+          if (stillPending.nonEmpty) {
+            state.update(AsofState(snapT, snapN, snapV, stillPending))
+            // wake just past the oldest pending instant (or the next
+            // watermark tick) to seal it
+            state.setTimeoutTimestamp(math.max(
+              stillPending.map(_.t.getTime).min + 1000, wmMs + 1000))
+          } else if (snapT >= 0 && snapT + maxFeatureAgeSec * 1000 > wmMs) {
+            // fresh snapshot, empty buffer: keep serving until the
+            // freshness horizon, then the timeout evicts it
+            state.update(AsofState(snapT, snapN, snapV, Nil))
+            state.setTimeoutTimestamp(snapT + maxFeatureAgeSec * 1000)
+          } else {
+            state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   case class DebounceState(lastKeptSec: Long, pending: List[Event])
 
   /** Refractory debounce via flatMapGroupsWithState — streaming twin

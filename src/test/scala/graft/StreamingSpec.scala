@@ -339,6 +339,91 @@ class StreamingSpec extends SparkSuite {
     assert(sessions(0).getLong(3) === 2L)
   }
 
+  test("stream-stream as-of join agrees with the batch feature_asof query on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch query's own two inputs, replayed as streams: daily
+    // feature snapshots and purchase labels from the same events
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val feats = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("feat_n"), sum(col("value").cast("decimal(12,2)")).as("fv"))
+      .select(col("user_id"), (col("day") + expr("interval 1 day")).as("feat_ts"),
+        col("feat_n"), col("fv").cast("double").as("feat_value"))
+      .as[EventsStreaming.Feature].collect()
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[EventsStreaming.Label].collect()
+    val maxT = (feats.map(_.feat_ts.getTime) ++ labels.map(_.ts.getTime)).max
+
+    val fIn = MemoryStream[EventsStreaming.Feature]
+    val lIn = MemoryStream[EventsStreaming.Label]
+    // huge freshness bound isolates the JOIN rule (eviction is the
+    // test below); the 40-day watermark delay exceeds the fixture's
+    // span so the deliberately out-of-order arrivals are never dropped
+    val q = EventsStreaming.asofFeatureJoin(fIn.toDS(), lIn.toDS(),
+      watermarkDelaySec = 40L * 86400, maxFeatureAgeSec = 3650L * 86400)
+      .writeStream.outputMode("append").format("memory").queryName("asof_eq").start()
+
+    // worst-case arrival order: ALL labels first, then the features
+    // they must join — only watermark-sealed folding gets this right
+    lIn.addData(labels.toSeq)
+    q.processAllAvailable()
+    fIn.addData(feats.toSeq)
+    q.processAllAvailable()
+    // sentinel far past maxT + delay flushes every pending instant
+    fIn.addData(EventsStreaming.Feature(-999L,
+      new java.sql.Timestamp(maxT + 100L * 86400 * 1000), 0L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("event_id")),
+        r.getString(r.fieldIndex("event_time")),
+        Option(r.getString(r.fieldIndex("feat_ts"))),
+        Option(r.get(r.fieldIndex("feat_n"))),
+        Option(r.get(r.fieldIndex("feat_value"))))
+    val got = spark.table("asof_eq")
+      .select(col("event_id"),
+        graft.functions.Portable.fmtTs(col("event_time")).as("event_time"),
+        graft.functions.Portable.fmtTs(col("feat_ts")).as("feat_ts"),
+        col("feat_n"), col("feat_value"))
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("feature_asof")(spark, sf0001)
+      .select(col("event_id"), col("event_time"), col("feat_ts"),
+        col("feat_n"), col("feat_value"))
+      .collect().map(key).toSet
+    assert(want.nonEmpty && got === want,
+      s"missing: ${(want -- got).take(3)}; extra: ${(got -- want).take(3)}")
+  }
+
+  test("as-of snapshot expires past the freshness bound; a later label gets NULL features") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fIn = MemoryStream[EventsStreaming.Feature]
+    val lIn = MemoryStream[EventsStreaming.Label]
+    // delay 60s, freshness 600s
+    val q = EventsStreaming.asofFeatureJoin(fIn.toDS(), lIn.toDS(),
+      watermarkDelaySec = 60, maxFeatureAgeSec = 600)
+      .writeStream.outputMode("append").format("memory").queryName("asof_fresh").start()
+    // user 7's snapshot publishes at minute 0; the sentinel label
+    // pushes the watermark to m29 — past snapT + 10m, so the snapshot
+    // is evicted as stale
+    fIn.addData(EventsStreaming.Feature(7L, ts(0), 3L, 9.0))
+    lIn.addData(EventsStreaming.Label(900L, -999L, ts(30)))
+    q.processAllAvailable()
+    // a label at m31 would have joined the m0 snapshot under batch
+    // semantics; the freshness contract serves NULL instead
+    lIn.addData(EventsStreaming.Label(1L, 7L, ts(31)))
+    q.processAllAvailable()
+    lIn.addData(EventsStreaming.Label(901L, -999L, ts(95)))
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("asof_fresh").filter(col("event_id") === 1L).collect()
+    assert(row.length === 1, "the label must still be emitted (left semantics)")
+    assert(row(0).isNullAt(row(0).fieldIndex("feat_ts")),
+      "an expired snapshot must not serve features")
+  }
+
   test("streaming sessionize agrees with the batch sessionize query on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
