@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scale-sweep materializer: tiles an sf0.1 directory ×K into
+  * an sfK/10 directory so graft.Bench can be measured above the largest
+  * driver-generated scale factor (r6 verdict task 3 — the analytics /
+  * events families had never been measured past sf0.1).
+  *
+  * The tiling follows how TPC-H itself scales, so per-query work grows
+  * the way a real 10× corpus would rather than degenerating:
+  *  - FACT keys (orderkey, custkey, partkey, suppkey, event/user/doc/vec
+  *    ids) are offset per tile — join relationships stay consistent and
+  *    entity counts grow ×K (more orders, more users), while grouping
+  *    DOMAINS that TPC-H keeps fixed (brand, nation, region, event_type,
+  *    lang, source, dates) stay fixed — so aggregates see ×K rows per
+  *    group, not ×K empty groups.
+  *  - `documents.text` gets a per-tile alphabet ROTATION (translate; tile
+  *    0 is identity): length, whitespace and token structure are
+  *    preserved (quality/token metrics price identically) but tiles share
+  *    no shingles, so the duplicate MASS scales ×K linearly instead of
+  *    every document becoming a K-copy near-dup cluster with C(K,2)
+  *    quadratic pair output — that pathology is the stress harness's
+  *    job (dev/stress.sh), not a scale factor's.
+  *  - `embeddings.embedding` is rotated left by tile index (cyclic shift
+  *    — norm-preserving, so cosine geometry stays healthy but tiles are
+  *    decorrelated and ANN cells get ×K occupancy, not K exact copies).
+  *
+  * Usage: graft.ScaleUp <srcDir> <outDir> [tiles=10]
+  */
+object ScaleUp {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sf1")
+    val tiles = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, src, out, tiles)
+    spark.stop()
+  }
+
+  def write(spark: SparkSession, src: String, out: String, tiles: Int): Unit = {
+    // Key offsets: round numbers safely above each table's max key at
+    // any plausible source sf (verified ≥10× the sf0.1 maxima).
+    val OK = 100000000L // orderkey  (sf0.1 max 600k)
+    val CK = 10000000L  // custkey
+    val PK = 10000000L  // partkey
+    val SK = 1000000L   // suppkey
+    val EK = 100000000L // event_id
+    val UK = 10000000L  // user_id
+    val DK = 10000000L  // doc_id
+    val VK = 10000000L  // vec_id
+
+    def tiled(table: String)(project: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val t = spark.range(tiles).select(col("id").as("__t"))
+      val df = project(base.crossJoin(broadcast(t)), col("__t")).drop("__t")
+      df.coalesce(4).write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table -> ${out}/$table.parquet")
+    }
+
+    def copy(table: String): Unit = tiled(table)((df, _) => df)
+
+    copy("region"); copy("nation")
+
+    tiled("customer")((df, i) => df.withColumn("c_custkey", col("c_custkey") + i * CK))
+    tiled("supplier")((df, i) => df.withColumn("s_suppkey", col("s_suppkey") + i * SK))
+    tiled("part")((df, i) => df.withColumn("p_partkey", col("p_partkey") + i * PK))
+    tiled("orders")((df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + i * OK)
+      .withColumn("o_custkey", col("o_custkey") + i * CK))
+    tiled("lineitem")((df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + i * OK)
+      .withColumn("l_partkey", col("l_partkey") + i * PK)
+      .withColumn("l_suppkey", col("l_suppkey") + i * SK))
+    tiled("events")((df, i) => df
+      .withColumn("event_id", col("event_id") + i * EK)
+      .withColumn("user_id", col("user_id") + i * UK))
+
+    // Per-tile caesar rotation of letters only: shift amount = tile idx.
+    // translate() is codegen'd; one pass per row.
+    def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
+    val rotExprs = (0 until tiles).map { k =>
+      (k.toLong, Lower + Upper, rot(Lower, k % 26) + rot(Upper, k % 26))
+    }
+    tiled("documents") { (df, i) =>
+      val rotated = rotExprs.tail.foldLeft(col("text")) { case (acc, (k, from, to)) =>
+        when(i === k, translate(col("text"), from, to)).otherwise(acc)
+      }
+      df.withColumn("doc_id", col("doc_id") + i * DK)
+        .withColumn("text", rotated)
+    }
+
+    // Cyclic left-shift of the embedding by the tile index (i < dim in
+    // practice — dim is 64 in the driver testdata; guard with pmod).
+    tiled("embeddings") { (df, i) =>
+      val n = size(col("embedding"))
+      val k = pmod(i.cast("int"), n)
+      val shifted = when(k === 0, col("embedding")).otherwise(
+        concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k)))
+      df.withColumn("vec_id", col("vec_id") + i * VK)
+        .withColumn("embedding", shifted)
+    }
+  }
+}

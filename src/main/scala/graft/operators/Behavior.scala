@@ -242,7 +242,7 @@ object Behavior {
       val ob = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().cache()
+        .distinct().localCheckpoint(true)
       val nt = ob.agg(countDistinct(col("o")).as("nt"))
       // pass 1: frequent pairs at the same relative support (downward
       // closure: any frequent triple's faces are frequent pairs)
@@ -297,7 +297,7 @@ object Behavior {
       val ob = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().cache()
+        .distinct().localCheckpoint(true)
       val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
       ob.as("a").join(ob.as("bb"),
           col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
@@ -316,8 +316,11 @@ object Behavior {
     // sums), the products stay in int64 far below 2^53, and the ONE
     // double division runs per matrix cell — the text_lm_score
     // rational-arithmetic rule, so no ln()/PMI drift between engines.
-    // Scale: the (order, brand) relation is cached and shared by the
-    // pair join, the marginals, and the total; the marginal table is
+    // Scale: the (order, brand) relation is localCheckpoint'd (the
+    // pareto_class rule — one RDD node every branch references, and no
+    // corpus-shaped deserialized cache pinning executor memory) and
+    // shared by the pair join, the marginals, and the total; the
+    // marginal table is
     // ≤|brands| rows (provably bounded → broadcast), the total is a
     // broadcast scalar, and pair generation stays keyed on the order.
     QueryDef(
@@ -339,7 +342,7 @@ object Behavior {
       val ob = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().cache()
+        .distinct().localCheckpoint(true)
       val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
       val n = ob.agg(countDistinct(col("o")).as("n_total"))
       ob.as("a").join(ob.as("bb"),
