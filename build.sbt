@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-parses the LAST stdout line as the bench JSON.
+// Two sbt behaviors broke that in rounds 1-7: the forked process's
+// stdout was re-logged with an "[info] " prefix (LoggedOutput is the
+// default for forked run), and sbt appended "[success] Total time..."
+// AFTER our line. StdoutOutput passes the child's stdout/stderr through
+// raw, and showSuccess=false drops the trailing success banner — so
+// graft.Bench's compact JSON really is the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

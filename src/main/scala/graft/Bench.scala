@@ -94,15 +94,24 @@ object Bench {
       val sw0 = metrics.shuffleWrite.get(); val sp0 = metrics.spill.get()
       val runs =
         if (!ok) Seq(-1.0)
-        else try Seq(timedOnce(), timedOnce())
+        else try {
+          val two = Seq(timedOnce(), timedOnce())
+          // Retry-until-stable (r7: a contended driver box made four
+          // queries look 3-6× regressed and cost a full diagnosis
+          // cycle): when the two runs disagree by >30%, take a third —
+          // min-of-three rejects a one-off GC pause / noisy neighbor
+          // that min-of-two can't if the quiet run was the one hit.
+          if (two.max / two.min > 1.30 && two.min > 0.2) two :+ timedOnce() else two
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (timed run): ${e.getMessage}")
             failed ::= name
             Seq(-1.0)
         }
-      val shuffleMb = (metrics.shuffleWrite.get() - sw0) / 2.0 / 1048576.0 // per-run mean
-      val spillMb = (metrics.spill.get() - sp0) / 2.0 / 1048576.0
+      val nRuns = math.max(runs.size, 1)
+      val shuffleMb = (metrics.shuffleWrite.get() - sw0) / nRuns.toDouble / 1048576.0 // per-run mean
+      val spillMb = (metrics.spill.get() - sp0) / nRuns.toDouble / 1048576.0
       (name, runs, shuffleMb, spillMb)
     }
     // Locale.ROOT: String.format follows the JVM default locale, and a
@@ -130,8 +139,15 @@ object Bench {
     val slowTen = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
       .map { case (k, rs, _, _) => "\"" + k + "\":" + s3(rs.min) }
       .mkString("{", ",", "}")
+    // Box-contention flag in the artifact itself: the worst run-to-run
+    // ratio across queries ≥0.5 s. ~1.0-1.3 = idle box, trust the
+    // numbers; >>1.3 = contended — re-measure before calling anything
+    // a regression (the r7 false-regression class).
+    val spread = results.collect {
+      case (_, rs, _, _) if rs.min >= 0.5 => rs.max / rs.min
+    }.foldLeft(1.0)(math.max)
     val compact =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","slowest":$slowTen}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"sf":"$sfDir","slowest":$slowTen}"""
     val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}"""
     for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {

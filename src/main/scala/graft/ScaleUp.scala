@@ -62,15 +62,35 @@ object ScaleUp {
     val DK = 10000000L  // doc_id
     val VK = 10000000L  // vec_id
 
+    // Past 26 tiles the caesar rotation wraps (tile 26 repeats tile 0's
+    // text verbatim) and the corpus silently regains the quadratic
+    // K-copy near-dup pathology this materializer exists to avoid —
+    // fail loudly instead. (26 < embedding dim 64, so the cyclic-shift
+    // wrap can't fire either.)
+    require(tiles >= 1 && tiles <= 26,
+      s"tiles=$tiles: caesar rotation wraps past 26 and reintroduces K-copy near-dups")
+
     def tiled(table: String)(project: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val t = spark.range(tiles).select(col("id").as("__t"))
       val df = project(base.crossJoin(broadcast(t)), col("__t")).drop("__t")
-      df.coalesce(4).write.mode("overwrite").parquet(s"$out/$table.parquet")
+      // repartition (not coalesce): coalesce(4) would collapse the
+      // read+crossJoin+transform upstream to 4 tasks; a shuffle keeps
+      // the tiling parallel and only the output file count small
+      df.repartition(4).write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scaleup] $table -> ${out}/$table.parquet")
     }
 
-    def copy(table: String): Unit = tiled(table)((df, _) => df)
+    // Fixed dimension tables are copied ONCE, not tiled: TPC-H keeps
+    // nation/region constant across scale factors, and a crossJoin copy
+    // here would emit K duplicate rows per key — every join to them
+    // would then fan out ×K (×K² through supplier→nation→region),
+    // inflating join cardinality instead of scaling it.
+    def copy(table: String): Unit = {
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table -> ${out}/$table.parquet (fixed dim, 1 copy)")
+    }
 
     copy("region"); copy("nation")
 

@@ -165,5 +165,44 @@ object CourseFlatten {
         |       p_size > 25 AS is_pathway_content
         |FROM part LEFT JOIN pa ON p_partkey = l_partkey""".stripMargin) { (spark, dir) =>
       flatten(nestedCollections(spark, dir))
+    },
+
+    // R1 end-to-end on a REAL nested JSON file (r7 verdict gap #1):
+    // the query WRITES the deterministic response fixture to disk,
+    // reads it back with spark.read.schema(...).json (multiLine,
+    // PERMISSIVE — the production read path, CourseraJson.readRaw),
+    // and flattens with the SHARED CourseFlatten.flatten. The oracle
+    // replays DuckDB read_json on the same bytes — array order of
+    // partners/partnerIds is preserved by both engines (array_to_string
+    // over the list, no aggregation), so no sort-order caveats apply.
+    // productCard is present on every fixture entity on purpose: its
+    // two projections are non-nullable here, keeping the result free
+    // of nullable-boolean columns that pandas would coerce
+    // inconsistently between the two readers (missing-productCard
+    // behavior is spec-tested, not oracle-tested).
+    QueryDef(
+      "flatten_json_file",
+      s"""WITH resp AS (SELECT * FROM read_json('${graft.sources.CourseraJson.FixturePath}', format='array')),
+        |coll AS (SELECT unnest(data."DiscoveryCollections"."queryCollections") AS c FROM resp),
+        |ent AS (SELECT c.label AS collection_label, c.id AS collection_id,
+        |               unnest(c.entities) AS e
+        |        FROM coll)
+        |SELECT collection_label, collection_id,
+        |       e.name AS course_name,
+        |       e.id AS course_id,
+        |       e.slug AS slug,
+        |       e.url AS url,
+        |       e."imageUrl" AS image_url,
+        |       COALESCE(array_to_string(list_transform(e.partners, p -> p.name), ', '), '') AS partners,
+        |       COALESCE(array_to_string(e."partnerIds", ', '), '') AS partner_ids,
+        |       COALESCE(e."difficultyLevel", 'N/A') AS difficulty_level,
+        |       COALESCE(e."isPartOfCourseraPlus", false) AS is_part_of_coursera_plus,
+        |       COALESCE(e."courseCount", 'N/A') AS course_count,
+        |       COALESCE(e."isCostFree", 'N/A') AS is_cost_free,
+        |       e."productCard"."marketingProductType" AS marketing_product_type,
+        |       e."productCard"."productTypeAttributes"."isPathwayContent" AS is_pathway_content
+        |FROM ent""".stripMargin) { (spark, _) =>
+      val path = graft.sources.CourseraJson.writeFixture()
+      flatten(graft.sources.CourseraJson.readCollections(spark, path))
     })
 }

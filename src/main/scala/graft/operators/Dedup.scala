@@ -537,10 +537,14 @@ object Dedup {
         .orderBy(col("mk"), col("doc_id")).limit(AuditSample)
         .select(col("doc_id"))
       val sa = broadcast(sample)
+      // localCheckpoint (the pareto_class rule): detS feeds BOTH the
+      // n_detected count and the intersect — without it the whole
+      // production minhash pipeline is evaluated twice per audit run
       val detS = minhashPairs(spark, dir)
         .select(col("doc_a").as("da"), col("doc_b").as("db"))
         .join(sa.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
         .join(sa.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+        .localCheckpoint(true)
       // exact ground truth WITHIN the sample: all-pairs shingle-word
       // join — k² bounded by the fixed sample size
       val words = shingleWords(tokenized(docs.join(sa, Seq("doc_id"), "left_semi")))
@@ -555,6 +559,7 @@ object Dedup {
         .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc"))
           >= JaccardThreshold)
         .select(col("da"), col("db"))
+        .localCheckpoint(true) // feeds n_truth_pairs AND the intersect
       // intersect is POSITIONAL and the second semi-join moved its key
       // column first — re-project both sides to (da, db)
       val tp = truth.select(col("da"), col("db"))

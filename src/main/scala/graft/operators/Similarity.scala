@@ -130,6 +130,54 @@ object Similarity {
           signBucket(col("v"), t, NumPlanes, Dims)): _*)).as(Seq("t", "bucket")))
       .cache()
 
+  /** Expected per-bucket occupancy target for the SELF-JOIN LSH path
+    * (dedup_embed). The query-batch paths (ann_lsh) keep the fixed
+    * 2^NumPlanes buckets — their candidate set is Q·bucket-sized, so a
+    * growing bucket only grows one query's candidates linearly. A
+    * SELF-join enumerates occupancy² pairs per bucket, so its bucket
+    * COUNT must grow with N: r7's fixed 16 buckets measured 61× runtime
+    * at 10× data (the corpus-wide pair set is Θ(N²) under any constant
+    * bucket count). */
+  private[graft] val TargetBucketOcc = 32
+
+  /** Plane count for the self-join path: the smallest p in
+    * [NumPlanes, 19] with TargetBucketOcc·2^p ≥ n, i.e. p ≈
+    * log₂(n/occ), so expected occupancy stays in [occ/2, occ] and the
+    * per-table pair count N·occ/2 is LINEAR in the corpus. Pure integer
+    * comparison (shift + ≥) so the DuckDB oracle's mirrored series-scan
+    * picks the identical p — no float log₂ boundary can disagree. At
+    * the sf0.01 gate (n=500) this is exactly NumPlanes=4, so the
+    * oracle result is unchanged from the fixed-bucket rounds. */
+  private[graft] def dynPlanes(n: Long): Int = {
+    var p = NumPlanes
+    while (p < 19 && (TargetBucketOcc.toLong << p) < n) p += 1
+    p
+  }
+
+  /** Near-dup candidate pairs (va < vb) for dedup_embed:
+    * sign-LSH buckets under [[dynPlanes]]-many planes (bucket count
+    * grows with N, occupancy constant) with the minhash pipeline's
+    * hot-bucket cap (Dedup.MaxBucketDocs) as the SKEW guard — a
+    * degenerate corpus (e.g. millions of identical vectors) would
+    * otherwise still pile one bucket to occupancy² pairs. ids only
+    * through the join; vectors join back per-side afterwards. */
+  private[graft] def embedCandidates(emb: DataFrame, numPlanes: Int): DataFrame = {
+    val keys = emb.select(col("vec_id"),
+      posexplode(array((0 until NumTables).map(t =>
+        signBucket(col("v"), t, numPlanes, Dims)): _*)).as(Seq("t", "bucket")))
+    // hot-key set is corpus-shaped (≤ N/cap keys): no broadcast hint,
+    // AQE broadcasts while small (the minhash rationale, Dedup.scala)
+    val hot = keys.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > Dedup.MaxBucketDocs).select(col("t"), col("bucket"))
+    val bkc = keys.join(hot, Seq("t", "bucket"), "left_anti")
+    bkc.as("a")
+      .join(bkc.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+  }
+
   /** IVF coarse-centroid count — a FIXED constant, never a fraction of
     * the corpus: the assignment broadcasts the centroid table and
     * scores N×K dots, so K must not grow with N (a `vec_id % 97`-style
@@ -147,6 +195,10 @@ object Similarity {
   // floor in ScaleSpec, vs 0.60 at nProbe=4). The production tradeoff
   // is the same curve: nProbe/K buys recall at linear coarse cost.
   private val SqNumProbes = 10
+  // the residual-PQ cascade probes wider still: its quantization is
+  // the lossiest of the ladder, and an unprobed cell is unrecoverable
+  // recall — 12/16 cells measured 0.84 recall@5 vs 0.80 at 10/16
+  private val PqNumProbes = 12
   private val quantCos = "floor(list_cosine_similarity(%s, %s) * 1000000.0) / 1000000.0"
 
   /** Fixed-K centroid sample: a distributed TakeOrdered (map-side
@@ -464,8 +516,10 @@ object Similarity {
   // lookups per candidate the coarse pass is nearly free, and the
   // PQ quantization is lossier than int8 — spending rerank width is
   // the cheapest recall lever (at M=8: recall@5 0.36 at R=20 → 0.60
-  // at R=64 on the worst-case random corpus).
-  private val PqRerank = 64
+  // at R=64 on the worst-case random corpus; at M=16: 0.80/0.76 at
+  // R=64 → measured again at R=128 for the r8 floor lift). Rerank
+  // cost is Q·R exact cosines — workload-sized, never corpus-sized.
+  private val PqRerank = 128
 
   /** L7e — product quantization with asymmetric distance (the PQ/ADC
     * of Jegou/Douze/Schmid, TPAMI 2011 — the composition ann_quantized
@@ -882,7 +936,7 @@ object Similarity {
            |qprobe AS (SELECT vec_id AS qid, cid FROM (
            |   SELECT e.vec_id, c.cid,
            |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-           |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $SqNumProbes),
+           |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $PqNumProbes),
            |qd AS (SELECT e.vec_id AS qid, rb.code,
            |              list_transform(generate_series(0, ${PqM - 1}),
            |                m -> list_inner_product(e.v[m * $PqSub + 1 : m * $PqSub + $PqSub],
@@ -909,7 +963,7 @@ object Similarity {
            |FROM r WHERE rn <= $TopK""".stripMargin
       }) { (spark, dir) =>
       val emb = embV(spark, dir)
-      ivfPqSearch(emb, seedCentroids(emb), defaultQueries(emb))
+      ivfPqSearch(emb, seedCentroids(emb), defaultQueries(emb), nProbes = PqNumProbes)
     },
 
     // L7e — product quantization + ADC (see pqSearch).
@@ -991,26 +1045,49 @@ object Similarity {
     // list_cosine_similarity parity is only promised after 6dp
     // quantization, so a raw-value threshold could pass a boundary
     // pair in one engine only.
+    //
+    // SELF-join scale shape (the r7 verdict's headline fix): the plane
+    // count is dynPlanes(N) — smallest p≥4 with 32·2^p ≥ N, an integer
+    // rule the oracle's np CTE replays verbatim (series scan + bit
+    // shift; no float log₂ can disagree) — so bucket occupancy stays
+    // ~constant and the candidate pair set is LINEAR in N instead of
+    // the fixed-16-bucket Θ(N²) that measured 61× at 10× data. The
+    // MaxBucketDocs cap (mirrored in hot/bkc) guards adversarial skew:
+    // a bucket past cap size carries no near-dup signal (minhash rule).
     QueryDef(
       "dedup_embed",
-      s"""WITH $bucketCtes,
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |np AS (SELECT MIN(p.p) AS np FROM generate_series($NumPlanes, 19) p(p), nn
+         |       WHERE (CAST($TargetBucketOcc AS BIGINT) << p.p) >= nn.n),
+         |pl AS (SELECT t.t, p.p,
+         |             list_transform(generate_series(0, ${Dims - 1}),
+         |               i -> CAST('0x' || substr(md5('plane_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6) AS BIGINT) / 16777216.0 - 0.5) AS wv
+         |      FROM generate_series(0, ${NumTables - 1}) t(t),
+         |           generate_series(0, 19) p(p)
+         |      WHERE p.p < (SELECT np FROM np)),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dots AS (SELECT ev.vec_id, pl.t, pl.p, list_inner_product(ev.v, pl.wv) AS dot
+         |         FROM ev, pl),
+         |bkt AS (SELECT vec_id, t,
+         |               CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2.0, p) AS INT) ELSE 0 END) AS INT) AS bucket
+         |        FROM dots GROUP BY vec_id, t),
+         |hot AS (SELECT t, bucket FROM bkt GROUP BY t, bucket
+         |        HAVING COUNT(*) > ${Dedup.MaxBucketDocs}),
+         |bkc AS (SELECT bkt.* FROM bkt WHERE NOT EXISTS
+         |        (SELECT 1 FROM hot WHERE hot.t = bkt.t AND hot.bucket = bkt.bucket)),
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |         FROM bkt a JOIN bkt b
+         |         FROM bkc a JOIN bkc b
          |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT c.va AS vec_a, c.vb AS vec_b, ${Portable.Quant6Sql(cosSql)} AS cosine
          |FROM cand c
          |JOIN embeddings ea ON ea.vec_id = c.va
          |JOIN embeddings eb ON eb.vec_id = c.vb
          |WHERE ${Portable.Quant6Sql(cosSql)} >= $CosThreshold""".stripMargin) { (spark, dir) =>
-      val bk = buckets(spark, dir)
-      // distinct on the id pair only — never shuffle the vectors twice
-      val cand = bk.as("a")
-        .join(bk.as("b"),
-          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-        .distinct()
       val emb = embV(spark, dir)
+      // one metadata-cheap count() action sizes the bucket grid before
+      // the plan is built — the LSH twin of seedCentroids' driver-side
+      // K-row sample
+      val cand = embedCandidates(emb, dynPlanes(emb.count()))
       val qcos = Portable.quant6(cosine(col("ea"), col("eb")))
       cand
         .join(emb.select(col("vec_id").as("va"), col("v").as("ea")), "va")

