@@ -396,7 +396,7 @@ object Multimodal {
     * the decodeMedia per-partition codec seam. */
   def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    val nSeg = 32
+    val nSeg = 64
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val samplesOpt =
@@ -443,7 +443,7 @@ object Multimodal {
     * 8-bit blocks cover hamming ≤ 3 over the 31 used bits. */
   def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     hammingBandPairs(audioFingerprint(media),
-      nBlocks = 4, blockBits = 8, maxHamming = maxHamming)
+      nBlocks = 4, blockBits = 16, maxHamming = maxHamming)
 
   /** Offset separating planted twin doc_ids from their bases in the
     * [[plantedMedia]] fixture. */
@@ -458,7 +458,7 @@ object Multimodal {
     * all-black, so [[imageAHash]] recovers EXACTLY P — but only by
     * actually round-tripping ImageIO encode→decode→resample→threshold.
     * Each odd doc gets a WAV of 32 constant-amplitude segments doing a
-    * ±7 walk driven by a 31-bit pattern Q, so [[audioFingerprint]]'s
+    * ±7 walk driven by a 60-bit pattern Q, so [[audioFingerprint]]'s
     * segment-sum comparisons recover EXACTLY Q through the RIFF codec.
     * Docs with doc_id % 10 ∈ {0,1} also get a TWIN (id + TwinOffset)
     * whose pattern has ≤3 planted bit flips — guaranteed near-dup
@@ -471,7 +471,7 @@ object Multimodal {
     val img = docs.filter(col("doc_id") % 2 === 0).withColumn("h",
       expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
     val aud = docs.filter(col("doc_id") % 2 === 1).withColumn("h",
-      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) & 2147483647"))
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
     def twins(base: DataFrame, bits: Int, residue: Int): DataFrame = base
       .filter(col("doc_id") % 10 === residue)
       .select((col("doc_id") + TwinOffset).as("doc_id"),
@@ -479,8 +479,17 @@ object Multimodal {
                     | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 13 % $bits AS INT))
                     | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 29 % $bits AS INT)))""").as("h"))
     val all = img.unionByName(twins(img, 60, 0)).withColumn("fmt", lit("png"))
-      .unionByName(aud.unionByName(twins(aud, 31, 1)).withColumn("fmt", lit("wav")))
+      .unionByName(aud.unionByName(twins(aud, 60, 1)).withColumn("fmt", lit("wav")))
+    // Repartition BEFORE the codec seam: the (id, h, fmt) relation is
+    // narrow (24 bytes/row — a free shuffle) but the per-row encode is
+    // CPU-heavy, and without this it inherits the SCAN's parallelism —
+    // a handful of small parquet files would serialize the codec work
+    // onto that many cores (the r8 sf1 sweep measured media_neardup at
+    // 12.8× for 10× data against a 4-file corpus for exactly this
+    // reason). The production rule it encodes: never let an expensive
+    // map stage ride a small scan's accidental partitioning.
     all.select(col("doc_id"), col("h"), col("fmt")).as[(Long, Long, String)]
+      .repartition(col("doc_id"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, h, fmt) =>
@@ -512,18 +521,23 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** 256 PCM16 samples in 32 constant segments of 8: amplitudes walk
-    * a(k+1) = a(k) ± 7 by bit k of `h`, starting at 500 (always
-    * positive — |sum| comparisons see the walk direction exactly). */
+  /** 512 PCM16 samples in 64 constant segments of 8: amplitudes walk
+    * a(k+1) = a(k) ± 7 by bit k of `h`, starting at 500 (max deviation
+    * 63·7 = 441 keeps every amp positive — |sum| comparisons see the
+    * walk direction exactly). 64 segments → a 63-bit usable
+    * fingerprint, so the band join gets the same 16-bit blocks as the
+    * image side: the r8 sweep caught the old 32-segment/31-bit form
+    * banding on 8-bit blocks (256 buckets — occupancy, and with it the
+    * candidate pair set, grew with N²). */
   private def patternSamples(h: Long): Array[Short] = {
-    val amps = new Array[Int](32)
+    val amps = new Array[Int](64)
     amps(0) = 500
     var k = 0
-    while (k < 31) {
+    while (k < 63) {
       amps(k + 1) = amps(k) + (if (((h >>> k) & 1L) == 1L) 7 else -7)
       k += 1
     }
-    Array.tabulate(256)(i => amps(i / 8).toShort)
+    Array.tabulate(512)(i => amps(i / 8).toShort)
   }
 
   /** L12b as a driver-checked query: near-dup pairs across BOTH media
@@ -541,7 +555,7 @@ object Multimodal {
         |  FROM documents WHERE doc_id % 2 = 0),
         |aud AS (
         |  SELECT doc_id,
-        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) & 2147483647 AS h
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
         |  FROM documents WHERE doc_id % 2 = 1),
         |imga AS (
         |  SELECT doc_id, h FROM img
@@ -555,9 +569,9 @@ object Multimodal {
         |  SELECT doc_id, h FROM aud
         |  UNION ALL
         |  SELECT doc_id + 1000000000,
-        |         xor(h, (CAST(1 AS BIGINT) << CAST(doc_id * 7 % 31 AS INT))
-        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 13 % 31 AS INT))
-        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 29 % 31 AS INT)))
+        |         xor(h, (CAST(1 AS BIGINT) << CAST(doc_id * 7 % 60 AS INT))
+        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 13 % 60 AS INT))
+        |              | (CAST(1 AS BIGINT) << CAST(doc_id * 29 % 60 AS INT)))
         |  FROM aud WHERE doc_id % 10 = 1)
         |SELECT 'image' AS modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming

@@ -224,13 +224,31 @@ object Similarity {
     rows.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("cid"), centScore.as("score")) ++ extras: _*)
 
+  /** SemDeDup cell count: K = ceil(N / TargetCellSize) (floor at the
+    * ANN family's fixed NumCentroids — identical at the sf0.01 oracle
+    * gate, where ceil(500/32) = 16). The dedup SELF-join enumerates
+    * occupancy²/2 pairs per cell, so unlike the query-bounded ANN
+    * paths the cell COUNT must grow with N — r8's sweep measured the
+    * fixed-16-cell version at 18.6× runtime for 10× data, the same
+    * Θ(N²) family as dedup_embed's fixed buckets. K ∝ N is the
+    * SemDeDup paper's own regime (K≈110k on 5B LAION embeddings); the
+    * price is the N×K assignment scan, which is embarrassingly
+    * parallel brute force here and becomes a two-level (coarse √K →
+    * fine) assignment on a real cluster once K·dims outgrows a
+    * broadcast — the cell structure and the pair stage are unchanged
+    * by that refinement. Pure integer/pow-2 arithmetic (÷32 is exact
+    * in doubles) so the oracle's ceil() picks the identical K. */
+  private[graft] val TargetCellSize = 32
+  private[graft] def dynCentroids(n: Long): Int =
+    math.max(NumCentroids.toLong, (n + TargetCellSize - 1) / TargetCellSize).toInt
+
   /** Nearest-centroid assignment as an AGGREGATE, not a window: the
     * N×K scored rows are collapsed to one partial per vector map-side
     * (each vector's K centroid scores are born in one partition from
     * the broadcast join), so the shuffle carries N rows — at 1B
     * vectors × 1k centroids a window here would shuffle 1T rows to
     * rank them. Tie-break matches the oracle: best score, LOWEST cid. */
-  private def assign(emb: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assign(emb: DataFrame, cent: DataFrame): DataFrame =
     scoredByCent(emb, cent)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), bestCent).as("cid"))
@@ -747,9 +765,10 @@ object Similarity {
     * salted (cid, __cs) key — vectors join back per-side afterwards
     * (the dedup_embed rule: never shuffle the vectors twice); the
     * drop flag is a map-side `min` partial aggregate, work ∝ τ-pairs.
-    * Per-cell pair count is (|cell|²)/2 — bounded by keeping K ∝ N
-    * (cells of ~√N), the same K≈√N guidance the IVF recall curve
-    * documents (PLANS.md). */
+    * Per-cell pair count is (|cell|²)/2 — bounded because the
+    * dedup_semantic query passes K = [[dynCentroids]](N) (cells pinned
+    * at ~TargetCellSize), ENFORCED since r8 by a ScaleSpec growth bound
+    * after the fixed-K form measured 18.6× runtime at 10× data. */
   def semanticDedup(emb: DataFrame, cent: DataFrame, tau: Double = SemTau): DataFrame = {
     // (vec_id, cid, v): nearest-centroid assignment with the vector
     // riding the aggregate; cached — consumed by the id-pair join
@@ -1097,22 +1116,38 @@ object Similarity {
     },
 
     // L25 — SemDeDup: cluster-scoped semantic dedup (see semanticDedup).
-    // The oracle shares the IVF family's e/c/asn CTEs, so the cluster
-    // definition can never drift from the ANN queries'.
+    // Same scoring/assignment CTE shapes as the IVF family, but with
+    // K = dynCentroids(N) instead of the fixed NumCentroids: the ANN
+    // paths are query-batch-bounded so fixed K only costs recall, while
+    // the dedup SELF-join is occupancy²-per-cell — fixed K measured
+    // 18.6× runtime at 10× data in the r8 sweep (the dedup_embed
+    // disease). The kk CTE replays dynCentroids' exact arithmetic.
     QueryDef(
-      "dedup_semantic",
-      s"""WITH ${ivfCtes(NumProbes)},
-         |pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb,
-         |                 ${quantCos.format("ea.v", "eb.v")} AS cos
-         |          FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |          JOIN e ea ON ea.vec_id = a.vec_id
-         |          JOIN e eb ON eb.vec_id = b.vec_id),
-         |dup AS (SELECT kb AS vec_id, MIN(ka) AS dup_of FROM pairs
-         |        WHERE cos >= $SemTau GROUP BY kb)
-         |SELECT asn.vec_id, asn.cid, d.dup_of, d.dup_of IS NULL AS kept
-         |FROM asn LEFT JOIN dup d USING (vec_id)""".stripMargin) { (spark, dir) =>
+      "dedup_semantic", {
+        val qc = quantCos.format("e.v", "c.cv")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
+           |       FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM (
+           |   SELECT e.vec_id, e.v,
+           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |   FROM e) t WHERE rn <= (SELECT k FROM kk)),
+           |asn AS (SELECT vec_id, cid FROM (
+           |   SELECT e.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
+           |   FROM e, c) t WHERE rn = 1),
+           |pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb,
+           |                 ${quantCos.format("ea.v", "eb.v")} AS cos
+           |          FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |          JOIN e ea ON ea.vec_id = a.vec_id
+           |          JOIN e eb ON eb.vec_id = b.vec_id),
+           |dup AS (SELECT kb AS vec_id, MIN(ka) AS dup_of FROM pairs
+           |        WHERE cos >= $SemTau GROUP BY kb)
+           |SELECT asn.vec_id, asn.cid, d.dup_of, d.dup_of IS NULL AS kept
+           |FROM asn LEFT JOIN dup d USING (vec_id)""".stripMargin
+      }) { (spark, dir) =>
       val emb = embV(spark, dir)
-      semanticDedup(emb, seedCentroids(emb))
+      semanticDedup(emb, seedCentroids(emb, dynCentroids(emb.count())))
     },
 
     // L6 — exact brute-force cosine top-k for the query batch.

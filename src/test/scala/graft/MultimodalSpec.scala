@@ -257,8 +257,10 @@ class MultimodalSpec extends SparkSuite {
 
   test("audioNearDupPairs equals a brute-force sweep; volume scaling is hash-invariant") {
     import spark.implicits._
-    // textured envelopes: 32 segments of 8 samples, per-segment
-    // amplitude from integer mixing (alternating sign, no clipping)
+    // textured envelopes: 256 samples = 64 fingerprint segments of 4,
+    // per-8-sample amplitude from integer mixing (alternating sign,
+    // no clipping); truth is the brute-force sweep over the SAME
+    // production fingerprint, so the test is segment-count-agnostic
     def clip(i: Int): Array[Short] = Array.tabulate(256) { j =>
       val seg = j / 8
       val amp = 200 + ((seg * 31 + i * 997) * 131) % 8000
@@ -298,7 +300,7 @@ class MultimodalSpec extends SparkSuite {
   test("plantedMedia patterns survive the codec roundtrip bit-for-bit") {
     import spark.implicits._
     // The media_neardup oracle's whole premise: the 60-bit image
-    // pattern and 31-bit audio pattern planted from md5 arithmetic are
+    // and audio patterns planted from md5 arithmetic are
     // recovered EXACTLY by the production aHash / envelope fingerprint
     // after a real PNG/WAV encode→decode. Any codec, threshold, or
     // bit-order drift breaks equality here before the driver sees it.
@@ -316,7 +318,7 @@ class MultimodalSpec extends SparkSuite {
     val expectedAud = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id")).filter(col("doc_id") % 2 === 1)
       .withColumn("h",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) & 2147483647"))
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
       .as[(Long, Long)].collect().toMap
     val gotAud = Multimodal.audioFingerprint(media).as[(Long, Long)].collect()
     assert(gotAud.nonEmpty)

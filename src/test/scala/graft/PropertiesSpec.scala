@@ -103,6 +103,27 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("dynPlanes keeps expected LSH bucket occupancy in (TargetOcc/2, TargetOcc] and is minimal") {
+    import graft.operators.Similarity
+    val occ = Similarity.TargetBucketOcc.toLong
+    forAll(Gen.chooseNum(1L, 1000000000L)) { n =>
+      val p = Similarity.dynPlanes(n)
+      assert(p >= 4 && p <= 19)
+      if (p < 19) {
+        // enough buckets: expected occupancy n / 2^p <= TargetOcc
+        assert((occ << p) >= n, s"n=$n p=$p under-bucketed")
+        // minimal: one fewer plane would over-fill (unless at the floor)
+        if (p > 4) assert((occ << (p - 1)) < n, s"n=$n p=$p not minimal")
+      }
+      // monotone in n (spot step)
+      assert(Similarity.dynPlanes(n + 1) >= p)
+    }
+    // the oracle-gate pins: these exact values are baked into the
+    // r1-r7 correctness history (sf0.01 = 500 vectors → the original
+    // fixed 4-plane grid)
+    assert(Similarity.dynPlanes(500) === 4)
+  }
+
   test("md5Hex is stable and 32 lowercase hex chars for any string") {
     forAll(Gen.asciiPrintableStr) { s =>
       val h = Portable.md5Hex(s)

@@ -358,6 +358,7 @@ class ScaleSpec extends SparkSuite {
     // power-of-two bucket stepping).
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
+    graft.functions.VectorOps.ensureRegistered(spark) // vec_dot/vec_cosine for the cell assignment
     assert(Similarity.dynPlanes(500) === 4)   // = the r1-r7 fixed grid at the oracle gate
     assert(Similarity.dynPlanes(2000) === 6)
     assert(Similarity.dynPlanes(20000) === 10)
@@ -373,6 +374,26 @@ class ScaleSpec extends SparkSuite {
     assert(c1 > 0, "candidate generation found nothing at 2k")
     assert(ratio <= 13.0,
       f"candidate growth $ratio%.1fx at 10x data — the self-join has gone superlinear again")
+
+    // dedup_semantic carries the SAME self-join disease class: its
+    // in-cell pair count (Σ occ²/2 over cells) must also stay linear
+    // now that K = dynCentroids(N) pins cell size (fixed K=16 measured
+    // 18.6× runtime at 10× data before the fix)
+    import graft.operators.Similarity.{dynCentroids, seedCentroids, assign}
+    assert(dynCentroids(500) === 16) // = the fixed-K oracle-gate grid
+    def cellPairs(n: Long): Long = {
+      val emb = synth(n)
+      assign(emb, seedCentroids(emb, dynCentroids(n)))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * (col("n") - 1) / 2).cast("long")).as("p"))
+        .collect()(0).getLong(0)
+    }
+    val s1 = cellPairs(2000)
+    val s10 = cellPairs(20000)
+    val sr = s10.toDouble / s1
+    info(f"dedup_semantic in-cell pairs: 2k -> $s1, 20k -> $s10 (ratio $sr%.1f at 10x data)")
+    assert(sr <= 13.0,
+      f"in-cell pair growth $sr%.1fx at 10x data — cell size is no longer bounded")
   }
 
   test("salted aggregation matches the plain aggregation exactly") {
