@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Audit.defs ++
       operators.Decontam.defs ++
       operators.Corpus.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.Web.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

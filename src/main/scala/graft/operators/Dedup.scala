@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val ShingleLen = 5 // tokens per shingle
+  private[operators] val ShingleLen = 5 // tokens per shingle
   private val NumHashes = 12 // minhash signature length
   private val NumBands = 4 // LSH bands (3 rows per band)
   private val RowsPerBand = NumHashes / NumBands
@@ -108,7 +108,7 @@ object Dedup {
     * definition shared by the signature stage and the verify stage (the
     * oracle mirrors it bit-for-bit, so the two Spark copies must never
     * drift from each other either). */
-  private val shingleMd5Transform: String =
+  private[operators] val shingleMd5Transform: String =
     s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
       s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))"
 

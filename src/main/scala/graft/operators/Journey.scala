@@ -395,5 +395,48 @@ object Journey {
           col("n_customers"),
           quant6(col("sm").cast("double") / col("n_customers").cast("double"))
             .as("avg_monetary"))
+    },
+
+    // A75 — first/last-touch conversion attribution: every purchase
+    // credits the FIRST and the MOST RECENT preceding touch event
+    // (view/click) in the user's history — the marketing-analytics
+    // primitive between funnel_steps (did the path happen) and
+    // time_to_convert (how long it took). Scale shape: the as-of
+    // family's no-join rule — both credits are IGNORE NULLS window
+    // picks over ONE (user_id) shuffle and ONE (ts, event_id) sort;
+    // the strictly-before frame (UNBOUNDED..1 PRECEDING) makes a
+    // same-timestamp touch ineligible identically in both engines,
+    // and the (ts, event_id) order is a total order so ties can't
+    // flip the credit. Touchless purchases keep -1 (never NULL: a
+    // nullable BIGINT would come back float64 from pandas on one side
+    // and poison the driver's string hash). Output ∝ purchases.
+    QueryDef(
+      "attribution",
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |           FROM events),
+        |t AS (SELECT *, CASE WHEN event_type IN ('view', 'click') THEN event_id END AS touch
+        |      FROM e),
+        |x AS (SELECT event_id, user_id, event_type, value,
+        |             first_value(touch IGNORE NULLS) OVER w AS ft,
+        |             last_value(touch IGNORE NULLS) OVER w AS lt
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id,
+        |       COALESCE(ft, -1) AS first_touch, COALESCE(lt, -1) AS last_touch,
+        |       CAST(value AS DOUBLE) AS revenue
+        |FROM x WHERE event_type = 'purchase'""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          coalesce(col("ft"), lit(-1L)).as("first_touch"),
+          coalesce(col("lt"), lit(-1L)).as("last_touch"),
+          col("value").as("revenue"))
     })
 }

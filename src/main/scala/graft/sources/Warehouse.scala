@@ -247,5 +247,68 @@ object Warehouse {
     EraseReport(filesTotal.toInt, files.length, before - after)
   }
 
+  final case class CompactReport(
+      filesTotal: Int, filesCompacted: Int, filesWritten: Int, bytesCompacted: Long)
+
+  /** Small-file compaction — the warehouse's nightly bin-packing job.
+    * An hourly append writes one file per task; after a month a 100 TB
+    * table is millions of KB-files and every reader pays listing +
+    * footer overhead per file (the classic sink failure
+    * [[graft.sources.Sinks.appendParquetSized]] PREVENTS for its own
+    * writes — this repairs tables written without it, and the
+    * duplicate-rows state an interrupted [[eraseKeys]] swap documents
+    * as "recoverable by the surrounding compaction" gets rewritten
+    * into fresh files here too). Only files under `smallBytes` are
+    * read or rewritten: large files keep their identity (names,
+    * mtimes — spec-asserted), so the job's cost scales with the
+    * small-file MASS, not the table. Packed output is sized by
+    * `targetBytes` via round-robin repartition + one write.
+    *
+    * Same crash discipline as eraseKeys: rewrites land in a sibling
+    * tmp dir, rename IN first (a `part-c` prefix keeps names
+    * collision-free), originals deleted after — a crash inside the
+    * window duplicates rows, never loses them, and every rename/delete
+    * boolean is checked because HDFS reports failures as `false`.
+    *
+    * The file inventory is a driver-side listing — O(|files|) path
+    * strings, the standard shape for a maintenance job that must
+    * decide per-file anyway; at 10⁷-file extremes run it per partition
+    * directory. NOT for [[writeClustered]] tables: merging band files
+    * widens their key spans and defeats the pruning that layout exists
+    * for — recluster those with writeClustered instead. */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      smallBytes: Long, targetBytes: Long = 128L << 20): CompactReport = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val small = files.filter(_.getLen < smallBytes)
+    if (small.size <= 1) return CompactReport(files.size, 0, 0, 0L)
+    val totalBytes = small.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(small.map(_.getPath.toString): _*)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    val renames = fs.listStatus(new Path(tmp)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath,
+        new Path(path, "part-c" + s.getPath.getName.stripPrefix("part-"))))
+    val failedRenames = renames.filterNot { case (from, to) => fs.rename(from, to) }
+    if (failedRenames.nonEmpty)
+      throw new java.io.IOException(
+        s"compactSmallFiles: ${failedRenames.size} rename(s) into $path returned " +
+          "false; originals NOT deleted (renamed rows are duplicated, never lost " +
+          "— re-run): " + failedRenames.map(_._1.getName).mkString(", "))
+    val failedDeletes = small.map(_.getPath).filterNot(p =>
+      fs.delete(p, false) || !fs.exists(p))
+    if (failedDeletes.nonEmpty)
+      throw new java.io.IOException(
+        s"compactSmallFiles: ${failedDeletes.size} original-file delete(s) returned " +
+          "false; compacted rows are duplicated until these are removed: " +
+          failedDeletes.mkString(", "))
+    fs.delete(new Path(tmp), true)
+    CompactReport(files.size, small.size, renames.size, totalBytes)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

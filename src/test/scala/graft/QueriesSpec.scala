@@ -1881,4 +1881,72 @@ class QueriesSpec extends SparkSuite {
     }
     assert(got === truth)
   }
+  test("url_canonical: normalization strips every noise class and loses no docs") {
+    val rows = SparkEntry.queries("url_canonical")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val urls = rows.map(_.getAs[String]("canonical_url"))
+    urls.foreach { u =>
+      assert(u.startsWith("https://"), s"scheme not lowered: $u")
+      assert(!u.contains("#"), s"fragment kept: $u")
+      assert(!u.contains("utm"), s"tracking param kept: $u")
+      assert(!u.contains("ref="), s"ref param kept: $u")
+      assert(!u.contains(":443"), s"default port kept: $u")
+      assert(!u.contains("://www."), s"www kept: $u")
+      assert(!u.contains("Example"), s"host not lowered: $u")
+      assert(!u.substring(0, u.indexOf('?')).endsWith("/"), s"trailing slash kept: $u")
+      assert(u.contains("?id="), s"real param lost: $u")
+    }
+    // dedup is total: every doc lands under exactly one canonical url
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    assert(rows.length < total, "canonicalization found no case/param collisions")
+  }
+
+  test("attribution credits match a brute-force per-user replay") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val byUser = ev.groupBy(_._3)
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, pts, uid, _) =>
+      val touches = byUser(uid)
+        .filter(e => (e._4 == "view" || e._4 == "click")
+          && (e._2 < pts || (e._2 == pts && e._1 < pid)))
+        .sortBy(e => (e._2, e._1))
+      (pid, (touches.headOption.map(_._1).getOrElse(-1L),
+        touches.lastOption.map(_._1).getOrElse(-1L)))
+    }.toMap
+    val got = SparkEntry.queries("attribution")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        (r.getAs[Long]("first_touch"), r.getAs[Long]("last_touch")))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (pid, credits) =>
+      assert(credits === expected(pid), s"purchase $pid")
+    }
+    assert(got.values.exists(_._1 != -1L), "no purchase ever got a credit")
+  }
+
+  test("source_overlap equals a driver-side shingle-set sweep") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val sets = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, text) =>
+        val tk = text.split(" ")
+        val starts = math.min(math.max(tk.length - 5, 0), 4095)
+        (0 to starts).map(i => tk.slice(i, i + 5).mkString(" "))
+      }.toSet
+    }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      common = (sa & sb).size if common > 0
+    } yield (a, b) -> ((common.toLong,
+      math.floor(common.toDouble / (sa.size + sb.size - common) * 1e6) / 1e6))).toMap
+    val got = SparkEntry.queries("source_overlap")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

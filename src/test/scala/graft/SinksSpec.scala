@@ -274,6 +274,51 @@ class SinksSpec extends SparkSuite {
     assert(out.filter(col("user_id") === 0L).count() === 0L)
   }
 
+  test("R12: small-file compaction packs only the small files, loses nothing") {
+    import spark.implicits._
+    val dir = tmp() + "/compact"
+    // 4 tiny append batches (1 file each) + 1 big batch: the classic
+    // hourly-append shape this maintenance job exists to repair
+    (0 until 4).foreach { b =>
+      Sinks.appendParquet(
+        (0L until 50L).map(i => (b * 1000L + i, s"row$b-$i")).toDF("id", "payload")
+          .coalesce(1), dir)
+    }
+    Sinks.appendParquet(
+      (0L until 20000L).map(i => (100000L + i, s"big$i")).toDF("id", "payload")
+        .coalesce(1), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val before = files()
+    assert(before.size === 5)
+    val sizes = before.map(_.getLen).sorted
+    val threshold = (sizes(3) + sizes(4)) / 2 // between largest-small and big
+    val bigName = before.maxBy(_.getLen).getPath.getName
+    val bigMtime = before.maxBy(_.getLen).getModificationTime
+    val expect = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val r = graft.sources.Warehouse.compactSmallFiles(spark, dir, threshold)
+    assert(r.filesTotal === 5 && r.filesCompacted === 4 && r.filesWritten === 1)
+    spark.catalog.refreshByPath(dir)
+    val after = files()
+    assert(after.size === 2, s"expected big + 1 packed, got ${after.map(_.getPath.getName)}")
+    // the big file was never touched
+    val big = after.find(_.getPath.getName == bigName)
+    assert(big.isDefined && big.get.getModificationTime === bigMtime)
+    // zero row loss, zero duplication
+    val got = spark.read.parquet(dir).collect()
+      .map(r2 => (r2.getLong(0), r2.getString(1))).toSet
+    assert(got === expect)
+    assert(spark.read.parquet(dir).count() === expect.size.toLong)
+    // idempotent: the packed file outgrew the threshold, so a second
+    // pass finds at most one small file and does nothing
+    val r2 = graft.sources.Warehouse.compactSmallFiles(spark, dir, threshold)
+    assert(r2.filesCompacted === 0 && r2.filesWritten === 0)
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
