@@ -23,9 +23,13 @@ tail -1 /tmp/graft_bench_stdout.txt
 # survives a 2 KB truncation intact (parseable, with the headline
 # "value" field present). This is the gate that was parsed:null in
 # rounds 1-6.
-tail -c 2048 /tmp/graft_bench_stdout.txt | python3 - <<'EOF'
+tail -c 2048 /tmp/graft_bench_stdout.txt > /tmp/graft_bench_tail.txt
+# NOTE the tail goes through a FILE, not a pipe: `cmd | python3 - <<EOF`
+# hands the heredoc to fd 0, so the program would read an EMPTY stdin
+# and die on [-1] (observed r8: IndexError after a perfectly good line).
+python3 - /tmp/graft_bench_tail.txt <<'EOF'
 import json, sys
-tail = sys.stdin.read()
+tail = open(sys.argv[1]).read()
 line = [l for l in tail.splitlines() if l.strip()][-1]
 d = json.loads(line)
 assert "value" in d and d["value"] > 0, d
