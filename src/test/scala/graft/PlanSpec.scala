@@ -181,6 +181,35 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("url_canonical is one canonical-key shuffle over a codegen'd map stage") {
+    // normalization must stay per-row builtins (whole-stage codegen'd,
+    // no UDF) and dedup must be the single hash aggregate — a second
+    // exchange would mean the string chain leaked a shuffle
+    val p = plan("url_canonical").split("== Initial Plan ==")(0)
+    val n = "Exchange ".r.findAllIn(p.replace("ReusedExchange", "Reused")).length
+    assert(n === 1, s"expected exactly one shuffle, plan has $n:\n$p")
+    assert(p.contains("HashAggregate"), "canonical dedup should hash-aggregate")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "normalization must be builtins, not UDFs")
+  }
+
+  test("attribution rides ONE user_id exchange through both window credits") {
+    // first_value and last_value share the same window frame, so the
+    // plan must sort once and shuffle once — a second exchange means
+    // the two credits planned separate windows
+    val p = plan("attribution").split("== Initial Plan ==")(0)
+    val n = "Exchange ".r.findAllIn(p.replace("ReusedExchange", "Reused")).length
+    assert(n === 1, s"expected exactly one shuffle, plan has $n:\n$p")
+    assert("Sort ".r.findAllIn(p).length <= 1, "both credits must share one sort")
+  }
+
+  test("source_overlap joins on the shingle hash and broadcasts the counts table") {
+    val p = plan("source_overlap")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay keyed")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row count table should broadcast like a dimension")
+  }
+
   test("user_streaks rides ONE user_id exchange end-to-end") {
     // the explicit repartition(user_id) must satisfy the distinct, the
     // island window, and both groupBys by subset clustering — a second
