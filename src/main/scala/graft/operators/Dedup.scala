@@ -147,7 +147,14 @@ object Dedup {
     * owns caching (corpus_keep shares ONE tokenized scan across its
     * dedup, decontamination, and per-row gate pipelines). */
   private[operators] def minhashPairsFrom(tok: DataFrame): DataFrame = {
-    val bk = bandKeysFrom(tok)
+    // localCheckpoint (the pareto_class rule): the band-key relation is
+    // the SIGNATURE stage's output (≈500 md5s + 12 minhash folds per
+    // doc — the most compute-dense map stage in the family) and feeds
+    // the hot-key aggregate, the anti-join, and both self-join sides;
+    // uncheckpointed, exchange reuse only covers some branches and the
+    // signatures were observed recomputing per consumer. 4 narrow rows
+    // per doc, so the materialization is small.
+    val bk = bandKeysFrom(tok).localCheckpoint(true)
     // no broadcast hint on the hot-key set: its size is corpus-shaped
     // (up to N/MaxBucketDocs keys), so AQE picks broadcast while it is
     // small and falls back to a keyed anti-join when it isn't — an
@@ -156,11 +163,15 @@ object Dedup {
       .filter(col("n") > MaxBucketDocs).select(col("band_key"))
     val bkc = bk.join(hot, Seq("band_key"), "left_anti")
 
+    // checkpointed too: cand feeds the candidate-doc semi-join (twice,
+    // via the union) and the intersection join — and is duplicate-mass
+    // sized, the cheapest relation in the pipeline to pin
     val cand = bkc.as("a")
       .join(bkc.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+      .localCheckpoint(true)
 
     verifiedPairs(cand, tok)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
@@ -277,6 +288,11 @@ object Dedup {
           (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    // NOT localCheckpoint'd (unlike minhashPairsFrom's cand): the
+    // branches re-read the CACHED allc, and truncating lineage here
+    // would erase the index parquet scan from the final plan — the
+    // evidence DedupIncrementalSpec pins to prove the corpus is never
+    // re-signatured on the incremental path
     verifiedPairs(cand, tokAll)
   }
 

@@ -647,7 +647,11 @@ object Similarity {
   def ivfPqSearch(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
       nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame = {
-    val asnR = residualAssign(emb, cent)
+    // localCheckpoint (the pareto_class rule): the residual assignment
+    // is the N×K scoring pass and feeds the codebook sample, the
+    // encode, and the cell-id join-back — uncheckpointed it was
+    // evaluated once per branch
+    val asnR = residualAssign(emb, cent).localCheckpoint(true)
     val rbook = pqBook(asnR.select(col("vec_id"), col("v")), "r")
     pqSearchCells(pqCellTable(asnR, rbook), cent, rbook, emb, queries, nProbes, excludeSelf)
   }
@@ -703,7 +707,7 @@ object Similarity {
   def buildIvfPqIndex(
       emb: DataFrame, cent: DataFrame, path: String,
       book: Option[DataFrame] = None): Unit = {
-    val asnR = residualAssign(emb, cent)
+    val asnR = residualAssign(emb, cent).localCheckpoint(true)
     // default: derive the codebook from THIS corpus's residuals; pass
     // an explicit frozen book to rebuild compatibly with an existing
     // index (append-vs-rebuild equality only makes sense under the

@@ -162,7 +162,12 @@ object TextOps {
     * the integer τ gate. See the QueryDef commentary for the
     * completeness argument. */
   def ppjoin(docs: DataFrame): DataFrame = {
-    val sorted = ppjoinSorted(docs)
+    // localCheckpoint (the pareto_class/dedup_audit rule): `sorted` is
+    // the expensive tokenize→distinct→df→sort pipeline and feeds FOUR
+    // plan branches (both prefix sides of the candidate join, both
+    // verify join-backs) — uncheckpointed it is evaluated once per
+    // branch
+    val sorted = ppjoinSorted(docs).localCheckpoint(true)
     ppjoinVerify(sorted, ppjoinCandidates(sorted))
   }
 
