@@ -4,7 +4,7 @@
 # full graft.Bench at both scales back-to-back on an (ideally idle)
 # box, and emit BENCH_SF1.json + a ratio table to stdout.
 # Usage: dev/sweep.sh [srcSf=/root/testdata/sf0.1] [outDir=/tmp/sf1] [tiles=10]
-set -e
+set -eo pipefail
 cd /root/repo
 SRC=${1:-/root/testdata/sf0.1}
 OUT=${2:-/tmp/sf1}
@@ -30,6 +30,13 @@ tiles = sys.argv[1]
 a = json.load(open('/tmp/sweep_base.json'))
 b = json.load(open('/tmp/sweep_scaled.json'))
 qa, qb = a['queries'], b['queries']
+failed = sorted([q for q in qa if qa[q] < 0] + [q for q in qb if qb[q] < 0])
+if failed:
+    # a query that FAILS at either scale is the sweep's loudest
+    # possible finding — surface it instead of letting a -1 produce a
+    # negative 'ratio' that sails under the superlinear gate
+    print(f"FAILED queries in sweep: {failed}")
+    sys.exit(1)
 ratios = {q: round(qb[q] / qa[q], 2) for q in qa if qa[q] > 0}
 out = {
     "note": f"{tiles}x scale sweep via dev/sweep.sh: ScaleUp-tiled corpus, "

@@ -101,7 +101,12 @@ object Bench {
           // cycle): when the two runs disagree by >30%, take a third —
           // min-of-three rejects a one-off GC pause / noisy neighbor
           // that min-of-two can't if the quiet run was the one hit.
-          if (two.max / two.min > 1.30 && two.min > 0.2) two :+ timedOnce() else two
+          // The extra run is best-effort: if it throws (most likely on
+          // exactly the contended box that triggered it), keep the two
+          // GOOD measurements instead of reporting a phantom failure.
+          if (two.max / two.min > 1.30 && two.min > 0.2)
+            try two :+ timedOnce() catch { case _: Throwable => two }
+          else two
         }
         catch {
           case e: Throwable =>

@@ -404,10 +404,10 @@ object Journey {
     // time_to_convert (how long it took). Scale shape: the as-of
     // family's no-join rule — both credits are IGNORE NULLS window
     // picks over ONE (user_id) shuffle and ONE (ts, event_id) sort;
-    // the strictly-before frame (UNBOUNDED..1 PRECEDING) makes a
-    // same-timestamp touch ineligible identically in both engines,
-    // and the (ts, event_id) order is a total order so ties can't
-    // flip the credit. Touchless purchases keep -1 (never NULL: a
+    // the ROWS frame (UNBOUNDED..1 PRECEDING) excludes only the
+    // current row — a same-timestamp touch with a lower event_id IS a
+    // preceding row and IS credited, identically in both engines
+    // because the (ts, event_id) order is a total order. Touchless purchases keep -1 (never NULL: a
     // nullable BIGINT would come back float64 from pandas on one side
     // and poison the driver's string hash). Output ∝ purchases.
     QueryDef(

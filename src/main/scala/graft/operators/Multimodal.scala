@@ -440,7 +440,9 @@ object Multimodal {
   }
 
   /** Audio near-duplicate pairs over the envelope fingerprints: 4
-    * 8-bit blocks cover hamming ≤ 3 over the 31 used bits. */
+    * 16-bit blocks cover hamming ≤ 3 over the 63 used bits — the same
+    * band geometry as the image side (see patternSamples for why the
+    * old 8-bit/256-bucket form was superlinear). */
   def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     hammingBandPairs(audioFingerprint(media),
       nBlocks = 4, blockBits = 16, maxHamming = maxHamming)
@@ -457,7 +459,7 @@ object Multimodal {
     * integer-luma mean threshold sits strictly between all-white and
     * all-black, so [[imageAHash]] recovers EXACTLY P — but only by
     * actually round-tripping ImageIO encode→decode→resample→threshold.
-    * Each odd doc gets a WAV of 32 constant-amplitude segments doing a
+    * Each odd doc gets a WAV of 64 constant-amplitude segments doing a
     * ±7 walk driven by a 60-bit pattern Q, so [[audioFingerprint]]'s
     * segment-sum comparisons recover EXACTLY Q through the RIFF codec.
     * Docs with doc_id % 10 ∈ {0,1} also get a TWIN (id + TwinOffset)

@@ -162,9 +162,15 @@ object Similarity {
     * otherwise still pile one bucket to occupancy² pairs. ids only
     * through the join; vectors join back per-side afterwards. */
   private[graft] def embedCandidates(emb: DataFrame, numPlanes: Int): DataFrame = {
+    // localCheckpoint (the pareto_class rule): the sign-bucket relation
+    // is NumTables x numPlanes hyperplane dots per vector and feeds the
+    // hot-key aggregate plus both self-join sides — the cached
+    // buckets() the pre-r8 path consumed covered this; the dynamic-
+    // plane form must too
     val keys = emb.select(col("vec_id"),
       posexplode(array((0 until NumTables).map(t =>
         signBucket(col("v"), t, numPlanes, Dims)): _*)).as(Seq("t", "bucket")))
+      .localCheckpoint(true)
     // hot-key set is corpus-shaped (≤ N/cap keys): no broadcast hint,
     // AQE broadcasts while small (the minhash rationale, Dedup.scala)
     val hot = keys.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("n"))
@@ -1080,7 +1086,7 @@ object Similarity {
     QueryDef(
       "dedup_embed",
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         |np AS (SELECT MIN(p.p) AS np FROM generate_series($NumPlanes, 19) p(p), nn
+         |np AS (SELECT COALESCE(MIN(p.p), 19) AS np FROM generate_series($NumPlanes, 19) p(p), nn
          |       WHERE (CAST($TargetBucketOcc AS BIGINT) << p.p) >= nn.n),
          |pl AS (SELECT t.t, p.p,
          |             list_transform(generate_series(0, ${Dims - 1}),

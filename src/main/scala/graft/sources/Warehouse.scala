@@ -138,13 +138,15 @@ object Warehouse {
     *     and rewritten into a sibling temp dir;
     *  3. the swap renames the rewrites IN first (their part-file
     *     names are UUID-unique, so they cannot collide), THEN deletes
-    *     the affected originals. A crash inside the swap window
-    *     therefore leaves DUPLICATE rows for the rewritten bands —
-    *     recoverable by re-running the surrounding compaction — never
-    *     silent row LOSS, which the delete-first order would cause
-    *     and nothing could detect. Untouched files are never read,
-    *     never rewritten, and keep their identity (SinksSpec asserts
-    *     names + mtimes survive).
+    *     the affected originals — under the two-phase [[SwapJournal]]:
+    *     a crash mid-rename is rolled BACK (targets deleted, originals
+    *     intact) and a crash mid-delete is rolled FORWARD (remaining
+    *     originals deleted) by the next maintenance call, so the
+    *     duplicate window is transient and never silent row LOSS,
+    *     which the delete-first order would cause and nothing could
+    *     detect. Untouched files are never read, never rewritten, and
+    *     keep their identity (SinksSpec asserts names + mtimes
+    *     survive).
     *
     * A band may cover a deleted key without containing it (bands are
     * conservative), and a file with no non-null keys has no band —
@@ -156,6 +158,7 @@ object Warehouse {
     import org.apache.spark.sql.functions._
     require(deleteKeys.nonEmpty, "empty delete set")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path) // heal any interrupted prior swap first
     val sortedKeys = deleteKeys.sorted.toArray
     val (filesTotal, affected) = discoverAffected(spark, path, key, sortedKeys)
     if (affected.isEmpty) return EraseReport(filesTotal.toInt, 0, 0L)
@@ -218,7 +221,7 @@ object Warehouse {
     // part files into each group dir, so the flat target name carries
     // the fidx to stay collision-free (and keeps the part- prefix the
     // compaction globs rely on)
-    val failedRenames = fs.listStatus(new Path(tmp)).toSeq
+    val renames = fs.listStatus(new Path(tmp)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__fidx="))
       .flatMap { d =>
         val fidx = d.getPath.getName.stripPrefix("__fidx=")
@@ -227,13 +230,23 @@ object Warehouse {
           .map(s => (s.getPath,
             new Path(path, s"part-e$fidx-${s.getPath.getName.stripPrefix("part-")}")))
       }
-      .filterNot { case (from, to) => fs.rename(from, to) }
-    if (failedRenames.nonEmpty)
+    // journal phase 1 BEFORE any rename: a crash mid-rename rolls back
+    writeJournal(fs, path, "renaming", renames.map(_._2.getName))
+    val failedRenames = renames.filterNot { case (from, to) => fs.rename(from, to) }
+    if (failedRenames.nonEmpty) {
+      // roll back in-process too: delete the targets that DID land
+      // (originals are all intact), leaving the table byte-identical
+      // to the pre-call state — a plain re-run is then safe
+      recoverSwap(fs, path)
+      fs.delete(new Path(tmp), true)
       throw new java.io.IOException(
         s"eraseKeys: ${failedRenames.size} rename(s) into $path returned false; " +
-        "originals NOT deleted (rows for renamed files are duplicated, never lost " +
-        "- re-run the surrounding compaction): " +
+        "swap rolled back, table unchanged — safe to re-run: " +
         failedRenames.map(_._1.getName).mkString(", "))
+    }
+    // journal phase 2: targets are in; from here recovery ROLLS FORWARD
+    writeJournal(fs, path, "deleting",
+      files.map(f => new Path(new java.net.URI(f)).getName))
     val failedDeletes = files.filterNot { f =>
       val p = new Path(new java.net.URI(f))
       fs.delete(p, false) || !fs.exists(p)
@@ -241,10 +254,68 @@ object Warehouse {
     if (failedDeletes.nonEmpty)
       throw new java.io.IOException(
         s"eraseKeys: ${failedDeletes.size} original-file delete(s) returned false; " +
-        "rewritten rows are duplicated until these are removed: " +
-        failedDeletes.mkString(", "))
+        "the swap journal remains — the next eraseKeys/compactSmallFiles call " +
+        "(or recoverSwap) rolls the deletes forward: " + failedDeletes.mkString(", "))
+    fs.delete(new Path(path, SwapJournal), false)
     fs.delete(new Path(tmp), true)
     EraseReport(filesTotal.toInt, files.length, before - after)
+  }
+
+  // ---- the two-phase swap journal shared by eraseKeys and ----
+  // ---- compactSmallFiles ----
+  //
+  // A file swap (rename rewrites in, delete originals) has a crash
+  // window in which BOTH copies exist. Checked booleans catch the
+  // in-process failure, but a hard crash (process death) used to leave
+  // duplicates with no principled recovery — re-running compaction
+  // would have PACKED the duplicates permanently, and eraseKeys'
+  // old message even recommended exactly that. The journal makes every
+  // swap resumable: before any rename the op writes
+  // `_swap_journal` = "renaming" + the TARGET names it is about to
+  // create; after all renames succeed it atomically becomes
+  // "deleting" + the ORIGINAL names; after the deletes it is removed.
+  // Recovery (run automatically at the start of every swap op) is one
+  // rule: delete every listed name that still exists —
+  //   · phase "renaming": originals are all intact, so deleting the
+  //     listed targets ROLLS BACK to the exact pre-swap state;
+  //   · phase "deleting": targets are all in place, so deleting the
+  //     listed originals ROLLS FORWARD to the exact post-swap state.
+  // Either way the table is consistent and the op can be re-run.
+  private val SwapJournal = "_swap_journal"
+
+  private def writeJournal(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      phase: String, names: Seq[String]): Unit = {
+    val out = fs.create(new Path(dir, SwapJournal), true)
+    try out.write((phase +: names).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Apply any pending swap journal under `dir` (no-op without one).
+    * Public so an operator can heal a table before scanning it. */
+  def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, dir)
+  }
+
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val j = new Path(dir, SwapJournal)
+    if (!fs.exists(j)) return
+    val in = fs.open(j)
+    val content = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => bos.write(buf, 0, n))
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = content.split("\n").toSeq
+    val (phase, names) = (lines.head, lines.tail.filter(_.nonEmpty))
+    val leftover = names.map(n => new Path(dir, n)).filter(fs.exists)
+    val failed = leftover.filterNot(p => fs.delete(p, false) || !fs.exists(p))
+    if (failed.nonEmpty)
+      throw new java.io.IOException(
+        s"swap recovery (phase $phase) could not delete: ${failed.mkString(", ")}")
+    fs.delete(j, false)
   }
 
   final case class CompactReport(
@@ -279,6 +350,7 @@ object Warehouse {
   def compactSmallFiles(spark: SparkSession, path: String,
       smallBytes: Long, targetBytes: Long = 128L << 20): CompactReport = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path) // heal any interrupted prior swap first
     val files = fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val small = files.filter(_.getLen < smallBytes)
@@ -293,19 +365,33 @@ object Warehouse {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => (s.getPath,
         new Path(path, "part-c" + s.getPath.getName.stripPrefix("part-"))))
+    // journal phase 1 BEFORE any rename (see the SwapJournal notes): a
+    // crash mid-rename rolls the landed targets back on the next call
+    writeJournal(fs, path, "renaming", renames.map(_._2.getName))
     val failedRenames = renames.filterNot { case (from, to) => fs.rename(from, to) }
-    if (failedRenames.nonEmpty)
+    if (failedRenames.nonEmpty) {
+      // in-process rollback: originals are all intact, so deleting the
+      // targets that DID land restores the exact pre-call state — a
+      // plain re-run is then safe (the old message said "re-run" while
+      // LEAVING the landed copies, and a re-run would have packed the
+      // duplicates permanently)
+      recoverSwap(fs, path)
+      fs.delete(new Path(tmp), true)
       throw new java.io.IOException(
         s"compactSmallFiles: ${failedRenames.size} rename(s) into $path returned " +
-          "false; originals NOT deleted (renamed rows are duplicated, never lost " +
-          "— re-run): " + failedRenames.map(_._1.getName).mkString(", "))
+          "false; swap rolled back, table unchanged — safe to re-run: " +
+          failedRenames.map(_._1.getName).mkString(", "))
+    }
+    // journal phase 2: targets are in; recovery now rolls FORWARD
+    writeJournal(fs, path, "deleting", small.map(_.getPath.getName))
     val failedDeletes = small.map(_.getPath).filterNot(p =>
       fs.delete(p, false) || !fs.exists(p))
     if (failedDeletes.nonEmpty)
       throw new java.io.IOException(
         s"compactSmallFiles: ${failedDeletes.size} original-file delete(s) returned " +
-          "false; compacted rows are duplicated until these are removed: " +
-          failedDeletes.mkString(", "))
+          "false; the swap journal remains — the next call (or recoverSwap) rolls " +
+          "the deletes forward: " + failedDeletes.mkString(", "))
+    fs.delete(new Path(path, SwapJournal), false)
     fs.delete(new Path(tmp), true)
     CompactReport(files.size, small.size, renames.size, totalBytes)
   }

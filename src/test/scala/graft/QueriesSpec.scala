@@ -1906,8 +1906,15 @@ class QueriesSpec extends SparkSuite {
     val ev = graft.sources.Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .collect()
-      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts").getTime,
-        r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      // microsecond precision (getTime is ms-truncated): the query
+      // orders by the full timestamp, so an ms-collapsed replay could
+      // mis-order same-ms events and flip a credit
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        val micros = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+        (r.getAs[Long]("event_id"), micros,
+          r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      }
     val byUser = ev.groupBy(_._3)
     val expected = ev.filter(_._4 == "purchase").map { case (pid, pts, uid, _) =>
       val touches = byUser(uid)

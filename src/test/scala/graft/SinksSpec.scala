@@ -319,6 +319,74 @@ class SinksSpec extends SparkSuite {
     assert(r2.filesCompacted === 0 && r2.filesWritten === 0)
   }
 
+  test("R12: an interrupted swap is healed by the journal — both phases") {
+    import spark.implicits._
+    def freshTable(): String = {
+      val dir = tmp() + "/t"
+      (0 until 3).foreach { b =>
+        graft.sources.Sinks.appendParquet(
+          (0L until 50L).map(i => (b * 1000L + i, s"row$b-$i")).toDF("id", "payload")
+            .coalesce(1), dir)
+      }
+      dir
+    }
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names(dir: String) = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).sorted
+
+    // phase "renaming": a crashed swap left a landed target next to
+    // ALL originals (duplicate rows) — recovery must delete the target
+    val d1 = freshTable()
+    val expect1 = spark.read.parquet(d1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val orig = names(d1)
+    val dup = "part-c-crashed.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(d1, orig.head),
+      fs, new org.apache.hadoop.fs.Path(d1, dup), false,
+      spark.sparkContext.hadoopConfiguration)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d1, "_swap_journal"), s"renaming\n$dup")
+    assert(spark.read.parquet(d1).count() > expect1.size) // duplicates visible
+    graft.sources.Warehouse.recoverSwap(spark, d1)
+    spark.catalog.refreshByPath(d1)
+    assert(names(d1) === orig, "rollback must restore the exact original file set")
+    assert(spark.read.parquet(d1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === expect1)
+
+    // phase "deleting": renames all landed, originals partially deleted
+    // — recovery must finish deleting the listed originals
+    val d2 = freshTable()
+    val before2 = spark.read.parquet(d2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val all2 = names(d2)
+    // simulate: the first original was already rewritten into a target
+    val target = "part-c-landed.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(d2, all2.head),
+      fs, new org.apache.hadoop.fs.Path(d2, target), false,
+      spark.sparkContext.hadoopConfiguration)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d2, "_swap_journal"), s"deleting\n${all2.head}")
+    graft.sources.Warehouse.recoverSwap(spark, d2)
+    spark.catalog.refreshByPath(d2)
+    assert(!names(d2).contains(all2.head), "roll-forward must delete the listed original")
+    assert(spark.read.parquet(d2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === before2)
+
+    // a healthy table passes through recovery untouched
+    graft.sources.Warehouse.recoverSwap(spark, d2)
+    // and compaction runs recovery implicitly: the journal being gone,
+    // a normal compact over the healed table keeps content equality
+    val r = graft.sources.Warehouse.compactSmallFiles(spark, d2, Long.MaxValue / 2)
+    spark.catalog.refreshByPath(d2)
+    assert(r.filesCompacted === names(d2).size || r.filesCompacted > 0)
+    assert(spark.read.parquet(d2).collect()
+      .map(r2 => (r2.getLong(0), r2.getString(1))).toSet === before2)
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
