@@ -239,14 +239,66 @@ object Similarity {
     * Θ(N²) family as dedup_embed's fixed buckets. K ∝ N is the
     * SemDeDup paper's own regime (K≈110k on 5B LAION embeddings); the
     * price is the N×K assignment scan, which is embarrassingly
-    * parallel brute force here and becomes a two-level (coarse √K →
-    * fine) assignment on a real cluster once K·dims outgrows a
-    * broadcast — the cell structure and the pair stage are unchanged
-    * by that refinement. Pure integer/pow-2 arithmetic (÷32 is exact
+    * parallel brute force here; [[assignTwoLevel]] is the implemented
+    * two-level (coarse √K → fine) refinement for when K·dims outgrows
+    * a flat scan — same output schema, ~3√K dots per vector, measured
+    * in ScaleSpec — and the cell structure and the pair stage are
+    * unchanged by that swap. Pure integer/pow-2 arithmetic (÷32 is exact
     * in doubles) so the oracle's ceil() picks the identical K. */
   private[graft] val TargetCellSize = 32
   private[graft] def dynCentroids(n: Long): Int =
     math.max(NumCentroids.toLong, (n + TargetCellSize - 1) / TargetCellSize).toInt
+
+  /** TWO-LEVEL nearest-centroid assignment — the production form of
+    * [[assign]] once K = dynCentroids(N) outgrows a flat N×K scan
+    * (SemDeDup's K ∝ N makes flat assignment Θ(N²/cellSize); this is
+    * the refinement the dedup_semantic Scaladoc promises). Standard
+    * hierarchical routing (the IMI / two-level k-means tree): the K
+    * fine centroids are grouped under √K-ish COARSE centroids (an
+    * md5-order sample of the fine table — same determinism as every
+    * seed here); a vector scores the coarse table, descends into its
+    * top-`probes` coarse groups, and takes the best fine centroid
+    * found there. Cost: K×G once for the fine→coarse grouping, then
+    * N×(G + probes·K/G) instead of N×K — at G=√K and probes=2 that is
+    * ~3√K dots per vector. APPROXIMATE: the true nearest fine centroid
+    * can live under an unprobed coarse group (probes buys agreement;
+    * ScaleSpec measures it against flat assignment). The fine table
+    * broadcasts here; past broadcast size the gid-keyed join becomes a
+    * shuffle join with the same shape. */
+  private[graft] def assignTwoLevel(
+      emb: DataFrame, cent: DataFrame, coarseK: Int, probes: Int = 2): DataFrame = {
+    val coarse = seedCentroids(
+      cent.select(col("cid").as("vec_id"), col("cv").as("v")), coarseK)
+      .select(col("cid").as("gid"), col("cv").as("gv"))
+    // fine → coarse grouping: K×G dots, once
+    val grouped = cent.crossJoin(broadcast(coarse))
+      .select(col("cid"), col("cv"),
+        struct(Portable.quant6(cosine(col("cv"), col("gv"))).as("score"),
+          (-col("gid")).as("ng"), col("gid")).as("s"))
+      .groupBy(col("cid"))
+      .agg(max_by(col("s.gid"), struct(col("s.score"), col("s.ng"))).as("gid"),
+        first(col("cv")).as("cv"))
+    // vector → top-`probes` coarse groups: N×G dots folded to one
+    // G-bounded list per vector MAP-SIDE (the assign rule: a window
+    // here would shuffle N×G rows to rank them; the collect_list
+    // partial is bounded by G, so the shuffle carries N rows)
+    val routed = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("v"), col("gid"),
+        Portable.quant6(cosine(col("v"), col("gv"))).as("gscore"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        slice(array_sort(collect_list(
+          struct((-col("gscore")).as("ns"), col("gid")))), 1, probes).as("gs"))
+      .select(col("vec_id"), col("v"),
+        explode(expr("transform(gs, x -> x.gid)")).as("gid"))
+    // best fine centroid within the probed groups: N×probes·(K/G) dots
+    routed.join(broadcast(grouped), "gid")
+      .select(col("vec_id"),
+        struct(Portable.quant6(cosine(col("v"), col("cv"))).as("score"),
+          (-col("cid")).as("nc"), col("cid")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("s.cid"), struct(col("s.score"), col("s.nc"))).as("cid"))
+  }
 
   /** Nearest-centroid assignment as an AGGREGATE, not a window: the
     * N×K scored rows are collapsed to one partial per vector map-side

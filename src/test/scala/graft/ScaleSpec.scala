@@ -396,6 +396,47 @@ class ScaleSpec extends SparkSuite {
       f"in-cell pair growth $sr%.1fx at 10x data — cell size is no longer bounded")
   }
 
+  test("two-level assignment routes to the flat-assignment cell for most vectors") {
+    // the production refinement for K = dynCentroids(N): flat
+    // assignment is N×K dots; the two-level tree is ~N·(G + 2K/G)
+    // (16x fewer at N=20k, K=625, G=25). MEASURED agreement with flat
+    // assignment on the worst-case random corpus — on clustered real
+    // embeddings routing is far cleaner; the floor pins the
+    // random-vector baseline so a routing regression can't hide.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    graft.functions.VectorOps.ensureRegistered(spark)
+    def synth(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> cast(pmod(hash(id * 64 + i), 1000) as double) / 1000.0 - 0.5)")
+        .as("v"))
+    val n = 20000L
+    val emb = synth(n).cache()
+    val k = Similarity.dynCentroids(n) // 625 cells (the sf1 geometry)
+    val cent = Similarity.seedCentroids(emb, k)
+    val g = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val flat = Similarity.assign(emb, cent)
+      .withColumnRenamed("cid", "cid_flat")
+    val two = Similarity.assignTwoLevel(emb, cent, g)
+      .withColumnRenamed("cid", "cid_two")
+    val joined = flat.join(two, "vec_id").cache()
+    assert(joined.count() === n, "two-level must assign every vector exactly once")
+    val agree = joined.filter(col("cid_flat") === col("cid_two")).count().toDouble / n
+    val dotsFlat = n * k
+    val dotsTwo = k.toLong * g + n * (g + 2L * ((k + g - 1) / g))
+    info(f"two-level agreement $agree%.3f at N=$n K=$k G=$g; dots $dotsTwo vs flat $dotsFlat (${dotsFlat.toDouble / dotsTwo}%.1fx fewer)")
+    assert(dotsTwo * 5 < dotsFlat, "the two-level tree must cut assignment work >5x here")
+    assert(agree >= 0.2,
+      f"agreement $agree%.3f collapsed — coarse routing is broken, not merely approximate")
+    // probing more coarse groups must not reduce agreement
+    val twoP4 = Similarity.assignTwoLevel(emb, cent, g, probes = 4)
+      .withColumnRenamed("cid", "cid_p4")
+    val agree4 = flat.join(twoP4, "vec_id")
+      .filter(col("cid_flat") === col("cid_p4")).count().toDouble / n
+    info(f"agreement at probes=4: $agree4%.3f")
+    assert(agree4 >= agree - 0.02, "more probes must not lose agreement")
+    emb.unpersist(); joined.unpersist()
+  }
+
   test("salted aggregation matches the plain aggregation exactly") {
     val ev = Tables.events(spark, sf0001)
     val salted = Skew.saltedSum(ev, col("user_id"), col("event_id"),
