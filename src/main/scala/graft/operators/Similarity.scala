@@ -249,6 +249,32 @@ object Similarity {
   private[graft] def dynCentroids(n: Long): Int =
     math.max(NumCentroids.toLong, (n + TargetCellSize - 1) / TargetCellSize).toInt
 
+  /** Coarse group count for [[assignTwoLevel]]: the smallest POWER OF
+    * TWO g with g² ≥ k (floored at 4 so `probes` coarse groups always
+    * exist), i.e. g ≈ √k — the balance point where routing cost
+    * N·(g + probes·k/g) is minimized. Pure integer shift-and-compare,
+    * exactly like [[dynPlanes]], so the DuckDB oracle's mirrored
+    * power-of-two series scan picks the identical g — a float
+    * ceil(sqrt()) could disagree at perfect squares. At the sf0.01
+    * oracle gate k=16 → g=4. */
+  private[graft] def dynCoarse(k: Int): Int = {
+    var g = 1
+    while (g.toLong * g < k) g <<= 1
+    math.max(4, g)
+  }
+
+  /** Fine-centroid count above which [[assignTwoLevel]] stops hinting
+    * broadcast for the gid-keyed fine-table join and lets the planner
+    * shuffle it (the ADVICE r8 item: an explicit hint has no AQE size
+    * fallback, so a corpus-growing centroid table would HARD-FAIL at
+    * the broadcast limit instead of degrading — K = N/32 crosses any
+    * driver memory bound long before the algorithm does). 2^16
+    * centroids × (64-dim double vector + ids) ≈ 36 MB — comfortably
+    * under spark.driver.maxResultSize yet far past autoBroadcastJoin
+    * defaults, so small corpora keep the broadcast plan and large ones
+    * degrade to a keyed shuffle join, never an error. */
+  private[graft] val MaxBroadcastCentroids = 1 << 16
+
   /** TWO-LEVEL nearest-centroid assignment — the production form of
     * [[assign]] once K = dynCentroids(N) outgrows a flat N×K scan
     * (SemDeDup's K ∝ N makes flat assignment Θ(N²/cellSize); this is
@@ -262,11 +288,15 @@ object Similarity {
     * N×(G + probes·K/G) instead of N×K — at G=√K and probes=2 that is
     * ~3√K dots per vector. APPROXIMATE: the true nearest fine centroid
     * can live under an unprobed coarse group (probes buys agreement;
-    * ScaleSpec measures it against flat assignment). The fine table
-    * broadcasts here; past broadcast size the gid-keyed join becomes a
-    * shuffle join with the same shape. */
-  private[graft] def assignTwoLevel(
-      emb: DataFrame, cent: DataFrame, coarseK: Int, probes: Int = 2): DataFrame = {
+    * ScaleSpec measures it against flat assignment, and the
+    * `semantic_assign_audit` query monitors it per run). The fine
+    * table join is KEYED on gid, so it broadcasts only while fineK ≤
+    * [[MaxBroadcastCentroids]] and becomes a plain shuffle join past
+    * that — the degrade-don't-die fallback the flat crossJoin form
+    * cannot have. Returns (vec_id, cid, v): the vector rides the
+    * final aggregate so a consumer never re-joins the corpus for it. */
+  private[graft] def assignTwoLevel(emb: DataFrame, cent: DataFrame,
+      fineK: Int, coarseK: Int, probes: Int = 2): DataFrame = {
     val coarse = seedCentroids(
       cent.select(col("cid").as("vec_id"), col("cv").as("v")), coarseK)
       .select(col("cid").as("gid"), col("cv").as("gv"))
@@ -291,13 +321,17 @@ object Similarity {
           struct((-col("gscore")).as("ns"), col("gid")))), 1, probes).as("gs"))
       .select(col("vec_id"), col("v"),
         explode(expr("transform(gs, x -> x.gid)")).as("gid"))
-    // best fine centroid within the probed groups: N×probes·(K/G) dots
-    routed.join(broadcast(grouped), "gid")
-      .select(col("vec_id"),
+    // best fine centroid within the probed groups: N×probes·(K/G) dots.
+    // gid-keyed equi-join — broadcast while the fine table is small,
+    // a plain shuffle join (G keys, K/G rows each) once it is not
+    val fine = if (fineK <= MaxBroadcastCentroids) broadcast(grouped) else grouped
+    routed.join(fine, "gid")
+      .select(col("vec_id"), col("v"),
         struct(Portable.quant6(cosine(col("v"), col("cv"))).as("score"),
           (-col("cid")).as("nc"), col("cid")).as("s"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("s.cid"), struct(col("s.score"), col("s.nc"))).as("cid"))
+      .agg(max_by(col("s.cid"), struct(col("s.score"), col("s.nc"))).as("cid"),
+        first(col("v")).as("v"))
   }
 
   /** Nearest-centroid assignment as an AGGREGATE, not a window: the
@@ -821,24 +855,34 @@ object Similarity {
     * paper keeps the vector farthest from the centroid — swap the
     * comparator if that semantics is wanted, the shape is identical).
     *
-    * Scale shape: assignment is the same O(N·K) map-side `max_by`
-    * aggregate every IVF path uses (v rides the aggregate — one scan,
-    * one shuffle); in-cell pair generation joins IDS only on the
-    * salted (cid, __cs) key — vectors join back per-side afterwards
-    * (the dedup_embed rule: never shuffle the vectors twice); the
-    * drop flag is a map-side `min` partial aggregate, work ∝ τ-pairs.
-    * Per-cell pair count is (|cell|²)/2 — bounded because the
-    * dedup_semantic query passes K = [[dynCentroids]](N) (cells pinned
-    * at ~TargetCellSize), ENFORCED since r8 by a ScaleSpec growth bound
-    * after the fixed-K form measured 18.6× runtime at 10× data. */
-  def semanticDedup(emb: DataFrame, cent: DataFrame, tau: Double = SemTau): DataFrame = {
+    * Scale shape: with `twoLevel = Some((fineK, coarseG))` —
+    * the PRODUCTION form, and what the oracle-checked query passes —
+    * assignment routes through [[assignTwoLevel]] (~coarseG +
+    * 2·fineK/coarseG ≈ 3√K dots per vector instead of the flat N×K
+    * crossJoin, which is Θ(N²/cellSize) once K = [[dynCentroids]](N)
+    * grows with the corpus; r8 measured the flat form at 7.7× runtime
+    * for 10× data). The flat path (twoLevel = None) remains for
+    * FIXED small K only — it broadcasts the whole centroid table.
+    * In-cell pair generation joins IDS only on the salted (cid, __cs)
+    * key — vectors join back per-side afterwards (the dedup_embed
+    * rule: never shuffle the vectors twice); the drop flag is a
+    * map-side `min` partial aggregate, work ∝ τ-pairs. Per-cell pair
+    * count is (|cell|²)/2 — bounded because the dedup_semantic query
+    * passes K = [[dynCentroids]](N) (cells pinned at ~TargetCellSize),
+    * ENFORCED since r8 by a ScaleSpec growth bound after the fixed-K
+    * form measured 18.6× runtime at 10× data. */
+  def semanticDedup(emb: DataFrame, cent: DataFrame, tau: Double = SemTau,
+      twoLevel: Option[(Int, Int)] = None): DataFrame = {
     // (vec_id, cid, v): nearest-centroid assignment with the vector
     // riding the aggregate; cached — consumed by the id-pair join
     // (ids only) and both vector join-backs
-    val asnV = scoredByCent(emb, cent, col("v"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), bestCent).as("cid"), first(col("v")).as("v"))
-      .cache()
+    val asnV = (twoLevel match {
+      case Some((fineK, coarseG)) => assignTwoLevel(emb, cent, fineK, coarseG)
+        .select(col("vec_id"), col("cid"), col("v"))
+      case None => scoredByCent(emb, cent, col("v"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), bestCent).as("cid"), first(col("v")).as("v"))
+    }).cache()
     val ids = asnV.select(col("vec_id"), col("cid"))
     // salted in-cell self-join on ids: the keeper side replicates
     // CellSalt ways, the candidate side keys on pmod(id) — K·CellSalt
@@ -1178,26 +1222,49 @@ object Similarity {
     },
 
     // L25 — SemDeDup: cluster-scoped semantic dedup (see semanticDedup).
-    // Same scoring/assignment CTE shapes as the IVF family, but with
+    // Same scoring CTE shapes as the IVF family, but with
     // K = dynCentroids(N) instead of the fixed NumCentroids: the ANN
     // paths are query-batch-bounded so fixed K only costs recall, while
     // the dedup SELF-join is occupancy²-per-cell — fixed K measured
     // 18.6× runtime at 10× data in the r8 sweep (the dedup_embed
-    // disease). The kk CTE replays dynCentroids' exact arithmetic.
+    // disease). Since r9 the assignment is the TWO-LEVEL routing
+    // (assignTwoLevel — coarse √K groups, 2 probes, ~3√K dots/vector)
+    // because K ∝ N makes the flat N×K crossJoin Θ(N²/32) and its
+    // broadcast centroid table corpus-shaped (the r8 verdict's top
+    // item). The routing is md5-seeded and quant6-scored, so the
+    // oracle replays it exactly: kk = dynCentroids, gg = dynCoarse
+    // (power-of-two series scan), g = coarse sample, grp = fine→coarse
+    // grouping, routed = each vector's top-2 coarse groups, asn = best
+    // fine centroid among the probed groups.
     QueryDef(
       "dedup_semantic", {
-        val qc = quantCos.format("e.v", "c.cv")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
            |       FROM embeddings),
+           |gg AS (SELECT GREATEST(4, MIN(CAST(1 AS BIGINT) << p.p)) AS g
+           |       FROM generate_series(0, 15) p(p)
+           |       WHERE ((CAST(1 AS BIGINT) << p.p) * (CAST(1 AS BIGINT) << p.p)) >= (SELECT k FROM kk)),
            |c AS (SELECT vec_id AS cid, v AS cv FROM (
            |   SELECT e.vec_id, e.v,
            |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
            |   FROM e) t WHERE rn <= (SELECT k FROM kk)),
+           |g AS (SELECT cid AS gid, cv AS gv FROM (
+           |   SELECT c.cid, c.cv,
+           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS rn
+           |   FROM c) t WHERE rn <= (SELECT g FROM gg)),
+           |grp AS (SELECT cid, gid FROM (
+           |   SELECT c.cid, g.gid,
+           |          ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${quantCos.format("c.cv", "g.gv")} DESC, g.gid) AS rn
+           |   FROM c, g) t WHERE rn = 1),
+           |routed AS (SELECT vec_id, gid FROM (
+           |   SELECT e.vec_id, g.gid,
+           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${quantCos.format("e.v", "g.gv")} DESC, g.gid) AS rn
+           |   FROM e, g) t WHERE rn <= 2),
            |asn AS (SELECT vec_id, cid FROM (
-           |   SELECT e.vec_id, c.cid,
-           |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-           |   FROM e, c) t WHERE rn = 1),
+           |   SELECT r.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY ${quantCos.format("ev.v", "c.cv")} DESC, c.cid) AS rn
+           |   FROM routed r JOIN grp ON grp.gid = r.gid JOIN c ON c.cid = grp.cid
+           |        JOIN e ev ON ev.vec_id = r.vec_id) t WHERE rn = 1),
            |pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb,
            |                 ${quantCos.format("ea.v", "eb.v")} AS cos
            |          FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1209,7 +1276,75 @@ object Similarity {
            |FROM asn LEFT JOIN dup d USING (vec_id)""".stripMargin
       }) { (spark, dir) =>
       val emb = embV(spark, dir)
-      semanticDedup(emb, seedCentroids(emb, dynCentroids(emb.count())))
+      val k = dynCentroids(emb.count())
+      semanticDedup(emb, seedCentroids(emb, k), twoLevel = Some((k, dynCoarse(k))))
+    },
+
+    // L48 — two-level-assignment agreement audit (the L46/ann_audit
+    // pattern applied to SemDeDup's routing): assignTwoLevel is
+    // APPROXIMATE — a vector's true nearest fine centroid can live
+    // under an unprobed coarse group — so the approximation must be
+    // MONITORED per run, not spec-measured once. On a deterministic
+    // 20% sample (vec_id % 5 = 0; assignment is per-vector independent,
+    // so sampling the audited vectors changes nothing about either
+    // path) both assignments run against the SAME full-corpus centroid
+    // table and the query reports n_vecs / n_agree / agreement. Audit
+    // cost is |sample|·K for the flat exact baseline — the audit, like
+    // ann_audit's brute-force side, is priced by its sample knob, and
+    // its flat side keeps the broadcast centroid table (shrink the
+    // sample AND the broadcast together at real N; the production
+    // assignment itself never pays either).
+    QueryDef(
+      "semantic_assign_audit", {
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
+           |       FROM embeddings),
+           |gg AS (SELECT GREATEST(4, MIN(CAST(1 AS BIGINT) << p.p)) AS g
+           |       FROM generate_series(0, 15) p(p)
+           |       WHERE ((CAST(1 AS BIGINT) << p.p) * (CAST(1 AS BIGINT) << p.p)) >= (SELECT k FROM kk)),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM (
+           |   SELECT e.vec_id, e.v,
+           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |   FROM e) t WHERE rn <= (SELECT k FROM kk)),
+           |g AS (SELECT cid AS gid, cv AS gv FROM (
+           |   SELECT c.cid, c.cv,
+           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS rn
+           |   FROM c) t WHERE rn <= (SELECT g FROM gg)),
+           |s AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
+           |flat AS (SELECT vec_id, cid AS cid_flat FROM (
+           |   SELECT s.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "c.cv")} DESC, c.cid) AS rn
+           |   FROM s, c) t WHERE rn = 1),
+           |grp AS (SELECT cid, gid FROM (
+           |   SELECT c.cid, g.gid,
+           |          ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${quantCos.format("c.cv", "g.gv")} DESC, g.gid) AS rn
+           |   FROM c, g) t WHERE rn = 1),
+           |routed AS (SELECT vec_id, gid FROM (
+           |   SELECT s.vec_id, g.gid,
+           |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "g.gv")} DESC, g.gid) AS rn
+           |   FROM s, g) t WHERE rn <= 2),
+           |two AS (SELECT vec_id, cid AS cid_two FROM (
+           |   SELECT r.vec_id, c.cid,
+           |          ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY ${quantCos.format("sv.v", "c.cv")} DESC, c.cid) AS rn
+           |   FROM routed r JOIN grp ON grp.gid = r.gid JOIN c ON c.cid = grp.cid
+           |        JOIN s sv ON sv.vec_id = r.vec_id) t WHERE rn = 1)
+           |SELECT COUNT(*) AS n_vecs,
+           |       COUNT(*) FILTER (WHERE f.cid_flat = t.cid_two) AS n_agree,
+           |       floor((COUNT(*) FILTER (WHERE f.cid_flat = t.cid_two)) * 1000000.0 / COUNT(*)) / 1000000.0 AS agreement
+           |FROM flat f JOIN two t USING (vec_id)""".stripMargin
+      }) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      val k = dynCentroids(emb.count())
+      val cent = seedCentroids(emb, k)
+      val sample = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val flat = assign(sample, cent).withColumnRenamed("cid", "cid_flat")
+      val two = assignTwoLevel(sample, cent, k, dynCoarse(k))
+        .select(col("vec_id"), col("cid").as("cid_two"))
+      flat.join(two, "vec_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("cid_flat") === col("cid_two"), 1)).as("n_agree"))
+        .select(col("n_vecs"), col("n_agree"),
+          (floor(col("n_agree") * lit(1000000.0) / col("n_vecs")) / 1000000.0).as("agreement"))
     },
 
     // L6 — exact brute-force cosine top-k for the query batch.

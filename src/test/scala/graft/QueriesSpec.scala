@@ -498,6 +498,32 @@ class QueriesSpec extends SparkSuite {
     assert(truthDropped.exceptAll(gotDropped).count() === 0)
   }
 
+  test("dedup_semantic under two-level assignment keeps the drop rule exact") {
+    // the production path (r9): assignment is the APPROXIMATE
+    // assignTwoLevel routing, but given whatever cells it produced the
+    // drop rule must still be EXACT — every dropped vector has a
+    // lower-id cell-mate above τ and no kept vector does. Truth is
+    // recomputed from the query's own cid column, so this pins the
+    // pair/drop stages independently of routing quality.
+    import graft.functions.VectorOps.cosine
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = graft.operators.Similarity.semanticDedup(
+      emb, graft.operators.Similarity.seedCentroids(emb, 64),
+      twoLevel = Some((64, 8))).cache()
+    assert(df.count() === emb.count())
+    val v = df.select(col("vec_id"), col("cid"))
+      .join(emb.select(col("vec_id"), col("v")), "vec_id")
+    val qcos = floor(cosine(col("a.v"), col("b.v")) * 1000000.0) / 1000000.0
+    val truthDropped = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(qcos >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val gotDropped = df.filter(!col("kept")).select("vec_id")
+    assert(gotDropped.exceptAll(truthDropped).count() === 0)
+    assert(truthDropped.exceptAll(gotDropped).count() === 0)
+  }
+
   test("scd2_history intervals tile each key's history with one current row") {
     val df = SparkEntry.queries("scd2_history")(spark, sf0001).cache()
     val nOrders = graft.sources.Tables.orders(spark, sf0001).count()

@@ -394,6 +394,24 @@ class ScaleSpec extends SparkSuite {
     info(f"dedup_semantic in-cell pairs: 2k -> $s1, 20k -> $s10 (ratio $sr%.1f at 10x data)")
     assert(sr <= 13.0,
       f"in-cell pair growth $sr%.1fx at 10x data — cell size is no longer bounded")
+
+    // ...and the ASSIGNMENT cost must stay sub-flat too (r9: the
+    // checked path routes through assignTwoLevel): per-vector dots are
+    // G + probes·ceil(K/G) with G = dynCoarse(K) ≈ √K, so at 10× data
+    // they grow ~√10 ≈ 3.2×, never the flat path's 10× (K ∝ N).
+    // Closed-form arithmetic — this is the cost model the Scaladoc
+    // promises, pinned so a future K/G change can't silently
+    // reintroduce the flat growth curve.
+    import graft.operators.Similarity.dynCoarse
+    def dotsPerVec(n: Long): Long = {
+      val k = dynCentroids(n); val g = dynCoarse(k)
+      g + 2L * ((k + g - 1) / g)
+    }
+    val d1 = dotsPerVec(2000)
+    val d10 = dotsPerVec(20000)
+    info(f"two-level dots/vector: 2k -> $d1, 20k -> $d10 (${d10.toDouble / d1}%.1fx; flat would be 10x)")
+    assert(d10.toDouble / d1 <= 5.0,
+      "two-level per-vector assignment cost is growing like the flat path again")
   }
 
   test("two-level assignment routes to the flat-assignment cell for most vectors") {
@@ -416,7 +434,7 @@ class ScaleSpec extends SparkSuite {
     val g = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
     val flat = Similarity.assign(emb, cent)
       .withColumnRenamed("cid", "cid_flat")
-    val two = Similarity.assignTwoLevel(emb, cent, g)
+    val two = Similarity.assignTwoLevel(emb, cent, k, g)
       .withColumnRenamed("cid", "cid_two")
     val joined = flat.join(two, "vec_id").cache()
     assert(joined.count() === n, "two-level must assign every vector exactly once")
@@ -428,7 +446,7 @@ class ScaleSpec extends SparkSuite {
     assert(agree >= 0.2,
       f"agreement $agree%.3f collapsed — coarse routing is broken, not merely approximate")
     // probing more coarse groups must not reduce agreement
-    val twoP4 = Similarity.assignTwoLevel(emb, cent, g, probes = 4)
+    val twoP4 = Similarity.assignTwoLevel(emb, cent, k, g, probes = 4)
       .withColumnRenamed("cid", "cid_p4")
     val agree4 = flat.join(twoP4, "vec_id")
       .filter(col("cid_flat") === col("cid_p4")).count().toDouble / n
