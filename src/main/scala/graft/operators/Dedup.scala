@@ -50,7 +50,7 @@ object Dedup {
   // anyway. Mirrored in the oracle; never fires on the synthetic
   // corpus (max shingle doc-frequency there is 4), so it's purely the
   // 100 TB guard.
-  private[operators] val MaxBucketDocs = 200
+  private[graft] val MaxBucketDocs = 200
   // Min-label propagation rounds for dedup_clusters. Each round
   // combines a neighbor-min step with a pointer-jump (label := my
   // label's own label), so the covered graph distance DOUBLES per

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.3 L12): image/audio/video
@@ -348,42 +348,96 @@ object Multimodal {
     }.toDF("doc_id", "ahash")
   }
 
+  /** Bit layout of the 5-block pigeonhole banding: block b of a
+    * 64-bit hash covers bits [13b, 13b+13) for b < 4 and bits
+    * [52, 64) for b = 4 (12 bits). */
+  private[graft] val NumHashBlocks = 5
+  private def blockVal(b: Int): Column = {
+    val mask = if (b == NumHashBlocks - 1) 0xfffL else 0x1fffL
+    expr(s"shiftrightunsigned(h, ${13 * b}) & $mask")
+  }
+
   /** The pigeonhole near-dup join shared by image aHash and audio
-    * envelope fingerprints — dedup_simhash's argument on media bits:
-    * hamming distance ≤ nBlocks−1 means at most nBlocks−1 blocks
-    * differ, so every qualifying pair shares ≥ 1 block verbatim.
-    * Candidates come from a plain equi-join on (block index, block
-    * value) — never an all-pairs comparison — and the exact verify is
-    * one codegen'd bit_count(xor) per candidate. Same-block fan-out
-    * is the corpus's own near-dup structure; MultimodalSpec proves
-    * the pair set equals a brute-force driver-side sweep for both
-    * modalities. `hashes` must carry (doc_id, h). */
-  private def hammingBandPairs(hashes: DataFrame, nBlocks: Int, blockBits: Int,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming < nBlocks,
-      s"$nBlocks blocks only cover hamming <= ${nBlocks - 1}")
-    val mask = (1L << blockBits) - 1
-    def bands(side: String) = hashes
-      .select(col("doc_id").as(s"doc_$side"), col("h").as(s"h_$side"),
-        explode(sequence(lit(0), lit(nBlocks - 1))).as("block_idx"))
-      .withColumn("block_val",
-        expr(s"shiftrightunsigned(h_$side, $blockBits * block_idx) & $mask"))
-    bands("a")
-      .join(bands("b"), Seq("block_idx", "block_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("h_a"), col("h_b"))
-      .distinct()
+    * envelope fingerprints — the generalized (multi-index) pigeonhole:
+    * hamming ≤ 3 flips at most 3 of the 5 blocks, so every qualifying
+    * pair shares ≥ 2 blocks VERBATIM, and candidates come from an
+    * equi-join on the C(5,2) = 10 (block-pair, val, val) keys — never
+    * an all-pairs comparison — with one codegen'd bit_count(xor)
+    * verify per candidate. Why block PAIRS (r9, the r8 verdict's
+    * item 2): the old 4×16-bit single-block join had a CONSTANT 2^16
+    * bucket space, so uniform-random in-bucket collisions grew
+    * Θ(N²/2^16) — the disease class dedup_embed's fixed sign-buckets
+    * had before dynPlanes, measured 7.1× at 10× data. A 64-bit hash
+    * cannot widen its blocks past 16 bits under the 1-match rule, but
+    * requiring 2 of 5 matches makes the join key two blocks wide
+    * (≥ 21 effective bits even when the top nibble is structurally
+    * zero, 25-26 on full-width hashes) — the same candidate collapse,
+    * bought with bandwidth (10 band rows/doc vs 4) instead of hash
+    * width. Recall is EXACT by pigeonhole, not probabilistic. On top,
+    * buckets holding more than [[Dedup.MaxBucketDocs]] signatures are
+    * dropped from BOTH join sides (the minhash band-key cap pattern,
+    * Dedup.scala) — the skew guard for degenerate pile-ups (a million
+    * identical logos): a capped bucket's pairs survive only via their
+    * other shared block-pairs, exactly like a hot minhash band, and
+    * the oracle replays the cap bit-for-bit. The hot-key relation is
+    * corpus-shaped (≤ 10N/cap keys), so no broadcast hint — AQE
+    * broadcasts while it is small. MultimodalSpec proves the pair set
+    * equals a brute-force driver-side sweep for both modalities (no
+    * bucket is hot at fixture scale) and pins the cap on a degenerate
+    * pile-up; ScaleSpec bounds candidate growth at 10× data.
+    * `hashes` must carry (doc_id, h). */
+  private[graft] def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= NumHashBlocks - 2,
+      s"$NumHashBlocks blocks with 2-block keys only cover hamming <= ${NumHashBlocks - 2}")
+    hammingCandidates(hashes)
       .withColumn("hamming",
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Image near-duplicate pairs over the aHash signatures: 4 16-bit
-    * blocks cover hamming ≤ 3 over the 64-bit hash. */
+  /** The candidate stage of [[hammingBandPairs]] — the capped
+    * block-pair self-join before the hamming verify, exposed so
+    * ScaleSpec can bound CANDIDATE growth (the quantity that goes
+    * quadratic when the bucket space is too small), not just verified
+    * pairs. */
+  private[graft] def hammingCandidates(hashes: DataFrame): DataFrame = {
+    val combos = for {
+      b1 <- 0 until NumHashBlocks; b2 <- b1 + 1 until NumHashBlocks
+    } yield (b1, b2)
+    // localCheckpoint (the embedCandidates rule): the band relation
+    // sits on top of the CODEC mapPartitions seam and feeds the
+    // hot-key aggregate plus both self-join sides — without the cut,
+    // every consumer would re-decode the payloads
+    val bands = hashes
+      .select(col("doc_id"), col("h"),
+        explode(array(combos.map { case (b1, b2) =>
+          struct(lit(b1 * 8 + b2).as("ck"),
+            blockVal(b1).as("v1"), blockVal(b2).as("v2"))
+        }: _*)).as("c"))
+      .select(col("doc_id"), col("h"),
+        col("c.ck").as("ck"), col("c.v1").as("v1"), col("c.v2").as("v2"))
+      .localCheckpoint(true)
+    val key = Seq("ck", "v1", "v2")
+    val hot = bands.groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > Dedup.MaxBucketDocs)
+      .select(key.map(col): _*)
+    val capped = bands.join(hot, key, "left_anti")
+    def side(s: String) = capped.select(col("ck"), col("v1"), col("v2"),
+      col("doc_id").as(s"doc_$s"), col("h").as(s"h_$s"))
+    side("a")
+      .join(side("b"), key)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("h_a"), col("h_b"))
+      .distinct()
+  }
+
+  /** Image near-duplicate pairs over the aHash signatures: the
+    * 5-block/2-match pigeonhole covers hamming ≤ 3 over the 64-bit
+    * hash. */
   def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
-    hammingBandPairs(imageAHash(media).withColumnRenamed("ahash", "h"),
-      nBlocks = 4, blockBits = 16, maxHamming = maxHamming)
+    hammingBandPairs(imageAHash(media).withColumnRenamed("ahash", "h"), maxHamming)
 
   /** Temporal-envelope fingerprint of WAV payloads, amplitude-scale
     * INVARIANT by construction: the decoded PCM16 stream splits into
@@ -439,13 +493,13 @@ object Multimodal {
     }.toDF("doc_id", "h")
   }
 
-  /** Audio near-duplicate pairs over the envelope fingerprints: 4
-    * 16-bit blocks cover hamming ≤ 3 over the 63 used bits — the same
-    * band geometry as the image side (see patternSamples for why the
-    * old 8-bit/256-bucket form was superlinear). */
+  /** Audio near-duplicate pairs over the envelope fingerprints: the
+    * same 5-block/2-match geometry as the image side covers hamming
+    * ≤ 3 over the 63 used bits (see patternSamples for why the old
+    * 8-bit/256-bucket form was superlinear — and hammingBandPairs for
+    * why the 16-bit single-block form still was). */
   def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
-    hammingBandPairs(audioFingerprint(media),
-      nBlocks = 4, blockBits = 16, maxHamming = maxHamming)
+    hammingBandPairs(audioFingerprint(media), maxHamming)
 
   /** Offset separating planted twin doc_ids from their bases in the
     * [[plantedMedia]] fixture. */
@@ -544,14 +598,20 @@ object Multimodal {
 
   /** L12b as a driver-checked query: near-dup pairs across BOTH media
     * modalities on the planted fixture, via the production pigeonhole
-    * band join + bit_count verify. The fixture is fully planted, so
-    * the DuckDB oracle reproduces the hashes arithmetically and
-    * brute-force sweeps — any codec, hash, banding, or verify drift
-    * shows up as a driver hash mismatch. */
+    * band join + hot-bucket cap + bit_count verify. The fixture is
+    * fully planted, so the DuckDB oracle reproduces the hashes
+    * arithmetically and replays the SAME banding (the C(5,2)
+    * block-pair keys), the SAME cap (buckets > MaxBucketDocs dropped
+    * — the dedup_embed oracle-parity trick) and the SAME verify — any
+    * codec, hash, banding, cap, or verify drift shows up as a driver
+    * hash mismatch. At fixture scale no bucket is hot, so the result
+    * equals the old brute-force sweep (MultimodalSpec still proves
+    * that equality); the capped form is what survives a growing
+    * corpus. */
   def defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "media_neardup",
-      """WITH img AS (
+      s"""WITH img AS (
         |  SELECT doc_id,
         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
         |  FROM documents WHERE doc_id % 2 = 0),
@@ -574,16 +634,39 @@ object Multimodal {
         |         xor(h, (CAST(1 AS BIGINT) << CAST(doc_id * 7 % 60 AS INT))
         |              | (CAST(1 AS BIGINT) << CAST(doc_id * 13 % 60 AS INT))
         |              | (CAST(1 AS BIGINT) << CAST(doc_id * 29 % 60 AS INT)))
-        |  FROM aud WHERE doc_id % 10 = 1)
-        |SELECT 'image' AS modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-        |FROM imga a JOIN imga b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |  FROM aud WHERE doc_id % 10 = 1),
+        |combos AS (SELECT b1.b AS b1, b2.b AS b2
+        |           FROM generate_series(0, 4) b1(b), generate_series(0, 4) b2(b)
+        |           WHERE b1.b < b2.b),
+        |ib AS (SELECT doc_id, h, c.b1 * 8 + c.b2 AS ck,
+        |              (h >> CAST(13 * c.b1 AS INT)) & (CASE WHEN c.b1 = 4 THEN 4095 ELSE 8191 END) AS v1,
+        |              (h >> CAST(13 * c.b2 AS INT)) & (CASE WHEN c.b2 = 4 THEN 4095 ELSE 8191 END) AS v2
+        |       FROM imga, combos c),
+        |ihot AS (SELECT ck, v1, v2 FROM ib
+        |         GROUP BY ck, v1, v2 HAVING COUNT(*) > ${Dedup.MaxBucketDocs}),
+        |ibc AS (SELECT ib.* FROM ib WHERE NOT EXISTS
+        |        (SELECT 1 FROM ihot WHERE ihot.ck = ib.ck AND ihot.v1 = ib.v1 AND ihot.v2 = ib.v2)),
+        |icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+        |          FROM ibc a JOIN ibc b
+        |            ON a.ck = b.ck AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id),
+        |ab AS (SELECT doc_id, h, c.b1 * 8 + c.b2 AS ck,
+        |              (h >> CAST(13 * c.b1 AS INT)) & (CASE WHEN c.b1 = 4 THEN 4095 ELSE 8191 END) AS v1,
+        |              (h >> CAST(13 * c.b2 AS INT)) & (CASE WHEN c.b2 = 4 THEN 4095 ELSE 8191 END) AS v2
+        |       FROM auda, combos c),
+        |ahot AS (SELECT ck, v1, v2 FROM ab
+        |         GROUP BY ck, v1, v2 HAVING COUNT(*) > ${Dedup.MaxBucketDocs}),
+        |abc AS (SELECT ab.* FROM ab WHERE NOT EXISTS
+        |        (SELECT 1 FROM ahot WHERE ahot.ck = ab.ck AND ahot.v1 = ab.v1 AND ahot.v2 = ab.v2)),
+        |acand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+        |          FROM abc a JOIN abc b
+        |            ON a.ck = b.ck AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+        |SELECT 'image' AS modality, doc_a, doc_b,
+        |       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM icand WHERE bit_count(xor(ha, hb)) <= 3
         |UNION ALL
-        |SELECT 'audio' AS modality, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-        |FROM auda a JOIN auda b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin) { (spark, dir) =>
+        |SELECT 'audio' AS modality, doc_a, doc_b,
+        |       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM acand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) { (spark, dir) =>
       val media = plantedMedia(spark, dir).cache()
       imageNearDupPairs(media).withColumn("modality", lit("image"))
         .unionByName(audioNearDupPairs(media).withColumn("modality", lit("audio")))

@@ -297,6 +297,30 @@ class MultimodalSpec extends SparkSuite {
     assert(hs.forall(_._1 != 999L), "non-audio rows must not reach the hash stage")
   }
 
+  test("hammingBandPairs caps degenerate hot buckets and keeps other pairs") {
+    import spark.implicits._
+    // the skew guard (r9): a pile of IDENTICAL signatures (a million
+    // copies of one logo) lands every copy in the same 10 block-pair
+    // buckets — without the cap that is C(pile, 2) candidate pairs
+    // from one key. With the pile over MaxBucketDocs every one of its
+    // buckets is dropped on both sides, so the pile contributes ZERO
+    // pairs, while an unrelated near-dup pair in cold buckets is
+    // still found — and a pile UNDER the cap keeps all its pairs.
+    val pileHash = 0x0123456789abcdL
+    val pairA = 0x00fedcba987654L // distinct from the pile in every block
+    val pairB = pairA ^ (1L << 3) ^ (1L << 20) // hamming 2 from pairA
+    def hashes(pile: Int) =
+      ((0 until pile).map(i => (1000L + i, pileHash)) ++
+        Seq((1L, pairA), (2L, pairB))).toDF("doc_id", "h")
+    val hot = graft.operators.Multimodal
+      .hammingBandPairs(hashes(graft.operators.Dedup.MaxBucketDocs + 50), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hot === Set((1L, 2L)),
+      s"capped pile must contribute no pairs, cold pair must survive; got $hot")
+    val cold = graft.operators.Multimodal.hammingBandPairs(hashes(10), 3).count()
+    assert(cold === 45 + 1, "an under-cap pile keeps all C(10,2) exact-dup pairs")
+  }
+
   test("plantedMedia patterns survive the codec roundtrip bit-for-bit") {
     import spark.implicits._
     // The media_neardup oracle's whole premise: the 60-bit image

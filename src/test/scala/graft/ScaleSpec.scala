@@ -414,6 +414,33 @@ class ScaleSpec extends SparkSuite {
       "two-level per-vector assignment cost is growing like the flat path again")
   }
 
+  test("media band-join candidate growth stays near-linear at 10x data") {
+    // the r8 verdict's item 2: the old 4×16-bit single-block join had
+    // a constant 2^16 bucket space, so uniform-random collisions grew
+    // Θ(N²/2^16) (≈44x at this 10x synthetic). The 5-block/2-match
+    // pigeonhole keys are ≥21 effective bits on these 60-bit hashes,
+    // so candidates are dominated by the PLANTED near-dup mass (∝ N)
+    // — bound mirrors dedup_embed's candidate-growth pin.
+    import org.apache.spark.sql.functions._
+    def synth(n: Long) = {
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          expr("""h ^ (shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 7 % 60 AS INT))
+                     | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 13 % 60 AS INT))
+                     | shiftleft(CAST(1 AS BIGINT), CAST(doc_id * 29 % 60 AS INT)))""").as("h"))
+      base.unionByName(twins)
+    }
+    val c1 = graft.operators.Multimodal.hammingCandidates(synth(2000)).count()
+    val c10 = graft.operators.Multimodal.hammingCandidates(synth(20000)).count()
+    val ratio = c10.toDouble / c1
+    info(f"media band candidates: 2k -> $c1, 20k -> $c10 (ratio $ratio%.1f at 10x data)")
+    assert(c1 > 0, "band join found none of the planted twins at 2k")
+    assert(ratio <= 13.0,
+      f"candidate growth $ratio%.1fx at 10x data — the block-pair bucket space has gone quadratic again")
+  }
+
   test("two-level assignment routes to the flat-assignment cell for most vectors") {
     // the production refinement for K = dynCentroids(N): flat
     // assignment is N×K dots; the two-level tree is ~N·(G + 2K/G)
