@@ -1,17 +1,23 @@
 #!/bin/bash
-# The 10x scale sweep as one command (r7 verdict task 4, kept
-# reproducible): materialize sf1 from sf0.1 via graft.ScaleUp, run the
-# full graft.Bench at both scales back-to-back on an (ideally idle)
-# box, and emit BENCH_SF1.json + a ratio table to stdout.
-# Usage: dev/sweep.sh [srcSf=/root/testdata/sf0.1] [outDir=/tmp/sf1] [tiles=10]
+# The scale sweep as one command (r7 verdict task 4, generalized in r9
+# past 10x): materialize tiles x sf0.1 via graft.ScaleUp (composed
+# word-parity rotations keep tiles shingle-disjoint up to 676), run the
+# graft.Bench suite at both scales back-to-back on an (ideally idle)
+# box, and emit <outJson> + a ratio table to stdout.
+# Usage: dev/sweep.sh [srcSf=/root/testdata/sf0.1] [outDir=/tmp/sf1] \
+#                     [tiles=10] [outJson=BENCH_SF1.json]
+# Env: SPARK_GRAFT_ONLY=q1,q2 restricts both bench runs to a family
+# (used for the 100x dedup/ANN sweep, where the full suite would take
+# an hour at the scaled size).
 set -eo pipefail
 cd /root/repo
 SRC=${1:-/root/testdata/sf0.1}
 OUT=${2:-/tmp/sf1}
 TILES=${3:-10}
+OUTJSON=${4:-BENCH_SF1.json}
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-J="java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
+J="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 
 sbt -batch compile | tail -1
 rm -rf "$OUT"
@@ -24,9 +30,10 @@ echo "== bench $OUT =="
 SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/dev/null | tail -1
 cp bench_full.json /tmp/sweep_scaled.json
 
-python3 - "$TILES" <<'EOF'
+python3 - "$TILES" "$OUTJSON" <<'EOF'
 import json, sys, statistics
-tiles = sys.argv[1]
+tiles = int(sys.argv[1])
+outjson = sys.argv[2]
 a = json.load(open('/tmp/sweep_base.json'))
 b = json.load(open('/tmp/sweep_scaled.json'))
 qa, qb = a['queries'], b['queries']
@@ -40,22 +47,25 @@ if failed:
 ratios = {q: round(qb[q] / qa[q], 2) for q in qa if qa[q] > 0}
 out = {
     "note": f"{tiles}x scale sweep via dev/sweep.sh: ScaleUp-tiled corpus, "
-            "full graft.Bench both scales back-to-back, min-of-runs per query",
-    "sf0.1": {"total_sec": a["value"], "queries": qa},
-    "sf1": {"total_sec": b["value"], "queries": qb},
-    "ratio_sf1_over_sf0.1": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
-    "runs_sf1": b["runs"], "shuffle_mb_sf1": b["shuffle_mb"],
+            "graft.Bench both scales back-to-back, min-of-runs per query",
+    "tiles": tiles,
+    "base": {"sf": a["sf"], "total_sec": a["value"], "cal_ms": a.get("cal"), "queries": qa},
+    "scaled": {"sf": b["sf"], "total_sec": b["value"], "cal_ms": b.get("cal"), "queries": qb},
+    "ratio_scaled_over_base": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
+    "runs_scaled": b["runs"], "shuffle_mb_scaled": b["shuffle_mb"],
 }
-json.dump(out, open('BENCH_SF1.json', 'w'), indent=1)
+json.dump(out, open(outjson, 'w'), indent=1)
 top = sorted(ratios.items(), key=lambda kv: -kv[1])[:12]
 print(f"{'query':28s} {'base':>7s} {'scaled':>8s} {'ratio':>6s}")
 for q, r in top:
     print(f"{q:28s} {qa[q]:7.2f} {qb[q]:8.2f} {r:6.1f}")
 print(f"median ratio {statistics.median(ratios.values()):.2f}, "
-      f"total {a['value']:.1f}s -> {b['value']:.1f}s; BENCH_SF1.json written")
-bad = [q for q, r in ratios.items() if r > 13]
+      f"total {a['value']:.1f}s -> {b['value']:.1f}s; {outjson} written")
+# superlinear gate scales with the tile count: linear growth is
+# `tiles`x, the old 10x gate allowed 1.3x headroom — keep that margin
+bad = [q for q, r in ratios.items() if r > tiles * 1.3]
 if bad:
-    print(f"SUPERLINEAR (>13x): {bad}")
+    print(f"SUPERLINEAR (>{tiles * 1.3:.0f}x): {bad}")
     sys.exit(1)
 EOF
 echo "== sweep complete =="

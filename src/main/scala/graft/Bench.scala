@@ -34,9 +34,35 @@ object Bench {
     }
   }
 
+  /** Pre-bench contention probe (r8 verdict task 4 — three rounds of
+    * driver benches in a row were contended, each costing a diagnosis
+    * cycle): a FIXED single-thread integer busy-loop, timed twice, min
+    * taken. On an idle box this measures a stable machine constant
+    * (~0.2-0.4 s here); on a contended box the OS deschedules the
+    * loop and the number inflates proportionally — so the artifact
+    * carries a contention measurement taken BEFORE any query ran,
+    * independent of Spark, JIT, or plan changes. Readers compare
+    * `cal` across artifacts from the same box: cal(noisy)/cal(idle)
+    * ≈ the inflation factor to expect on every wall-clock number. */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 400000000) { // fixed iteration count, never data-dependent
+        x = x * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      // fold x into the result so the loop cannot be dead-code-eliminated
+      (System.nanoTime() - t0) / 1e6 + (x & 1)
+    }
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val calMs = calibrate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,7 +89,7 @@ object Bench {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -119,6 +145,36 @@ object Bench {
       val spillMb = (metrics.spill.get() - sp0) / nRuns.toDouble / 1048576.0
       (name, runs, shuffleMb, spillMb)
     }
+    // When the run-to-run spread says the box was contended (>3 —
+    // the r6/r7/r8 false-regression class), give the 3 slowest-looking
+    // queries ONE more timed attempt at the end of the suite: by then
+    // the contending load has often moved on, and min-of-runs lets a
+    // single quiet measurement correct a query that only LOOKED slow.
+    // The extra run also widens that query's reported spread, which is
+    // exactly right — the artifact should say "these runs disagreed".
+    def spreadOf(rs: Seq[(String, Seq[Double], Double, Double)]): Double =
+      rs.collect { case (_, r, _, _) if r.min >= 0.5 => r.max / r.min }
+        .foldLeft(1.0)(math.max)
+    val results =
+      if (spreadOf(firstPass) <= 3.0) firstPass
+      else {
+        val slow = firstPass.filter(_._2.min >= 0).sortBy(-_._2.min).take(3).map(_._1).toSet
+        System.err.println(s"[bench] spread ${spreadOf(firstPass)} > 3 — re-timing ${slow.mkString(", ")}")
+        firstPass.map { case t @ (name, rs, sh, sp) =>
+          if (!slow.contains(name)) t
+          else {
+            val extra =
+              try {
+                spark.sharedState.cacheManager.clearCache()
+                val t0 = System.nanoTime()
+                SparkEntry.queries(name)(spark, sfDir)
+                  .write.format("noop").mode("overwrite").save()
+                Seq((System.nanoTime() - t0) / 1e9)
+              } catch { case _: Throwable => Seq.empty[Double] }
+            (name, rs ++ extra, sh, sp)
+          }
+        }
+      }
     // Locale.ROOT: String.format follows the JVM default locale, and a
     // comma decimal separator would corrupt the JSON artifact
     def num(v: Double, fmt: String): String =
@@ -152,9 +208,9 @@ object Bench {
       case (_, rs, _, _) if rs.min >= 0.5 => rs.max / rs.min
     }.foldLeft(1.0)(math.max)
     val compact =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"sf":"$sfDir","slowest":$slowTen}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"cal":${num(calMs, "%.0f")},"sf":"$sfDir","slowest":$slowTen}"""
     val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}"""
+      s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},"sf":"$sfDir"}"""
     for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {
       try {
         val p = java.nio.file.Paths.get(dir, "bench_full.json")

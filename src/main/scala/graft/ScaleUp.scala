@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off scale-sweep materializer: tiles an sf0.1 directory ×K into
@@ -62,13 +62,24 @@ object ScaleUp {
     val DK = 10000000L  // doc_id
     val VK = 10000000L  // vec_id
 
-    // Past 26 tiles the caesar rotation wraps (tile 26 repeats tile 0's
-    // text verbatim) and the corpus silently regains the quadratic
-    // K-copy near-dup pathology this materializer exists to avoid —
-    // fail loudly instead. (26 < embedding dim 64, so the cyclic-shift
-    // wrap can't fire either.)
-    require(tiles >= 1 && tiles <= 26,
-      s"tiles=$tiles: caesar rotation wraps past 26 and reintroduces K-copy near-dups")
+    // Tile-distinctness bound (r8 verdict task 5 — the old cap was 26):
+    // document text is perturbed by TWO composed rotations (odd-parity
+    // words by tile%26, even-parity words by (tile%26 + tile/26)%26),
+    // so two tiles share a (sOdd, sEven) pair — and with it any
+    // multi-word shingle — only when both components match, i.e. only
+    // past 26² = 676 tiles. Every shingle the dedup family hashes is
+    // ≥ 2 words (ShingleLen 5, substring windows 8, line-level dedup
+    // joins whole multi-word lines), so a shingle always spans both
+    // parities and the duplicate MASS stays ×K linear up to 676 tiles.
+    // Embeddings compose the ≤64-tile cyclic shift with a
+    // deterministic per-(tile/64) sign-flip pattern (norm-preserving,
+    // ~half the components — cross-tile cosines concentrate near 0, so
+    // no near-dup mass reappears at tile 64 either). Past 676 the text
+    // rotation pair wraps and the K-copy pathology returns — fail
+    // loudly there.
+    require(tiles >= 1 && tiles <= 676,
+      s"tiles=$tiles: the composed word-parity rotations wrap past 26^2=676 " +
+        "and reintroduce K-copy near-dups")
 
     def tiled(table: String)(project: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
@@ -108,29 +119,56 @@ object ScaleUp {
       .withColumn("event_id", col("event_id") + i * EK)
       .withColumn("user_id", col("user_id") + i * UK))
 
-    // Per-tile caesar rotation of letters only: shift amount = tile idx.
-    // translate() is codegen'd; one pass per row.
+    // Per-tile COMPOSED caesar rotation of letters only: odd-parity
+    // words shift by sOdd = tile%26, even-parity words by
+    // sEven = (tile%26 + tile/26)%26. For tiles < 26 the two shifts
+    // are EQUAL (tile/26 = 0), so the output is byte-identical to the
+    // old single-rotation scheme (sweep artifacts stay comparable);
+    // past 26 the pair decorrelates tiles up to 676. The word split/
+    // rejoin on a single space is lossless for ANY text (split keeps
+    // empty segments, join restores them), and translate touches
+    // letters only — lengths, whitespace, and token structure are
+    // preserved, so quality/token metrics price identically. The two
+    // 26-branch CASE chains are keyed on the shift VALUE, not the tile
+    // id, so the expression stays constant-size at any tile count.
     def rot(s: String, k: Int): String = s.drop(k) + s.take(k)
-    val rotExprs = (0 until tiles).map { k =>
-      (k.toLong, Lower + Upper, rot(Lower, k % 26) + rot(Upper, k % 26))
-    }
-    tiled("documents") { (df, i) =>
-      val rotated = rotExprs.tail.foldLeft(col("text")) { case (acc, (k, from, to)) =>
-        when(i === k, translate(col("text"), from, to)).otherwise(acc)
+    def caesar(word: Column, shift: Column): Column =
+      (0 until 26).foldLeft(word) { case (acc, k) =>
+        when(shift === k,
+          translate(word, Lower + Upper, rot(Lower, k) + rot(Upper, k))).otherwise(acc)
       }
+    tiled("documents") { (df, i) =>
+      val sOdd = pmod(i, lit(26L)).cast("int")
+      val sEven = pmod(pmod(i, lit(26L)) + i / 26L, lit(26L)).cast("int")
+      val rotated = array_join(
+        transform(split(col("text"), " "), (w, idx) =>
+          when(pmod(idx, lit(2)) === 0, caesar(w, sEven)).otherwise(caesar(w, sOdd))),
+        " ")
       df.withColumn("doc_id", col("doc_id") + i * DK)
-        .withColumn("text", rotated)
+        .withColumn("text", when(sOdd === 0 && sEven === 0, col("text")).otherwise(rotated))
     }
 
-    // Cyclic left-shift of the embedding by the tile index (i < dim in
-    // practice — dim is 64 in the driver testdata; guard with pmod).
+    // Embeddings compose two norm-preserving transforms: the cyclic
+    // left-shift by tile%dim (dim 64 in the driver testdata), and —
+    // for tile/64 ≥ 1 — a deterministic per-(tile/64) SIGN FLIP of
+    // ~half the components (flip component c iff hash("sgn_<j>_<c>")
+    // is even). Each alone wraps (shift at 64 tiles, signs repeat per
+    // j); composed, tiles share a transform only when both parts
+    // match, and a sign-flipped copy of a shifted vector has cosine
+    // concentrated near 0 against every other tile — decorrelated,
+    // not a planted near-dup. Identity at tile 0, and tiles < 64 are
+    // byte-identical to the old scheme.
     tiled("embeddings") { (df, i) =>
       val n = size(col("embedding"))
       val k = pmod(i.cast("int"), n)
       val shifted = when(k === 0, col("embedding")).otherwise(
         concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k)))
+      val j = (i / 64L).cast("int")
+      val signed = when(j === 0, shifted).otherwise(
+        zip_with(shifted, sequence(lit(0), n - 1), (x, c) =>
+          when(pmod(hash(concat_ws("_", lit("sgn"), j, c)), lit(2)) === 0, x).otherwise(-x)))
       df.withColumn("vec_id", col("vec_id") + i * VK)
-        .withColumn("embedding", shifted)
+        .withColumn("embedding", signed)
     }
   }
 }

@@ -5,6 +5,7 @@ import graft.functions.Portable._
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Analytics core (SURVEY.md §2.2 A1–A13): the batch query engine the
   * reference's flattened table feeds (transform-service/main.py writes
@@ -502,7 +503,7 @@ object Analytics {
       val rev = Tables.lineitem(spark, dir)
         .groupBy(col("l_partkey").as("partkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
-        .localCheckpoint(true)
+        .stage()
       val tot = rev.agg(sum(col("rev")).as("tot"))
       val d = rev.select(lit("all").as("g"), (-col("rev")).as("negrev"),
         col("partkey"), col("rev"))

@@ -6,6 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Behavioral / product-analytics operators over `events`
   * (SURVEY.md §2.2 A30–A32): cohort retention, ordered funnels, and
@@ -242,7 +243,7 @@ object Behavior {
       val ob = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().stage()
       val nt = ob.agg(countDistinct(col("o")).as("nt"))
       // pass 1: frequent pairs at the same relative support (downward
       // closure: any frequent triple's faces are frequent pairs)
@@ -297,7 +298,7 @@ object Behavior {
       val ob = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().stage()
       val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
       ob.as("a").join(ob.as("bb"),
           col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
@@ -342,7 +343,7 @@ object Behavior {
       val ob = Tables.lineitem(spark, dir)
         .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().stage()
       val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
       val n = ob.agg(countDistinct(col("o")).as("n_total"))
       ob.as("a").join(ob.as("bb"),

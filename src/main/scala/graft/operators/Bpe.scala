@@ -6,6 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Distributed BPE tokenizer training (SURVEY.md §2.3 L40) — the
   * byte-pair-encoding merge loop of Sennrich et al. ("Neural Machine
@@ -138,11 +139,11 @@ object Bpe {
         .groupBy(col("word")).agg(countAll.as("freq"))
         .withColumn("s",
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .localCheckpoint()
+        .stage()
       val tops = (1 to MergeRounds).map { r =>
         val (merged, top) = mergeRound(vocab)
         // next round must price its own plan, not re-run this one's
-        vocab = merged.localCheckpoint()
+        vocab = merged.stage()
         top.select(lit(r.toLong).as("merge_rank"), col("l").as("left_sym"),
           col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
           col("w").as("weight"))
@@ -185,9 +186,9 @@ object Bpe {
         .groupBy(col("word")).agg(countAll.as("freq"))
         .withColumn("s",
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        .localCheckpoint()
+        .stage()
       (1 to MergeRounds).foreach { _ =>
-        vocab = mergeRound(vocab)._1.localCheckpoint()
+        vocab = mergeRound(vocab)._1.stage()
       }
       vocab.agg(
         sum(col("freq")).as("n_word_occurrences"),

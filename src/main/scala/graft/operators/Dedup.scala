@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Near-duplicate detection (SURVEY.md §2.3 L2–L4): MinHash+LSH and
   * SimHash, both bucketed — candidate pairs come from a shuffle on a
@@ -154,7 +155,7 @@ object Dedup {
     // uncheckpointed, exchange reuse only covers some branches and the
     // signatures were observed recomputing per consumer. 4 narrow rows
     // per doc, so the materialization is small.
-    val bk = bandKeysFrom(tok).localCheckpoint(true)
+    val bk = bandKeysFrom(tok).stage()
     // no broadcast hint on the hot-key set: its size is corpus-shaped
     // (up to N/MaxBucketDocs keys), so AQE picks broadcast while it is
     // small and falls back to a keyed anti-join when it isn't — an
@@ -171,7 +172,7 @@ object Dedup {
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-      .localCheckpoint(true)
+      .stage()
 
     verifiedPairs(cand, tok)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
@@ -387,7 +388,7 @@ object Dedup {
     // round as soon as the next round has materialized past it. Only
     // the RETURNED labels checkpoint stays.
     def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val out = df.localCheckpoint(true)
+      val out = df.stage()
       val own = out.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
@@ -560,7 +561,7 @@ object Dedup {
         .select(col("doc_a").as("da"), col("doc_b").as("db"))
         .join(sa.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
         .join(sa.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
-        .localCheckpoint(true)
+        .stage()
       // exact ground truth WITHIN the sample: all-pairs shingle-word
       // join — k² bounded by the fixed sample size
       val words = shingleWords(tokenized(docs.join(sa, Seq("doc_id"), "left_semi")))
@@ -575,7 +576,7 @@ object Dedup {
         .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc"))
           >= JaccardThreshold)
         .select(col("da"), col("db"))
-        .localCheckpoint(true) // feeds n_truth_pairs AND the intersect
+        .stage() // feeds n_truth_pairs AND the intersect
       // intersect is POSITIONAL and the second semi-join moved its key
       // column first — re-project both sides to (da, db)
       val tp = truth.select(col("da"), col("db"))

@@ -28,6 +28,40 @@ import org.apache.spark.sql.functions._
   */
 object Distributed {
 
+  /** Lineage cut for iterative chains and multiply-consumed subtrees —
+    * the ONE seam every pipeline stages through (r8 verdict gap 3 /
+    * ADVICE cluster-reality note). Default is `localCheckpoint`:
+    * executor-local block storage, no dfs round-trip — right for a
+    * static-executor cluster and local[n]. But local checkpoint blocks
+    * DIE WITH THEIR EXECUTOR, and under dynamic allocation an idle
+    * executor being reclaimed mid-query kills the job (Spark's own
+    * localCheckpoint scaladoc warning). So when
+    * `spark.dynamicAllocation.enabled` is set — or a deployment opts
+    * in via `graft.checkpoint.reliable=true` (runtime conf) — this
+    * switches to RELIABLE `checkpoint` into the configured checkpoint
+    * dir, and fails loudly if no cluster-visible checkpoint dir was
+    * set rather than silently running the unsafe form. Both forms are
+    * EAGER: callers rely on the cut materializing before fan-out. */
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val reliable = sc.getConf.getBoolean("spark.dynamicAllocation.enabled", false) ||
+      spark.conf.getOption("graft.checkpoint.reliable").contains("true")
+    if (reliable) {
+      require(sc.getCheckpointDir.isDefined,
+        "reliable checkpointing requested (spark.dynamicAllocation.enabled or " +
+          "graft.checkpoint.reliable=true) but no checkpoint dir is set — call " +
+          "sparkContext.setCheckpointDir with a cluster-visible path (HDFS/S3); " +
+          "executor-local checkpoints are not safe under dynamic allocation")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** `.stage()` chaining syntax for [[stage]]. */
+  implicit class StageSyntax(private val df: DataFrame) extends AnyVal {
+    def stage(): DataFrame = Distributed.stage(df)
+  }
+
   /** Adds `g_rank` (global 1-based row number per `grp` in `ord`
     * order), `g_n` (the group's total row count — free, from the same
     * per-shard summary the offsets come from; a separate count would

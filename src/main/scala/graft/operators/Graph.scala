@@ -5,6 +5,7 @@ import graft.functions.Portable._
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Iterative graph analytics (SURVEY.md §2.2 A41): weighted PageRank
   * over the nation-level trade graph.
@@ -52,9 +53,9 @@ object Graph {
     * keyed self-join + distinct, localCheckpoint'd so lineage stays
     * flat and superseded rounds free their storage. */
   def ancestorClosure(edges: DataFrame, rounds: Int): DataFrame = {
-    var closure = edges.localCheckpoint(true)
+    var closure = edges.stage()
     for (_ <- 1 to rounds) {
-      closure = closure.unionByName(jump(closure)).distinct().localCheckpoint(true)
+      closure = closure.unionByName(jump(closure)).distinct().stage()
     }
     closure
   }
@@ -134,7 +135,7 @@ object Graph {
         .withColumn("outw",
           sum(col("w")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
         // the fact join runs ONCE; iterations must not re-plan it
-        .localCheckpoint(true)
+        .stage()
       val nation = Tables.nation(spark, dir)
       val nodes = nation.select(col("n_nationkey").as("nkey"))
       val m0 = nodes.select(col("nkey").as("node"), lit(Base).as("mass"))
@@ -207,7 +208,7 @@ object Graph {
         // ≤ |brands|² rows — the bounded aggregate every later stage
         // joins; materialized once so the three consumers below do not
         // re-run the fact self-join
-        .localCheckpoint(true)
+        .stage()
       val deg = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node")))
         .groupBy(col("node")).agg(countAll.as("degree"))

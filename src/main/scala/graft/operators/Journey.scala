@@ -6,6 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** User-journey and experimentation operators over `events`
   * (SURVEY.md §2.2 A58–A61): entry-path analysis, regex sequence
@@ -370,7 +371,7 @@ object Journey {
       val base = o.groupBy(col("ck"))
         .agg(max(col("od")).as("lastd"), countAll.as("f"),
           sum(dec(col("o_totalprice"))).as("m"))
-        .localCheckpoint()
+        .stage()
       val mx = base.agg(max(col("lastd")).as("mxd"))
       val rfm = base.crossJoin(broadcast(mx))
         .select(col("ck"), (col("mxd") - col("lastd")).as("r"), col("f"), col("m"))

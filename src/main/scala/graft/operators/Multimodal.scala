@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Multimodal column plumbing (SURVEY.md §2.3 L12): image/audio/video
   * as opaque `binary` payloads + typed metadata, processed in batched
@@ -417,7 +418,7 @@ object Multimodal {
         }: _*)).as("c"))
       .select(col("doc_id"), col("h"),
         col("c.ck").as("ck"), col("c.v1").as("v1"), col("c.v2").as("v2"))
-      .localCheckpoint(true)
+      .stage()
     val key = Seq("ck", "v1", "v2")
     val hot = bands.groupBy(key.map(col): _*)
       .agg(count(lit(1)).as("n"))

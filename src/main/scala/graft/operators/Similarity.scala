@@ -7,6 +7,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Embedding-space operators over `embeddings` (SURVEY.md §2.3 L5–L7):
   * cosine near-duplicate pairs and approximate-nearest-neighbor top-k.
@@ -170,7 +171,7 @@ object Similarity {
     val keys = emb.select(col("vec_id"),
       posexplode(array((0 until NumTables).map(t =>
         signBucket(col("v"), t, numPlanes, Dims)): _*)).as(Seq("t", "bucket")))
-      .localCheckpoint(true)
+      .stage()
     // hot-key set is corpus-shaped (≤ N/cap keys): no broadcast hint,
     // AQE broadcasts while small (the minhash rationale, Dedup.scala)
     val hot = keys.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("n"))
@@ -743,7 +744,7 @@ object Similarity {
     // is the N×K scoring pass and feeds the codebook sample, the
     // encode, and the cell-id join-back — uncheckpointed it was
     // evaluated once per branch
-    val asnR = residualAssign(emb, cent).localCheckpoint(true)
+    val asnR = residualAssign(emb, cent).stage()
     val rbook = pqBook(asnR.select(col("vec_id"), col("v")), "r")
     pqSearchCells(pqCellTable(asnR, rbook), cent, rbook, emb, queries, nProbes, excludeSelf)
   }
@@ -799,7 +800,7 @@ object Similarity {
   def buildIvfPqIndex(
       emb: DataFrame, cent: DataFrame, path: String,
       book: Option[DataFrame] = None): Unit = {
-    val asnR = residualAssign(emb, cent).localCheckpoint(true)
+    val asnR = residualAssign(emb, cent).stage()
     // default: derive the codebook from THIS corpus's residuals; pass
     // an explicit frozen book to rebuild compatibly with an existing
     // index (append-vs-rebuild equality only makes sense under the

@@ -5,6 +5,7 @@ import graft.functions.Portable.quant6
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Distributed.StageSyntax
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.3 L1,
   * L8–L11) — the per-document stage of an LLM training-data pipeline.
@@ -167,7 +168,7 @@ object TextOps {
     // plan branches (both prefix sides of the candidate join, both
     // verify join-backs) — uncheckpointed it is evaluated once per
     // branch
-    val sorted = ppjoinSorted(docs).localCheckpoint(true)
+    val sorted = ppjoinSorted(docs).stage()
     ppjoinVerify(sorted, ppjoinCandidates(sorted))
   }
 

@@ -110,8 +110,15 @@ object CourseraJson {
     * DuckDB's key-union inference sees each field), and one entity
     * carries the partnerIds ≠ partners[].id divergence
     * (transform-service/main.py:107-110 joins entity["partnerIds"],
-    * NOT partners[].id — the two can differ in a real response). */
-  val FixturePath = "/tmp/graft_fixtures/coursera_response_20260101_000000.json"
+    * NOT partners[].id — the two can differ in a real response).
+    *
+    * The file is CHECKED INTO the repo (r8 ADVICE): the oracle's
+    * read_json must work on a standalone replay — a fresh box, a
+    * cleaned /tmp, no Spark run first — and a shared /tmp path could
+    * race concurrent sessions. [[writeFixture]] only rewrites it when
+    * the bytes differ from [[fixtureJson]] (the compile-time source of
+    * truth), so the committed file can never drift silently. */
+  val FixturePath = "/root/repo/data/fixtures/coursera_response_20260101_000000.json"
 
   val fixtureJson: String =
     """[
@@ -232,11 +239,18 @@ object CourseraJson {
       |]
       |""".stripMargin
 
-  /** Write the fixture (idempotent overwrite); returns the path. */
+  /** Ensure the on-disk fixture matches [[fixtureJson]] (write only on
+    * difference — the committed file is normally already identical, so
+    * concurrent sessions read, not write); returns the path. */
   def writeFixture(path: String = FixturePath): String = {
     val p = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, fixtureJson.getBytes("UTF-8"))
+    val bytes = fixtureJson.getBytes("UTF-8")
+    val same = java.nio.file.Files.exists(p) &&
+      java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), bytes)
+    if (!same) {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
     path
   }
 }

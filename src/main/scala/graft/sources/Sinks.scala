@@ -58,15 +58,21 @@ object Sinks {
     * the batch exactly, nullability aside. The failure mode this pins:
     * batch 1 infers `course_count` LONG from all-numeric values, a
     * later batch holds "N/A" and infers STRING — that append must die
-    * HERE, loudly, not at some reader three days later. */
+    * HERE, loudly, not at some reader three days later. Fields are
+    * compared as NAME→TYPE maps, not positionally (r8 ADVICE): parquet
+    * append resolves columns by name — a later reader unions the files
+    * by name — and BigQuery's load matches by name too, so a batch
+    * with identical columns in a different order is a legal append,
+    * not drift. Duplicate column names are refused outright: a
+    * name-keyed resolution is undefined under them. */
   def appendParquetChecked(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val g = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(g.map(_._1).distinct.size == g.size,
+      s"append refused: duplicate column names in batch (${df.columns.mkString(", ")})")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path))) {
-      val existing = spark.read.parquet(path).schema
-      val got = df.schema
-      val e = existing.fields.map(f => (f.name, f.dataType)).toSeq
-      val g = got.fields.map(f => (f.name, f.dataType)).toSeq
-      require(e == g,
+      val e = spark.read.parquet(path).schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(e.toMap == g.toMap,
         s"append schema drift (BigQuery-autodetect failure mode): table has " +
           s"${e.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")} but batch has " +
           s"${g.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")}")

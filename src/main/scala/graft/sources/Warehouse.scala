@@ -282,12 +282,31 @@ object Warehouse {
   //     listed originals ROLLS FORWARD to the exact post-swap state.
   // Either way the table is consistent and the op can be re-run.
   private val SwapJournal = "_swap_journal"
+  private val SwapJournalTmp = "_swap_journal.tmp"
+  private val JournalPhases = Set("renaming", "deleting")
 
+  /** Journal writes are crash-atomic (the r8 ADVICE item): a plain
+    * fs.create(overwrite=true) TRUNCATES the live journal in place, so
+    * a crash inside the phase-1→phase-2 overwrite window used to leave
+    * an empty/partial journal — recovery then "healed" nothing and
+    * deleted the journal, permanently stranding the duplicate rows the
+    * journal exists to clean up. Instead: write the full content to a
+    * sibling tmp name, then delete+rename over the journal. The only
+    * new window (after the delete, before the rename) leaves a
+    * COMPLETE tmp and no journal, which [[recoverSwap]] promotes; a
+    * crash during the tmp write leaves the old journal authoritative
+    * (a present journal always wins over a possibly-partial tmp). */
   private def writeJournal(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       phase: String, names: Seq[String]): Unit = {
-    val out = fs.create(new Path(dir, SwapJournal), true)
+    val tmp = new Path(dir, SwapJournalTmp)
+    val out = fs.create(tmp, true)
     try out.write((phase +: names).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    val j = new Path(dir, SwapJournal)
+    if (fs.exists(j) && !fs.delete(j, false))
+      throw new java.io.IOException(s"could not replace swap journal $j")
+    if (!fs.rename(tmp, j))
+      throw new java.io.IOException(s"could not rename $tmp over $j")
   }
 
   /** Apply any pending swap journal under `dir` (no-op without one).
@@ -299,7 +318,21 @@ object Warehouse {
 
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     val j = new Path(dir, SwapJournal)
-    if (!fs.exists(j)) return
+    val tmp = new Path(dir, SwapJournalTmp)
+    if (fs.exists(j)) {
+      // a journal always outranks the tmp: the tmp may be a partial
+      // write from a crash mid-writeJournal, the journal never is
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+    } else if (fs.exists(tmp)) {
+      // crashed between writeJournal's delete and rename: the tmp is
+      // COMPLETE by construction (written+closed before the delete) —
+      // promote it and recover from it
+      if (!fs.rename(tmp, j))
+        throw new java.io.IOException(s"could not promote $tmp to $j during recovery")
+    } else {
+      cleanupSwapTmpDirs(fs, dir)
+      return
+    }
     val in = fs.open(j)
     val content = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -310,13 +343,38 @@ object Warehouse {
     } finally in.close()
     val lines = content.split("\n").toSeq
     val (phase, names) = (lines.head, lines.tail.filter(_.nonEmpty))
+    // fail LOUDLY on a phase recovery does not understand (r8 ADVICE):
+    // silently deleting an unparseable journal would discard the only
+    // record that a swap is half-applied — the exact silent state the
+    // journal exists to prevent. Leave the journal in place for a
+    // human (or a fixed binary) to act on.
+    if (!JournalPhases.contains(phase))
+      throw new java.io.IOException(
+        s"swap journal $j has unknown phase '$phase' — refusing to recover; " +
+          "inspect the journal (its listed names are either swap targets to roll " +
+          "back or originals to roll forward) before deleting it")
     val leftover = names.map(n => new Path(dir, n)).filter(fs.exists)
     val failed = leftover.filterNot(p => fs.delete(p, false) || !fs.exists(p))
     if (failed.nonEmpty)
       throw new java.io.IOException(
         s"swap recovery (phase $phase) could not delete: ${failed.mkString(", ")}")
     fs.delete(j, false)
+    cleanupSwapTmpDirs(fs, dir)
   }
+
+  /** Remove the swap ops' sibling rewrite directories (r8 ADVICE): a
+    * crash before/inside a swap can strand <path>__erase_tmp /
+    * <path>__compact_tmp on disk, and stale rewrite output both
+    * accumulates and invites being mistaken for table data. Always
+    * safe: a LIVE swap never runs concurrently with recovery (every
+    * swap op starts by calling recoverSwap, then writes its tmp), and
+    * originals are intact whenever a tmp exists without a "deleting"
+    * journal. */
+  private def cleanupSwapTmpDirs(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    Seq("__erase_tmp", "__compact_tmp").foreach { suffix =>
+      val p = new Path(dir.stripSuffix("/") + suffix)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   final case class CompactReport(
       filesTotal: Int, filesCompacted: Int, filesWritten: Int, bytesCompacted: Long)

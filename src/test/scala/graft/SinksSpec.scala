@@ -387,6 +387,158 @@ class SinksSpec extends SparkSuite {
       .map(r2 => (r2.getLong(0), r2.getString(1))).toSet === before2)
   }
 
+  test("R12: readers mid-swap see either-old-or-new rows, never neither") {
+    // the read contract DURING a swap (r8 verdict task 8): the
+    // rename-in-then-delete order means the crash window DUPLICATES
+    // rows, never loses them — so at any intermediate file state the
+    // DISTINCT row set a reader sees equals the complete table. Both
+    // journal phases are pinned: phase "renaming" with a landed
+    // target (old files complete + a copy), and phase "deleting"
+    // mid-delete (targets complete + a residue of originals).
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    (0 until 3).foreach { b =>
+      graft.sources.Sinks.appendParquet(
+        (0L until 40L).map(i => (b * 1000L + i, s"row$b-$i")).toDF("id", "payload")
+          .coalesce(1), dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names() = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).sorted
+    def readSet() = {
+      spark.catalog.refreshByPath(dir)
+      spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val expect = readSet()
+    val orig = names()
+
+    // ---- phase 1 mid-swap: one target landed, all originals intact
+    val t1 = "part-c-mid1.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, orig.head),
+      fs, new org.apache.hadoop.fs.Path(dir, t1), false,
+      spark.sparkContext.hadoopConfiguration)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_swap_journal"), s"renaming\n$t1")
+    assert(readSet() === expect,
+      "phase-1 read view must be the complete row set (duplicates allowed, loss never)")
+    assert(spark.read.parquet(dir).count() > expect.size, "phase-1 duplicates are visible")
+
+    // ---- phase 2 mid-swap: ALL targets in (the phase-2 precondition
+    // — renames complete before any delete), ONE original already gone
+    val t2 = "part-c-mid2.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(dir, orig(1)),
+      fs, new org.apache.hadoop.fs.Path(dir, t2), false,
+      spark.sparkContext.hadoopConfiguration)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_swap_journal"), s"deleting\n${orig.head}\n${orig(1)}")
+    fs.delete(new org.apache.hadoop.fs.Path(dir, orig(1)), false)
+    assert(readSet() === expect,
+      "phase-2 mid-delete read view must still be the complete row set")
+    // heal and verify the final state is exact: journaled originals
+    // gone, their rows carried solely by the targets, no duplicates
+    graft.sources.Warehouse.recoverSwap(spark, dir)
+    spark.catalog.refreshByPath(dir)
+    assert(readSet() === expect)
+    assert(spark.read.parquet(dir).count() === expect.size.toLong,
+      "healed table has no duplicates")
+    assert(!names().contains(orig.head) && !names().contains(orig(1)),
+      "roll-forward removed the journaled originals")
+  }
+
+  test("R12: journal writes are crash-atomic and recovery fails loudly on junk") {
+    import spark.implicits._
+    def freshTable(): String = {
+      val dir = tmp() + "/t"
+      graft.sources.Sinks.appendParquet(
+        (0L until 30L).map(i => (i, s"row$i")).toDF("id", "payload").coalesce(1), dir)
+      dir
+    }
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // unknown phase (e.g. the truncated-journal state the old in-place
+    // overwrite could leave): recovery must throw and PRESERVE the
+    // journal, not silently delete the only record of a half-swap
+    val d1 = freshTable()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d1, "_swap_journal"), "")
+    val e = intercept[java.io.IOException] {
+      graft.sources.Warehouse.recoverSwap(spark, d1)
+    }
+    assert(e.getMessage.contains("unknown phase"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d1, "_swap_journal")),
+      "an unparseable journal must be left for inspection")
+
+    // crash between writeJournal's delete and rename: no journal, a
+    // COMPLETE tmp — recovery promotes the tmp and applies it
+    val d2 = freshTable()
+    val dup = "part-c-crashed.parquet"
+    val origName = fs.listStatus(new org.apache.hadoop.fs.Path(d2)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .head.getPath.getName
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(d2, origName),
+      fs, new org.apache.hadoop.fs.Path(d2, dup), false,
+      spark.sparkContext.hadoopConfiguration)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d2, "_swap_journal.tmp"), s"renaming\n$dup")
+    graft.sources.Warehouse.recoverSwap(spark, d2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d2, dup)),
+      "promoted tmp journal must roll the landed target back")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d2, "_swap_journal.tmp")))
+
+    // a present journal OUTRANKS a (possibly partial) tmp: the tmp is
+    // discarded, the journal applied
+    val d3 = freshTable()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d3, "_swap_journal"), "renaming\nno-such-file.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d3, "_swap_journal.tmp"), "delet") // torn write
+    graft.sources.Warehouse.recoverSwap(spark, d3)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d3, "_swap_journal.tmp")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d3, "_swap_journal")))
+
+    // stale sibling rewrite dirs from a pre-journal crash are swept
+    val d4 = freshTable()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d4 + "__compact_tmp"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d4 + "__compact_tmp", "junk"), "stale")
+    graft.sources.Warehouse.recoverSwap(spark, d4)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d4 + "__compact_tmp")),
+      "recovery must sweep stale rewrite dirs")
+  }
+
+  test("R8: append matches columns by name — reorder ok, duplicates refused") {
+    import spark.implicits._
+    val table = tmp() + "/t"
+    Sinks.appendParquetChecked(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), table)
+    // same columns, different order: a legal append (parquet readers
+    // union files by NAME; BigQuery's load matches by name too)
+    Sinks.appendParquetChecked(spark,
+      Seq(("c", 3L)).toDF("payload", "id"), table)
+    val got = spark.read.parquet(table).select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "reordered append must resolve by name, not position")
+    // type drift under the same names still refuses
+    val e = intercept[IllegalArgumentException] {
+      Sinks.appendParquetChecked(spark,
+        Seq((4, "d")).toDF("id", "payload"), table) // id INT, table has LONG
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // duplicate column names are refused outright
+    val dup = Seq((5L, 6L)).toDF("id", "id2").withColumnRenamed("id2", "id")
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.appendParquetChecked(spark, dup, table)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("R9+R6: timestamped snapshots; latest pick matches max name") {
     val base = tmp()
     val df1 = spark.range(5).toDF("id")
