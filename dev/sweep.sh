@@ -62,10 +62,23 @@ for q, r in top:
 print(f"median ratio {statistics.median(ratios.values()):.2f}, "
       f"total {a['value']:.1f}s -> {b['value']:.1f}s; {outjson} written")
 # superlinear gate scales with the tile count: linear growth is
-# `tiles`x, the old 10x gate allowed 1.3x headroom — keep that margin
-bad = [q for q, r in ratios.items() if r > tiles * 1.3]
+# `tiles`x, the old 10x gate allowed 1.3x headroom — keep that margin.
+# The ANN query-batch family is gated against its OWN workload curve:
+# Q = N/100 makes their work tiles^2 BY CONSTRUCTION (an exhaustive
+# exact baseline over a corpus-growing query batch — documented
+# scaffolding in PLANS.md, not an operator property), so holding them
+# to the linear gate would flag the workload, not the plan.
+SCAFFOLD = {"ann_bruteforce", "ann_quantized", "ann_lsh", "ann_ivf",
+            "ann_ivf_sq8", "ann_pq", "ann_ivf_pq", "ann_audit",
+            "semantic_assign_audit"}
+bad = [q for q, r in ratios.items()
+       if r > (tiles * tiles if q in SCAFFOLD else tiles) * 1.3]
 if bad:
-    print(f"SUPERLINEAR (>{tiles * 1.3:.0f}x): {bad}")
+    print(f"SUPERLINEAR (beyond the workload envelope): {bad}")
     sys.exit(1)
+soft = [q for q in SCAFFOLD if ratios.get(q, 0) > tiles * 1.3]
+if soft:
+    print(f"note: Q-proportional scaffolding past the linear envelope "
+          f"(expected, workload is tiles^2): {sorted(soft)}")
 EOF
 echo "== sweep complete =="
