@@ -1537,5 +1537,140 @@ object Similarity {
           col("n_hits"),
           Portable.quant6(col("n_hits").cast("double")
             / col("n_baseline").cast("double")).as("recall"))
+    },
+
+    // L50 — Reciprocal Rank Fusion (Cormack et al. 2009, k=60): the
+    // hybrid-retrieval combiner every RAG ingestion pipeline runs —
+    // two retrievers with incomparable scores (here the shipped
+    // sign-LSH search and the shipped IVF search, deliberately the
+    // two production paths so fusion can never drift from what
+    // ships) fuse by RANK: rrf = Σ 1/(60 + rank_i), missing rank
+    // contributes 0. Scale shape: composes two already-audited
+    // searches, then ONE keyed full-outer join on (query, neighbor)
+    // with ≤ TopK rows per query per side and a per-query window over
+    // ≤ 2·TopK rows (bounded — no salt needed, the rerank rule).
+    // Portability: 1/(60+rank) is one IEEE division, the fusion sum
+    // is two terms in fixed written order — bit-identical across
+    // engines; ranks themselves come from quant6-scored windows.
+    QueryDef(
+      "rrf_fusion",
+      s"""WITH $bucketCtes,
+         |cand_l AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
+         |           FROM bkt qb JOIN bkt vb
+         |             ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
+         |           WHERE qb.vec_id % 100 = 0),
+         |sc_l AS (SELECT c.qid, c.nid, ${Portable.Quant6Sql(cosSql)} AS score
+         |         FROM cand_l c
+         |         JOIN embeddings ea ON ea.vec_id = c.qid
+         |         JOIN embeddings eb ON eb.vec_id = c.nid),
+         |r_l AS (SELECT qid, nid,
+         |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |        FROM sc_l),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
+         |asn AS (SELECT vec_id, cid FROM (
+         |   SELECT e.vec_id, c.cid,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${quantCos.format("e.v", "c.cv")} DESC, c.cid) AS rn
+         |   FROM e, c) t WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, cid FROM (
+         |   SELECT e.vec_id, c.cid,
+         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${quantCos.format("e.v", "c.cv")} DESC, c.cid) AS rn
+         |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $NumProbes),
+         |cand_i AS (SELECT DISTINCT q.qid, a.vec_id AS nid
+         |           FROM qprobe q JOIN asn a ON a.cid = q.cid WHERE a.vec_id <> q.qid),
+         |sc_i AS (SELECT cand_i.qid, cand_i.nid,
+         |                ${quantCos.format("eq.v", "en.v")} AS score
+         |         FROM cand_i JOIN e eq ON eq.vec_id = cand_i.qid
+         |                     JOIN e en ON en.vec_id = cand_i.nid),
+         |r_i AS (SELECT qid, nid,
+         |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |        FROM sc_i),
+         |fused AS (SELECT qid, nid,
+         |                 COALESCE(1.0 / (60 + a_rn), 0) + COALESCE(1.0 / (60 + b_rn), 0) AS rrf
+         |          FROM (SELECT qid, nid, rn AS a_rn FROM r_l WHERE rn <= $TopK) a
+         |          FULL JOIN (SELECT qid, nid, rn AS b_rn FROM r_i WHERE rn <= $TopK) b
+         |          USING (qid, nid)),
+         |rr AS (SELECT qid, nid, rrf,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rn
+         |       FROM fused)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, rrf AS score
+         |FROM rr WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      val lsh = lshSearch(spark, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rl"))
+      val ivf = ivfSearch(emb, seedCentroids(emb), defaultQueries(emb))
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ri"))
+      val fused = lsh.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+        .select(col("query_id"), col("neighbor_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("ri")), lit(0.0))).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+    },
+
+    // L38 — embedding outlier detection (data curation: vectors far
+    // from their label's centroid are mislabeled / corrupt / OOD and
+    // get flagged before training or index build). Exact and fully
+    // portable by integer arithmetic: components quantize to
+    // micro-unit BIGINTs (the label_centroids rule), the per-label
+    // per-component (sum S, count n) make the deviation z = q·n − S an
+    // EXACT integer (≤ ~1e11 — no FP yet), z² is one IEEE double
+    // square of an exactly-representable integer, and the
+    // per-component squares are floor-quantized back to BIGINT before
+    // the order-free integer SUM — no order-dependent double
+    // accumulation anywhere (the distance is n²·Σ(x−mean)² in fixed
+    // units). Outliers are RANK-based, not threshold-based (no FP
+    // boundary): the top ceil(5%) of each label by (distance desc,
+    // vec_id). The per-label ranking runs through
+    // Distributed.globalRunning — labels are ~5 values, so a plain
+    // per-label window would funnel the corpus through one reducer.
+    // Scale shape: one posexplode ×dim map-side, a broadcast
+    // (|labels|·dim)-row stats join, one mergeable per-vector sum,
+    // and the sharded prefix-rank primitive.
+    QueryDef(
+      "embed_outliers",
+      s"""WITH q AS (SELECT vec_id, label, CAST(j AS BIGINT) AS j,
+         |                  CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |           FROM (SELECT vec_id, label, unnest(embedding) AS x,
+         |                        generate_subscripts(embedding, 1) AS j
+         |                 FROM embeddings)),
+         |st AS (SELECT label, j, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+         |       FROM q GROUP BY label, j),
+         |d AS (SELECT q.vec_id, q.label,
+         |             CAST(SUM(CAST(floor(
+         |               CAST(q.q * st.n - st.s AS DOUBLE) * CAST(q.q * st.n - st.s AS DOUBLE)
+         |               / 1000000000000.0) AS BIGINT)) AS BIGINT) AS dist
+         |      FROM q JOIN st ON st.label = q.label AND st.j = q.j
+         |      GROUP BY q.vec_id, q.label),
+         |r AS (SELECT vec_id, label, dist,
+         |             ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn,
+         |             COUNT(*) OVER (PARTITION BY label) AS n
+         |      FROM d)
+         |SELECT vec_id, label, dist, (rn - 1) * 20 < n AS is_outlier
+         |FROM r""".stripMargin) { (spark, dir) =>
+      ensureRegistered(spark)
+      val q = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("j"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+      val st = q.groupBy(col("label"), col("j"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      val d = q.join(broadcast(st), Seq("label", "j"))
+        .select(col("vec_id"), col("label"),
+          expr("""CAST(floor(
+                    CAST(q * n - s AS DOUBLE) * CAST(q * n - s AS DOUBLE)
+                    / 1000000000000.0) AS BIGINT)""").as("sq"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("sq")).as("dist"))
+      val ranked = graft.operators.Distributed.globalRunning(
+        d.select(col("label"), (-col("dist")).as("ndist"), col("vec_id")),
+        grp = Seq("label"), ord = Seq("ndist", "vec_id"))
+      ranked.select(col("vec_id"), col("label"), (-col("ndist")).as("dist"),
+        ((col("g_rank") - 1) * 20 < col("g_n")).as("is_outlier"))
     })
 }

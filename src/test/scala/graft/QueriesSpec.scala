@@ -524,6 +524,79 @@ class QueriesSpec extends SparkSuite {
     assert(truthDropped.exceptAll(gotDropped).count() === 0)
   }
 
+  test("rrf_fusion equals a driver-side fold of the two shipped rankings") {
+    // independence check: the two retriever rankings come from the
+    // production query surface, the FUSION is re-folded in plain Scala
+    // (sum of 1/(60+rank), missing rank = 0, top-5 by score desc then
+    // neighbor id) — any drift in the join/coalesce/window shape of
+    // the operator shows up against this reference.
+    def ranks(q: String) = SparkEntry.queries(q)(spark, sf0001).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Long]("rank"))).toMap
+    val lsh = ranks("ann_lsh")
+    val ivf = ranks("ann_ivf")
+    val expect = (lsh.keySet ++ ivf.keySet).toSeq
+      .map { case k @ (q, n) =>
+        val s = lsh.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          ivf.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, n, s)
+      }
+      .groupBy(_._1)
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (_, n, s) => (-s, n) }.take(5).zipWithIndex
+          .map { case ((q, n, s), i) => (q, n, (i + 1).toLong, s) }
+      }.toSet
+    val got = SparkEntry.queries("rrf_fusion")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("score"))).toSet
+    assert(got === expect)
+    // a neighbor found by BOTH retrievers outscores any single-source rank-1
+    assert(got.forall { case (_, _, _, s) => s > 0.0 && s <= 2.0 / 61.0 + 1e-12 })
+  }
+
+  test("embed_outliers flags exactly the top-5% distances per label, distances exact") {
+    val df = SparkEntry.queries("embed_outliers")(spark, sf0001).cache()
+    val rows = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Any]("label").toString,
+        r.getAs[Long]("dist"), r.getAs[Boolean]("is_outlier")))
+    // exact distance reference, recomputed in plain Scala with the
+    // same integer arithmetic (micro-quantized components, z = q·n−S
+    // exact, per-component floor(z²/1e12) BIGINT sum)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getSeq[Double](2).toArray))
+    val byLabel = emb.groupBy(_._2)
+    val refDist: Map[Long, Long] = byLabel.iterator.flatMap { case (_, vs) =>
+      val n = vs.length.toLong
+      val dim = vs.head._3.length
+      val qs = vs.map { case (id, _, v) => (id, v.map(x => math.floor(x * 1e6).toLong)) }
+      val sums = Array.tabulate(dim)(j => qs.map(_._2(j)).sum)
+      qs.iterator.map { case (id, qv) =>
+        id -> (0 until dim).map { j =>
+          val z = (qv(j) * n - sums(j)).toDouble
+          math.floor(z * z / 1e12).toLong
+        }.sum
+      }
+    }.toMap
+    rows.foreach { case (id, _, dist, _) =>
+      assert(dist === refDist(id), s"distance mismatch for vec $id")
+    }
+    // per label: flagged count = ceil(5%), and no flagged vector has a
+    // smaller distance than an unflagged one (modulo exact ties)
+    rows.groupBy(_._2).foreach { case (label, vs) =>
+      val flagged = vs.filter(_._4)
+      val expectK = (vs.length + 19) / 20
+      assert(flagged.length === expectK, s"label $label: ${flagged.length} != $expectK")
+      if (flagged.nonEmpty && flagged.length < vs.length) {
+        val minOut = flagged.map(_._3).min
+        val maxIn = vs.filterNot(_._4).map(_._3).max
+        assert(minOut >= maxIn, s"label $label: outlier below a non-outlier")
+      }
+    }
+    df.unpersist()
+  }
+
   test("scd2_history intervals tile each key's history with one current row") {
     val df = SparkEntry.queries("scd2_history")(spark, sf0001).cache()
     val nOrders = graft.sources.Tables.orders(spark, sf0001).count()
