@@ -1667,8 +1667,17 @@ object Similarity {
                     / 1000000000000.0) AS BIGINT)""").as("sq"))
         .groupBy(col("vec_id"), col("label"))
         .agg(sum(col("sq")).as("dist"))
+      // stage() before the prefix primitive: the ranked-rows and
+      // offsets branches must consume the IDENTICAL relation so their
+      // range exchanges canonicalize equal and reuse — this subtree
+      // (agg over broadcast join over posexplode) defeats Spark's
+      // plan canonicalization, and two independently-sampled range
+      // shuffles could disagree on the shard id (the globalRunning
+      // contract's silent-wrong-ranks hazard). A materialized cut
+      // makes both branches scan one RDD.
       val ranked = graft.operators.Distributed.globalRunning(
-        d.select(col("label"), (-col("dist")).as("ndist"), col("vec_id")),
+        graft.operators.Distributed.stage(
+          d.select(col("label"), (-col("dist")).as("ndist"), col("vec_id"))),
         grp = Seq("label"), ord = Seq("ndist", "vec_id"))
       ranked.select(col("vec_id"), col("label"), (-col("ndist")).as("dist"),
         ((col("g_rank") - 1) * 20 < col("g_n")).as("is_outlier"))

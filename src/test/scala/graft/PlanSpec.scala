@@ -285,7 +285,7 @@ class PlanSpec extends SparkSuite {
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
         "events_concurrency", "text_pps_sample", "text_mixture",
         "events_interarrival", "pareto_class", "weighted_median",
-        "events_percentile", "events_ks_drift").foreach { q =>
+        "events_percentile", "events_ks_drift", "embed_outliers").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")
       val materialized = lines.count(l =>
