@@ -138,8 +138,13 @@ object ScaleUp {
           translate(word, Lower + Upper, rot(Lower, k) + rot(Upper, k))).otherwise(acc)
       }
     tiled("documents") { (df, i) =>
+      // Column./ is DOUBLE division — the tile quotient must go
+      // through an explicit floor so the arithmetic is integral by
+      // construction, not by the tile cap keeping the fractional part
+      // from crossing a truncation boundary
       val sOdd = pmod(i, lit(26L)).cast("int")
-      val sEven = pmod(pmod(i, lit(26L)) + i / 26L, lit(26L)).cast("int")
+      val sEven = pmod(pmod(i, lit(26L)) + floor(i / lit(26.0)).cast("long"), lit(26L))
+        .cast("int")
       val rotated = array_join(
         transform(split(col("text"), " "), (w, idx) =>
           when(pmod(idx, lit(2)) === 0, caesar(w, sEven)).otherwise(caesar(w, sOdd))),
@@ -163,7 +168,7 @@ object ScaleUp {
       val k = pmod(i.cast("int"), n)
       val shifted = when(k === 0, col("embedding")).otherwise(
         concat(slice(col("embedding"), k + 1, n - k), slice(col("embedding"), lit(1), k)))
-      val j = (i / 64L).cast("int")
+      val j = floor(i / lit(64.0)).cast("int") // explicit integer quotient (see sEven)
       val signed = when(j === 0, shifted).otherwise(
         zip_with(shifted, sequence(lit(0), n - 1), (x, c) =>
           when(pmod(hash(concat_ws("_", lit("sgn"), j, c)), lit(2)) === 0, x).otherwise(-x)))

@@ -53,6 +53,23 @@ object Distributed {
           "graft.checkpoint.reliable=true) but no checkpoint dir is set — call " +
           "sparkContext.setCheckpointDir with a cluster-visible path (HDFS/S3); " +
           "executor-local checkpoints are not safe under dynamic allocation")
+      // File-leak guard: reliable checkpoint files are only removed by
+      // the ContextCleaner, and ONLY when cleanCheckpoints is on (a
+      // session-build SparkConf, default false). Without it every
+      // iterative round of the dedup/BPE/pagerank families strands one
+      // corpus-sized relation in the checkpoint dir per call — the
+      // per-round free() unpersists blocks but cannot delete files —
+      // so refuse loudly unless the deployment either enabled the
+      // cleaner or explicitly acknowledged the accumulation
+      // (graft.checkpoint.allowAccumulation=true, for setups that
+      // sweep the dir themselves or reuse checkpoints across jobs).
+      require(
+        sc.getConf.getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)
+          || spark.conf.getOption("graft.checkpoint.allowAccumulation").contains("true"),
+        "reliable checkpointing would strand files: set " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints=true at session build " +
+          "(checkpoint files are then GC-collected with their RDDs) or set " +
+          "graft.checkpoint.allowAccumulation=true to accept unbounded growth")
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
   }

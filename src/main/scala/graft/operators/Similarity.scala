@@ -969,6 +969,33 @@ object Similarity {
        |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $nProbes)""".stripMargin
   }
 
+  /** Oracle CTEs shared by dedup_semantic and semantic_assign_audit
+    * (the SemDeDup family — one definition, so the dynCentroids /
+    * dynCoarse replay arithmetic can never drift between the two):
+    * float vectors `e`, kk = dynCentroids(N), gg = dynCoarse(k) via
+    * the power-of-two series scan, `c` = the K fine centroids,
+    * `g` = the √K coarse sample, `grp` = each fine centroid's coarse
+    * group. */
+  private def semCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |gg AS (SELECT GREATEST(4, MIN(CAST(1 AS BIGINT) << p.p)) AS g
+       |       FROM generate_series(0, 15) p(p)
+       |       WHERE ((CAST(1 AS BIGINT) << p.p) * (CAST(1 AS BIGINT) << p.p)) >= (SELECT k FROM kk)),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM (
+       |   SELECT e.vec_id, e.v,
+       |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |   FROM e) t WHERE rn <= (SELECT k FROM kk)),
+       |g AS (SELECT cid AS gid, cv AS gv FROM (
+       |   SELECT c.cid, c.cv,
+       |          ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS rn
+       |   FROM c) t WHERE rn <= (SELECT g FROM gg)),
+       |grp AS (SELECT cid, gid FROM (
+       |   SELECT c.cid, g.gid,
+       |          ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${quantCos.format("c.cv", "g.gv")} DESC, g.gid) AS rn
+       |   FROM c, g) t WHERE rn = 1)""".stripMargin
+
   /** Oracle CTE for the int8 column — DuckDB lists of integer-valued
     * doubles; `list_inner_product` on them is exact like vec_dot_i8. */
   private val qzCte: String =
@@ -1233,30 +1260,14 @@ object Similarity {
     // because K ∝ N makes the flat N×K crossJoin Θ(N²/32) and its
     // broadcast centroid table corpus-shaped (the r8 verdict's top
     // item). The routing is md5-seeded and quant6-scored, so the
-    // oracle replays it exactly: kk = dynCentroids, gg = dynCoarse
-    // (power-of-two series scan), g = coarse sample, grp = fine→coarse
-    // grouping, routed = each vector's top-2 coarse groups, asn = best
-    // fine centroid among the probed groups.
+    // oracle replays it exactly via the SHARED semCtes block:
+    // kk = dynCentroids, gg = dynCoarse (power-of-two series scan),
+    // g = coarse sample, grp = fine→coarse grouping; then routed =
+    // each vector's top-2 coarse groups and asn = best fine centroid
+    // among the probed groups.
     QueryDef(
       "dedup_semantic", {
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
-           |       FROM embeddings),
-           |gg AS (SELECT GREATEST(4, MIN(CAST(1 AS BIGINT) << p.p)) AS g
-           |       FROM generate_series(0, 15) p(p)
-           |       WHERE ((CAST(1 AS BIGINT) << p.p) * (CAST(1 AS BIGINT) << p.p)) >= (SELECT k FROM kk)),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM (
-           |   SELECT e.vec_id, e.v,
-           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-           |   FROM e) t WHERE rn <= (SELECT k FROM kk)),
-           |g AS (SELECT cid AS gid, cv AS gv FROM (
-           |   SELECT c.cid, c.cv,
-           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS rn
-           |   FROM c) t WHERE rn <= (SELECT g FROM gg)),
-           |grp AS (SELECT cid, gid FROM (
-           |   SELECT c.cid, g.gid,
-           |          ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${quantCos.format("c.cv", "g.gv")} DESC, g.gid) AS rn
-           |   FROM c, g) t WHERE rn = 1),
+        s"""WITH $semCtes,
            |routed AS (SELECT vec_id, gid FROM (
            |   SELECT e.vec_id, g.gid,
            |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${quantCos.format("e.v", "g.gv")} DESC, g.gid) AS rn
@@ -1290,36 +1301,20 @@ object Similarity {
     // so sampling the audited vectors changes nothing about either
     // path) both assignments run against the SAME full-corpus centroid
     // table and the query reports n_vecs / n_agree / agreement. Audit
-    // cost is |sample|·K for the flat exact baseline — the audit, like
-    // ann_audit's brute-force side, is priced by its sample knob, and
-    // its flat side keeps the broadcast centroid table (shrink the
-    // sample AND the broadcast together at real N; the production
-    // assignment itself never pays either).
+    // cost is |sample|·K dots for the exact baseline — the audit, like
+    // ann_audit's brute-force side, is priced by its sample knob — but
+    // even the baseline avoids a corpus-shaped broadcast: it is the
+    // two-level routing probing ALL G coarse groups (exhaustive ⇒
+    // exactly the flat assignment), so the fine table flows through
+    // the gid-keyed join that degrades to a shuffle at large K.
     QueryDef(
       "semantic_assign_audit", {
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
-           |       FROM embeddings),
-           |gg AS (SELECT GREATEST(4, MIN(CAST(1 AS BIGINT) << p.p)) AS g
-           |       FROM generate_series(0, 15) p(p)
-           |       WHERE ((CAST(1 AS BIGINT) << p.p) * (CAST(1 AS BIGINT) << p.p)) >= (SELECT k FROM kk)),
-           |c AS (SELECT vec_id AS cid, v AS cv FROM (
-           |   SELECT e.vec_id, e.v,
-           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-           |   FROM e) t WHERE rn <= (SELECT k FROM kk)),
-           |g AS (SELECT cid AS gid, cv AS gv FROM (
-           |   SELECT c.cid, c.cv,
-           |          ROW_NUMBER() OVER (ORDER BY md5(CAST(cid AS VARCHAR)), cid) AS rn
-           |   FROM c) t WHERE rn <= (SELECT g FROM gg)),
+        s"""WITH $semCtes,
            |s AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
            |flat AS (SELECT vec_id, cid AS cid_flat FROM (
            |   SELECT s.vec_id, c.cid,
            |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "c.cv")} DESC, c.cid) AS rn
            |   FROM s, c) t WHERE rn = 1),
-           |grp AS (SELECT cid, gid FROM (
-           |   SELECT c.cid, g.gid,
-           |          ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY ${quantCos.format("c.cv", "g.gv")} DESC, g.gid) AS rn
-           |   FROM c, g) t WHERE rn = 1),
            |routed AS (SELECT vec_id, gid FROM (
            |   SELECT s.vec_id, g.gid,
            |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "g.gv")} DESC, g.gid) AS rn
@@ -1336,10 +1331,21 @@ object Similarity {
       }) { (spark, dir) =>
       val emb = embV(spark, dir)
       val k = dynCentroids(emb.count())
+      val g = dynCoarse(k)
       val cent = seedCentroids(emb, k)
       val sample = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
-      val flat = assign(sample, cent).withColumnRenamed("cid", "cid_flat")
-      val two = assignTwoLevel(sample, cent, k, dynCoarse(k))
+      // the EXACT baseline without a corpus-shaped broadcast (the
+      // SURVEY §5 rule the flat `assign` would break at K ∝ N):
+      // probing ALL G coarse groups makes the two-level routing
+      // exhaustive — every fine centroid sits under exactly one group,
+      // so the max_by sees all K candidates with the identical
+      // (score, -cid) comparator and the result EQUALS flat
+      // assignment — while the fine table still arrives through the
+      // gid-keyed join that degrades to a shuffle past
+      // MaxBroadcastCentroids instead of hard-failing
+      val flat = assignTwoLevel(sample, cent, k, g, probes = g)
+        .select(col("vec_id"), col("cid").as("cid_flat"))
+      val two = assignTwoLevel(sample, cent, k, g)
         .select(col("vec_id"), col("cid").as("cid_two"))
       flat.join(two, "vec_id")
         .agg(count(lit(1)).as("n_vecs"),
@@ -1566,17 +1572,7 @@ object Similarity {
          |r_l AS (SELECT qid, nid,
          |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
          |        FROM sc_l),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e
-         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
-         |asn AS (SELECT vec_id, cid FROM (
-         |   SELECT e.vec_id, c.cid,
-         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${quantCos.format("e.v", "c.cv")} DESC, c.cid) AS rn
-         |   FROM e, c) t WHERE rn = 1),
-         |qprobe AS (SELECT vec_id AS qid, cid FROM (
-         |   SELECT e.vec_id, c.cid,
-         |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${quantCos.format("e.v", "c.cv")} DESC, c.cid) AS rn
-         |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $NumProbes),
+         |${ivfCtes(NumProbes)},
          |cand_i AS (SELECT DISTINCT q.qid, a.vec_id AS nid
          |           FROM qprobe q JOIN asn a ON a.cid = q.cid WHERE a.vec_id <> q.qid),
          |sc_i AS (SELECT cand_i.qid, cand_i.nid,
@@ -1653,11 +1649,17 @@ object Similarity {
          |SELECT vec_id, label, dist, (rn - 1) * 20 < n AS is_outlier
          |FROM r""".stripMargin) { (spark, dir) =>
       ensureRegistered(spark)
-      val q = graft.sources.Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("j"),
-          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+      // staged (the hammingCandidates rule): the exploded component
+      // relation feeds BOTH the stats aggregate and the join probe
+      // side — the aggregate sits on the broadcast side so exchange
+      // reuse cannot fire, and without the cut the parquet decode +
+      // ×dim explode would run twice
+      val q = graft.operators.Distributed.stage(
+        graft.sources.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"), (col("pos") + 1).cast("long").as("j"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q")))
       val st = q.groupBy(col("label"), col("j"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       val d = q.join(broadcast(st), Seq("label", "j"))

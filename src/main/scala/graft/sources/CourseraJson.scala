@@ -117,8 +117,14 @@ object CourseraJson {
     * cleaned /tmp, no Spark run first — and a shared /tmp path could
     * race concurrent sessions. [[writeFixture]] only rewrites it when
     * the bytes differ from [[fixtureJson]] (the compile-time source of
-    * truth), so the committed file can never drift silently. */
-  val FixturePath = "/root/repo/data/fixtures/coursera_response_20260101_000000.json"
+    * truth), so the committed file can never drift silently. The repo
+    * root defaults to the driver contract's /root/repo; a checkout
+    * elsewhere sets GRAFT_REPO_ROOT so the oracle (whose SQL embeds
+    * this absolute path at generation time) still reads the committed
+    * file rather than a stray copy. */
+  val FixturePath: String =
+    sys.env.getOrElse("GRAFT_REPO_ROOT", "/root/repo") +
+      "/data/fixtures/coursera_response_20260101_000000.json"
 
   val fixtureJson: String =
     """[

@@ -33,15 +33,29 @@ class StageSpec extends SparkSuite {
         assert(e.getMessage.contains("checkpoint dir"),
           s"refusal must say what to configure; got: ${e.getMessage}")
       }
-      // with a dir set, stage() must write a RELIABLE checkpoint there
+      // with a dir set but no file-cleanup story, stage() must still
+      // refuse: reliable checkpoint files are only deleted by the
+      // ContextCleaner when cleanCheckpoints is on (session-build
+      // conf; this shared test session has it off)
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
       spark.sparkContext.setCheckpointDir(dir)
+      val e2 = intercept[IllegalArgumentException] {
+        graft.operators.Distributed.stage(df)
+      }
+      assert(e2.getMessage.contains("cleanCheckpoints"),
+        s"refusal must name the cleaner conf; got: ${e2.getMessage}")
+      // acknowledging accumulation unlocks reliable mode: stage() must
+      // write a RELIABLE checkpoint into the configured dir
+      spark.conf.set("graft.checkpoint.allowAccumulation", "true")
       val out = graft.operators.Distributed.stage(df)
       assert(out.count() === 10)
       val wrote = new java.io.File(dir).listFiles()
       assert(wrote != null && wrote.nonEmpty,
         "reliable mode must materialize into the configured checkpoint dir")
-    } finally spark.conf.unset("graft.checkpoint.reliable")
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+      spark.conf.unset("graft.checkpoint.allowAccumulation")
+    }
     // back in default mode, staging works again without touching the dir
     assert(graft.operators.Distributed.stage(df).count() === 10)
   }
