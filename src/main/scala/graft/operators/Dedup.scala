@@ -293,20 +293,28 @@ object Dedup {
     // branches re-read the CACHED allc, and truncating lineage here
     // would erase the index parquet scan from the final plan — the
     // evidence DedupIncrementalSpec pins to prove the corpus is never
-    // re-signatured on the incremental path
-    verifiedPairs(cand, tokAll)
+    // re-signatured on the incremental path.
+    // The partner's indexed-vs-delta provenance rides along as
+    // `da_is_new` (from the SAME is_new bit the pair predicate used):
+    // the verdict's "indexed partner first" rule needs the real flag,
+    // not an arithmetic shadow of the oracle harness's synthetic
+    // %DeltaMod split — screenDelta serves arbitrary deltas whose ids
+    // carry no such structure
+    val flags = allc.select(col("doc_id").as("da"), col("is_new").as("da_is_new"))
+      .distinct()
+    verifiedPairs(cand, tokAll).join(flags, "da")
   }
 
   /** The delta verdict, one row per duplicate delta doc: its chosen
-    * earlier partner (indexed docs first, then lowest doc_id — a
-    * deterministic total order) with the pair's exact-Jaccard
-    * evidence. Docs absent from the output are novel and enter the
-    * corpus. */
+    * earlier partner (indexed docs first — by the pair relation's own
+    * da_is_new provenance bit — then lowest doc_id, a deterministic
+    * total order) with the pair's exact-Jaccard evidence. Docs absent
+    * from the output are novel and enter the corpus. */
   private def incrementalVerdict(pairs: DataFrame): DataFrame =
     pairs
       .select(col("db").as("doc_id"),
         struct(
-          when(col("da") % DeltaMod === 0, lit(1)).otherwise(lit(0)).as("ord"),
+          when(col("da_is_new"), lit(1)).otherwise(lit(0)).as("ord"),
           col("da").as("dup_of"), col("n_common"), col("jaccard")).as("s"))
       .groupBy(col("doc_id"))
       .agg(min(col("s")).as("s"))

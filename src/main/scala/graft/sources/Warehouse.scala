@@ -59,10 +59,28 @@ object Warehouse {
     val b = df.agg(
       min(col(keyA).cast("long")), max(col(keyA).cast("long")),
       min(col(keyB).cast("long")), max(col(keyB).cast("long"))).head()
-    // `div`, not `/`: Column./ is double division, and the bit ops
-    // below need to stay in exact LONG arithmetic
-    def scaled(key: String, lo: Long, hi: Long): Column =
-      expr(s"((CAST(`$key` AS BIGINT) - $lo) * ${1L << bits}) div ${hi - lo + 1}")
+    // empty input / all-null key: there is no band structure to build
+    // (min/max are null) — write the sized output as-is instead of
+    // NPEing before the destination even exists
+    if ((0 until 4).exists(b.isNullAt)) {
+      df.repartition(targetFiles).write.mode("overwrite").parquet(path)
+      return
+    }
+    // Scale by integer DIVISION into 2^bits buckets (div, not /:
+    // Column./ is double division and the bit ops below need exact
+    // LONG arithmetic). Dividing by a precomputed step — instead of
+    // the (x - lo) * 2^bits form — keeps every intermediate inside
+    // Long for ANY key span: a nanos-timestamp key spans ~2^55+ and
+    // the multiply-first form silently wraps negative (garbage Z
+    // values, random bands, pruning quietly gone). Spans the
+    // SUBTRACTION itself cannot represent are refused loudly.
+    def scaled(key: String, lo: Long, hi: Long): Column = {
+      val span = BigInt(hi) - BigInt(lo) + 1
+      require(span <= BigInt(Long.MaxValue),
+        s"writeZOrdered: key `$key` spans $span (> Long range) — rescale the column first")
+      val step = ((span + (1L << bits) - 1) / (1L << bits)).toLong max 1L
+      expr(s"(CAST(`$key` AS BIGINT) - $lo) div $step")
+    }
     val a = scaled(keyA, b.getLong(0), b.getLong(1))
     val c = scaled(keyB, b.getLong(2), b.getLong(3))
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
@@ -170,12 +188,17 @@ object Warehouse {
     // Small batches inline the keys as an In-filter (pushes to the
     // scan); large batches would blow up the expression tree, so they
     // go through a broadcast LEFT ANTI join instead. Null keys are
-    // KEPT on both paths: a NULL is never one of the requested keys
-    // (anti-join keeps the row because NULL = k matches nothing).
+    // KEPT on both paths — and "null" means null AFTER the long cast:
+    // an uncastable key (e.g. a stray 'n/a' in a string column) casts
+    // to null, and `!null.isin(...)` is null, which a bare filter
+    // silently DROPS — erasing a row whose key was never requested.
+    // Guarding on the cast's null matches the anti-join path, where a
+    // null join key matches nothing and the row survives.
     val kept =
-      if (sortedKeys.length <= 1000)
-        src.filter(col(key).isNull || !col(key).cast("long").isin(deleteKeys: _*))
-      else {
+      if (sortedKeys.length <= 1000) {
+        val castKey = col(key).cast("long")
+        src.filter(castKey.isNull || !castKey.isin(deleteKeys: _*))
+      } else {
         import spark.implicits._
         val del = sortedKeys.toSeq.toDF("__delete_key")
         src.join(broadcast(del), col(key).cast("long") === col("__delete_key"), "left_anti")
@@ -230,35 +253,42 @@ object Warehouse {
           .map(s => (s.getPath,
             new Path(path, s"part-e$fidx-${s.getPath.getName.stripPrefix("part-")}")))
       }
-    // journal phase 1 BEFORE any rename: a crash mid-rename rolls back
+    swapIn(fs, path, renames, files.map(f => new Path(new java.net.URI(f))), "eraseKeys")
+    fs.delete(new Path(tmp), true)
+    EraseReport(filesTotal.toInt, files.length, before - after)
+  }
+
+  /** The journaled rename-in-then-delete swap shared by [[eraseKeys]]
+    * and [[compactSmallFiles]] (one definition, so the two ops'
+    * recovery guarantees cannot drift): journal phase 1 before any
+    * rename (a crash mid-rename rolls the landed targets BACK —
+    * originals are all intact), phase 2 once every target is in (a
+    * crash mid-delete rolls the remaining originals FORWARD), journal
+    * removed after the deletes. Every rename/delete boolean is checked
+    * — HDFS reports many failures as `false` without throwing, and an
+    * unchecked false rename followed by the deletes would be exactly
+    * the silent row loss the rename-first order exists to prevent. An
+    * in-process rename failure triggers recoverSwap (restoring the
+    * exact pre-call state, stale tmp dirs swept) before throwing. */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      renames: Seq[(Path, Path)], originals: Seq[Path], op: String): Unit = {
     writeJournal(fs, path, "renaming", renames.map(_._2.getName))
     val failedRenames = renames.filterNot { case (from, to) => fs.rename(from, to) }
     if (failedRenames.nonEmpty) {
-      // roll back in-process too: delete the targets that DID land
-      // (originals are all intact), leaving the table byte-identical
-      // to the pre-call state — a plain re-run is then safe
       recoverSwap(fs, path)
-      fs.delete(new Path(tmp), true)
       throw new java.io.IOException(
-        s"eraseKeys: ${failedRenames.size} rename(s) into $path returned false; " +
-        "swap rolled back, table unchanged — safe to re-run: " +
-        failedRenames.map(_._1.getName).mkString(", "))
+        s"$op: ${failedRenames.size} rename(s) into $path returned false; " +
+          "swap rolled back, table unchanged — safe to re-run: " +
+          failedRenames.map(_._1.getName).mkString(", "))
     }
-    // journal phase 2: targets are in; from here recovery ROLLS FORWARD
-    writeJournal(fs, path, "deleting",
-      files.map(f => new Path(new java.net.URI(f)).getName))
-    val failedDeletes = files.filterNot { f =>
-      val p = new Path(new java.net.URI(f))
-      fs.delete(p, false) || !fs.exists(p)
-    }
+    writeJournal(fs, path, "deleting", originals.map(_.getName))
+    val failedDeletes = originals.filterNot(p => fs.delete(p, false) || !fs.exists(p))
     if (failedDeletes.nonEmpty)
       throw new java.io.IOException(
-        s"eraseKeys: ${failedDeletes.size} original-file delete(s) returned false; " +
-        "the swap journal remains — the next eraseKeys/compactSmallFiles call " +
-        "(or recoverSwap) rolls the deletes forward: " + failedDeletes.mkString(", "))
+        s"$op: ${failedDeletes.size} original-file delete(s) returned false; " +
+          "the swap journal remains — the next eraseKeys/compactSmallFiles call " +
+          "(or recoverSwap) rolls the deletes forward: " + failedDeletes.mkString(", "))
     fs.delete(new Path(path, SwapJournal), false)
-    fs.delete(new Path(tmp), true)
-    EraseReport(filesTotal.toInt, files.length, before - after)
   }
 
   // ---- the two-phase swap journal shared by eraseKeys and ----
@@ -423,33 +453,7 @@ object Warehouse {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => (s.getPath,
         new Path(path, "part-c" + s.getPath.getName.stripPrefix("part-"))))
-    // journal phase 1 BEFORE any rename (see the SwapJournal notes): a
-    // crash mid-rename rolls the landed targets back on the next call
-    writeJournal(fs, path, "renaming", renames.map(_._2.getName))
-    val failedRenames = renames.filterNot { case (from, to) => fs.rename(from, to) }
-    if (failedRenames.nonEmpty) {
-      // in-process rollback: originals are all intact, so deleting the
-      // targets that DID land restores the exact pre-call state — a
-      // plain re-run is then safe (the old message said "re-run" while
-      // LEAVING the landed copies, and a re-run would have packed the
-      // duplicates permanently)
-      recoverSwap(fs, path)
-      fs.delete(new Path(tmp), true)
-      throw new java.io.IOException(
-        s"compactSmallFiles: ${failedRenames.size} rename(s) into $path returned " +
-          "false; swap rolled back, table unchanged — safe to re-run: " +
-          failedRenames.map(_._1.getName).mkString(", "))
-    }
-    // journal phase 2: targets are in; recovery now rolls FORWARD
-    writeJournal(fs, path, "deleting", small.map(_.getPath.getName))
-    val failedDeletes = small.map(_.getPath).filterNot(p =>
-      fs.delete(p, false) || !fs.exists(p))
-    if (failedDeletes.nonEmpty)
-      throw new java.io.IOException(
-        s"compactSmallFiles: ${failedDeletes.size} original-file delete(s) returned " +
-          "false; the swap journal remains — the next call (or recoverSwap) rolls " +
-          "the deletes forward: " + failedDeletes.mkString(", "))
-    fs.delete(new Path(path, SwapJournal), false)
+    swapIn(fs, path, renames, small.map(_.getPath), "compactSmallFiles")
     fs.delete(new Path(tmp), true)
     CompactReport(files.size, small.size, renames.size, totalBytes)
   }

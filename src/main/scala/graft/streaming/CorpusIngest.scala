@@ -83,9 +83,25 @@ object CorpusIngest {
     * latest COMMITTED batch is safe: Spark only ever replays the
     * batch after the last committed one, and that replay reads
     * `batch_id < upTo + 1` — the compacted partition verbatim.
-    * Rewrite-then-swap via a dot-prefix
-    * temp dir (invisible to parquet readers); a crash between delete
-    * and rename is recovered by re-running with the same `upTo`. */
+    *
+    * Crash discipline (r9 — the Warehouse SwapJournal argument applied
+    * to directory swaps; the pre-r9 form could rebuild the tmp from a
+    * PARTIALLY-deleted old set after a crash mid-delete, silently and
+    * permanently losing the already-deleted batches' rows): the
+    * rewrite lands in a dot-prefix tmp dir (invisible to parquet
+    * readers), then a COMMIT MARKER file is created, then the olds are
+    * deleted and the tmp renamed in, then the marker is removed.
+    * Recovery at the start of every call is one rule — the marker's
+    * presence says whose copy is authoritative:
+    *  · marker present: the tmp was COMPLETE before the marker was
+    *    written, so delete any remaining olds, rename the tmp in (if
+    *    it has not been renamed yet), drop the marker — ROLL FORWARD;
+    *  · marker absent but a tmp exists: the tmp may be a torn write
+    *    and every old partition is still intact — delete the tmp and
+    *    start over — ROLL BACK.
+    * Readers mid-swap see at least one complete copy of every row
+    * (olds until the delete, the renamed dest after), and re-running
+    * with the same `upTo` after any crash converges. */
   def compactState(spark: org.apache.spark.sql.SparkSession, statePath: String,
       upTo: Long, targetFiles: Int = 1): Unit =
     Seq("corpus", "index", "dups").foreach { sub =>
@@ -93,21 +109,35 @@ object CorpusIngest {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(root)) {
         val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$upTo")
+        val marker = new org.apache.hadoop.fs.Path(root, s".compact_commit_$upTo")
         val dest = new org.apache.hadoop.fs.Path(root, s"batch_id=$upTo")
         def olds() = fs.listStatus(root).toSeq.map(_.getPath)
           .filter { p =>
             val n = p.getName
             n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= upTo
           }
-        if (fs.exists(tmp) && !fs.exists(dest)) {
-          // recover a crash that deleted the olds but missed the swap
-          fs.rename(tmp, dest)
-        } else if (olds().size > 1) {
+        if (fs.exists(marker)) {
+          // roll FORWARD: tmp was complete when the marker was cut
+          olds().foreach(p => fs.delete(p, true))
+          if (fs.exists(tmp) && !fs.rename(tmp, dest))
+            throw new java.io.IOException(s"compactState recovery: rename $tmp -> $dest failed")
+          fs.delete(marker, false)
+        } else if (fs.exists(tmp)) {
+          // roll BACK: no marker means the olds are all intact and the
+          // tmp is possibly torn — discard it
+          fs.delete(tmp, true)
+        }
+        if (olds().size > 1) {
           spark.read.parquet(olds().map(_.toString): _*)
             .repartition(targetFiles)
             .write.mode("overwrite").parquet(tmp.toString)
+          fs.create(marker, true).close() // commit point: tmp is authoritative
           olds().foreach(p => fs.delete(p, true))
-          fs.rename(tmp, dest)
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(
+              s"compactState: rename $tmp -> $dest returned false; the commit marker " +
+                "remains — re-running compactState (same upTo) rolls the swap forward")
+          fs.delete(marker, false)
         }
       }
     }

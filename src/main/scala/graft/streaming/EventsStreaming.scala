@@ -196,10 +196,12 @@ object EventsStreaming {
           val wmMs = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(AsofState(-1L, 0L, 0.0, Nil))
           val all = prev.pending ++ (if (state.hasTimedOut) Nil else batch.toList)
-          // decide everything the watermark has sealed; later arrivals
-          // for these instants would be dropped by Spark anyway, so
-          // the fold order is final
-          val (ripe, stillPending) = all.partition(_.t.getTime <= wmMs)
+          // decide everything the watermark has STRICTLY passed: a row
+          // at exactly the watermark is not late under Spark's filter
+          // and can still arrive in a later micro-batch — sealing
+          // `<= wm` would fold it AFTER an equal-instant row it should
+          // precede under the (t, feature-first, id) order
+          val (ripe, stillPending) = all.partition(_.t.getTime < wmMs)
           var snapT = prev.snapT; var snapN = prev.snapN; var snapV = prev.snapV
           val out = Seq.newBuilder[FeatureAsof]
           ripe.sortBy(e => (e.t.getTime, -e.is_feat, e.event_id)).foreach { e =>
@@ -267,13 +269,19 @@ object EventsStreaming {
       .flatMapGroupsWithState[DebounceState, Event](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, batch: Iterator[Event], state: GroupState[DebounceState]) =>
-          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmSec = wmMs / 1000
           val prev = state.getOption.getOrElse(DebounceState(-1L, Nil))
           val pending = prev.pending ++ batch
-          // decide everything the watermark has sealed, in the batch
-          // fold's exact order (equal seconds are interchangeable
-          // there; event_id makes the streaming order total anyway)
-          val (ripe, stillPending) = pending.partition(_.ts.getTime / 1000 <= wmSec)
+          // decide a SECOND only once the whole second is strictly
+          // below the watermark ((sec+1)*1000 <= wm): the fold runs in
+          // (second, event_id) order, and a second that merely
+          // CONTAINS the watermark can still receive arrivals (a row
+          // at or above the watermark is not late) — sealing it early
+          // would decide a later event_id before an admissible earlier
+          // one, flipping both survivor verdicts vs the batch fold
+          val (ripe, stillPending) =
+            pending.partition(e => (e.ts.getTime / 1000 + 1) * 1000 <= wmMs)
           var lastKept = prev.lastKeptSec
           val out = Seq.newBuilder[Event]
           ripe.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
@@ -294,19 +302,36 @@ object EventsStreaming {
       }
   }
 
+  case class SessionBufState(hasOpen: Boolean, start: Long, end: Long,
+      n: Long, value: Double, pending: List[Event])
+
   /** Gap-based sessionization via flatMapGroupsWithState — streaming
     * twin of the batch `sessionize` query (30-minute gap).
     *
-    * A session is emitted when a newer event passes the gap, OR when
-    * the event-time watermark passes `session_end + gap` — the state
-    * entry is then REMOVED, so an idle user cannot pin state forever
-    * (with NoTimeout, billions of one-visit users would grow the state
-    * store without bound). Input rows older than the watermark are
-    * dropped by Spark before reaching the function, so a session's
-    * bounds can only move forward. `watermarkDelay` is the allowed
-    * out-of-orderness; timeouts fire only once the watermark advances
-    * past end + gap, so every gap the batch query would see is
-    * honored. */
+    * The gap fold is ORDER-SENSITIVE (an event either extends the open
+    * session or closes it and starts the next — which, depends on
+    * everything before it), so arrivals BUFFER in state and are folded
+    * only once the event-time watermark has STRICTLY passed them — the
+    * [[debounce]]/[[asofFeatureJoin]] discipline. The pre-r9 form
+    * folded each micro-batch immediately: an admissible out-of-order
+    * arrival (newer than the watermark, older than the last folded
+    * event) then landed in the WRONG session — e.g. gap 30m, events
+    * 10:00 then 10:45 folded eagerly close [10:00,10:00] while the
+    * watermark still admits a 10:20 arrival, which the batch query
+    * puts in the FIRST session but the eager fold glued to 10:45.
+    * Sealed-then-fold makes every decision final only when Spark can
+    * no longer admit an earlier row (seal is STRICT `< watermark`:
+    * boundary rows at exactly the watermark can still arrive).
+    *
+    * A closed session is emitted when a SEALED event passes the gap —
+    * no pending (unsealed) arrival can contradict that close, because
+    * any pending ts ≥ watermark > the sealed closer, which is itself
+    * past the gap — or when the watermark passes `end + gap` (no
+    * admissible arrival can extend it). State is then pruned, and an
+    * idle user cannot pin state forever: the timeout wakes at the
+    * earliest of (oldest pending + 1) and (end + gap + 1) to seal /
+    * close, and an empty state is removed. The buffer is bounded by
+    * the watermark delay × the user's own event rate. */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int = 30,
@@ -317,41 +342,49 @@ object EventsStreaming {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBufState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end + gap with no newer events: the
-            // session can never be extended — emit it and DROP state
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value))
-          } else {
-            // events arrive unordered within the batch: sort locally (per
-            // key, bounded by batch size), then fold through the gap rule.
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val out = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end > gapMs =>
-                  out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionBufState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(SessionBufState(false, 0L, 0L, 0L, 0.0, Nil))
+          val all = prev.pending ++ (if (state.hasTimedOut) Nil else batch.toList)
+          val (ripe, stillPending) = all.partition(_.ts.getTime < wmMs)
+          var open: Option[SessionState] =
+            if (prev.hasOpen) Some(SessionState(prev.start, prev.end, prev.n, prev.value))
+            else None
+          val out = Seq.newBuilder[Session]
+          ripe.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.end > gapMs =>
+                out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+                open = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
+              case None =>
+                open = Some(SessionState(t, t, 1, e.value))
             }
-            cur.foreach { s =>
-              state.update(s)
-              // evict once no in-gap continuation can still arrive
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            out.result().iterator
           }
+          // close once NO admissible arrival can extend: extenders have
+          // ts ≤ end + gap, possible only while watermark ≤ end + gap
+          open match {
+            case Some(s) if wmMs > s.end + gapMs =>
+              out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+              open = None
+            case _ => ()
+          }
+          if (open.isEmpty && stillPending.isEmpty) {
+            state.remove()
+          } else {
+            state.update(SessionBufState(open.isDefined,
+              open.map(_.start).getOrElse(0L), open.map(_.end).getOrElse(0L),
+              open.map(_.n).getOrElse(0L), open.map(_.value).getOrElse(0.0),
+              stillPending))
+            val wake = (stillPending.map(_.ts.getTime + 1) ++
+              open.map(_.end + gapMs + 1)).min
+            state.setTimeoutTimestamp(math.max(wake, wmMs + 1))
+          }
+          out.result().iterator
       }
   }
 }

@@ -93,6 +93,49 @@ class CorpusIngestSpec extends SparkSuite {
     assert(Seq("corpus", "index", "dups").map(content).head === before.head)
   }
 
+  test("compaction survives a crash mid-delete without losing state rows") {
+    // the r9 regression case: a crash AFTER some olds were deleted but
+    // BEFORE the swap used to make the re-run rebuild the tmp from the
+    // PARTIAL remnant — silently and permanently dropping the deleted
+    // batches' rows (and with them the dedup guarantees the index
+    // provides). The commit-marker protocol must roll FORWARD from the
+    // complete tmp instead.
+    val st = state()
+    CorpusIngest.ingestBatch(docsDf(1L -> texts(1), 2L -> texts(2)), 0L, st)
+    CorpusIngest.ingestBatch(docsDf(3L -> texts(3)), 1L, st)
+    CorpusIngest.ingestBatch(docsDf(4L -> texts(4)), 2L, st)
+    def content(sub: String) = readState(st, sub).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val before = Seq("corpus", "index", "dups").map(content)
+
+    // hand-construct the crash state for `corpus`: complete tmp +
+    // commit marker written, batch_id=0 already deleted, swap missing
+    val root = s"$st/corpus"
+    spark.read.parquet(s"$root/batch_id=0", s"$root/batch_id=1", s"$root/batch_id=2")
+      .repartition(1).write.parquet(s"$root/.compact_tmp_2")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, ".compact_commit_2"))
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete()
+    }
+    rmrf(new java.io.File(s"$root/batch_id=0"))
+
+    CorpusIngest.compactState(spark, st, upTo = 2L)
+    assert(Seq("corpus", "index", "dups").map(content) === before,
+      "recovery must restore every row from the complete tmp")
+    assert(!new java.io.File(s"$root/.compact_commit_2").exists())
+    assert(!new java.io.File(s"$root/.compact_tmp_2").exists())
+
+    // the OTHER crash shape: a torn tmp with NO marker (crash during
+    // the tmp write) — olds are intact, the junk must be discarded
+    val iroot = s"$st/index"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(iroot, ".compact_tmp_2"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(iroot, ".compact_tmp_2", "part-junk"), "torn")
+    CorpusIngest.compactState(spark, st, upTo = 2L)
+    assert(Seq("corpus", "index", "dups").map(content) === before)
+    assert(!new java.io.File(s"$iroot/.compact_tmp_2").exists())
+  }
+
   test("restart from the checkpoint replays the crashed batch; corpus and index stay exactly-once") {
     // the operational question the events sink already answers, asked
     // of the dedup ingest: kill the stream in the window between the

@@ -428,9 +428,7 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
-    // a huge watermark delay disables timeouts: this test isolates the
-    // GAP rule (timeout emission is covered by the tests below)
-    val q = EventsStreaming.sessionize(input.toDS(), 30, "3650 days")
+    val q = EventsStreaming.sessionize(input.toDS(), 30, "30 minutes")
       .writeStream.outputMode("append").format("memory").queryName("sessions_eq").start()
 
     val events = graft.sources.Tables.events(spark, sf0001)
@@ -438,26 +436,56 @@ class StreamingSpec extends SparkSuite {
       .as[Event].collect()
     input.addData(events.toSeq)
     q.processAllAvailable()
+    // sentinel beyond every event + delay + gap: the watermark passes
+    // every session's end + gap, so EVERY batch session (finals
+    // included) must seal, close, and flush
+    val mx = events.map(_.ts.getTime).max
+    input.addData(Event(-1L, new Timestamp(mx + 86400000L), 999999999L, "view", 0.0))
+    q.processAllAvailable()
     q.stop()
 
-    // streaming emits only CLOSED sessions; each user's final session
-    // stays open in state — compare against batch minus last-per-user.
     val batch = SparkEntry.queries("sessionize")(spark, sf0001)
-    val lastPerUser = batch.groupBy("user_id")
-      .agg(max(col("session_id")).as("last_id"))
-    val closedBatch = batch.join(lastPerUser, "user_id")
-      .filter(col("session_id") =!= col("last_id"))
     val got = spark.table("sessions_eq")
+      .filter(col("user_id") =!= 999999999L)
       .select(col("user_id"),
         graft.functions.Portable.fmtTs(col("session_start")).as("session_start"),
         graft.functions.Portable.fmtTs(col("session_end")).as("session_end"),
         col("n_events"))
       .orderBy("user_id", "session_start").collect()
-    val want = closedBatch
+    val want = batch
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       .orderBy("user_id", "session_start").collect()
     assert(got.length === want.length)
     got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("sessionize folds an admissible out-of-order arrival into the batch session") {
+    // the r9 regression case: the pre-buffering fold processed each
+    // micro-batch eagerly, so events 10:00 then 10:45 closed
+    // [10:00,10:00] while the watermark (10:15) still admitted a 10:20
+    // arrival — which the batch query BRIDGES into one session
+    // [10:00,10:45] (10:20→10:45 is inside the gap). The sealed-fold
+    // must produce exactly that single bridged session.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(input.toDS(), 30, "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions_ooo").start()
+    input.addData(Event(1, ts(0), 7, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(2, ts(45), 7, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(20), 7, "click", 1.0)) // admissible: wm is ts(15)
+    q.processAllAvailable()
+    input.addData(Event(99, ts(300), 8, "view", 1.0)) // flush sentinel
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_ooo").as[EventsStreaming.Session].collect()
+      .filter(_.user_id == 7L)
+    assert(got.length === 1,
+      s"expected the one bridged batch session, got ${got.toSeq}")
+    assert(got(0).session_start === ts(0) && got(0).session_end === ts(45))
+    assert(got(0).n_events === 3L)
   }
 
   test("streaming sessionize with timeouts emits only true batch sessions, including finals") {
@@ -471,6 +499,11 @@ class StreamingSpec extends SparkSuite {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event].collect()
     input.addData(events.toSeq)
+    q.processAllAvailable()
+    // advance the watermark far enough that timeouts close the FINAL
+    // sessions the gap rule alone never reaches
+    val mx = events.map(_.ts.getTime).max
+    input.addData(Event(-1L, new Timestamp(mx + 86400000L), 999999999L, "view", 0.0))
     q.processAllAvailable()
     q.stop()
 
@@ -486,6 +519,7 @@ class StreamingSpec extends SparkSuite {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       .collect().map(key).toSet
     val got = spark.table("sessions_to")
+      .filter(col("user_id") =!= 999999999L)
       .select(col("user_id"),
         graft.functions.Portable.fmtTs(col("session_start")).as("session_start"),
         graft.functions.Portable.fmtTs(col("session_end")).as("session_end"),
@@ -548,11 +582,20 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     assert(spark.table("sessions").count() === 0) // nothing closed yet
 
-    // batch 2: 50 min later → closes session 1, opens session 2
+    // batch 2: 50 min later → the gap will close session 1 once the
+    // watermark seals it (nothing emits yet: wm is only ts(30))
     input.addData(Event(3, ts(60), 7, "view", 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() === 0)
+
+    // batch 3: another user's event drags the watermark to ts(90) —
+    // past session 1's end(10) + gap(30) — sealing ts(60) and closing
+    // session 1; session 2 ([60,60]) stays open (wm is not > 60+30)
+    input.addData(Event(4, ts(120), 8, "view", 1.0))
     q.processAllAvailable()
     q.stop()
     val sessions = spark.table("sessions").as[EventsStreaming.Session].collect()
+      .filter(_.user_id == 7L)
     assert(sessions.length === 1)
     val s = sessions(0)
     assert(s.user_id === 7L)
@@ -583,6 +626,43 @@ class StreamingSpec extends SparkSuite {
     val kept = spark.table("deb_ooo").as[Event].collect()
       .filter(_.user_id == 7L).map(_.event_id).sorted
     assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("debounce does not seal the watermark's own second early") {
+    // the r9 boundary regression: the old seal rule decided any event
+    // whose FLOORED second was <= floor(wm/1000) — an event up to
+    // 999 ms NEWER than the watermark. A same-second, lower-id arrival
+    // in a later micro-batch (admissible: its ts is above the
+    // watermark) then folded AFTER the already-decided event, flipping
+    // both survivor verdicts vs the batch (second, id) order. A second
+    // may only seal once it lies ENTIRELY below the watermark.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val input = MemoryStream[Event]
+    val q = EventsStreaming.debounce(input.toDS(), gapSec = 300, watermarkDelaySec = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("deb_sec").start()
+    // batch 1: user 7's id=7 at base+10.9s; a sentinel pins the
+    // watermark at exactly base+10.5s — INSIDE id=7's second
+    input.addData(
+      Event(7, new Timestamp(base + 10900), 7, "click", 1.0),
+      Event(90, new Timestamp(base + 10500 + 1800000L), 8, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: an unrelated trigger (watermark unchanged) — the old
+    // rule sealed and KEPT id=7 here; the fixed rule must hold it
+    input.addData(Event(91, new Timestamp(base + 10500 + 1800000L), 9, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: id=3 lands in the SAME second, 300 ms above the
+    // watermark — admissible, and first in (second, id) order
+    input.addData(Event(3, new Timestamp(base + 10600), 7, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(92, new Timestamp(base + 86400000L), 10, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("deb_sec").as[Event].collect()
+      .filter(_.user_id == 7L).map(_.event_id)
+    assert(kept.toSeq === Seq(3L),
+      s"the batch fold keeps the lowest id in the second; got ${kept.toSeq}")
   }
 
   test("streaming debounce agrees with the batch events_debounce query on real events") {
