@@ -981,7 +981,7 @@ object Similarity {
        |kk AS (SELECT GREATEST($NumCentroids, CAST(ceil(COUNT(*) / ${TargetCellSize}.0) AS BIGINT)) AS k
        |       FROM embeddings),
        |gg AS (SELECT GREATEST(4, MIN(CAST(1 AS BIGINT) << p.p)) AS g
-       |       FROM generate_series(0, 15) p(p)
+       |       FROM generate_series(0, 31) p(p)
        |       WHERE ((CAST(1 AS BIGINT) << p.p) * (CAST(1 AS BIGINT) << p.p)) >= (SELECT k FROM kk)),
        |c AS (SELECT vec_id AS cid, v AS cv FROM (
        |   SELECT e.vec_id, e.v,

@@ -91,17 +91,24 @@ object CorpusIngest {
     * rewrite lands in a dot-prefix tmp dir (invisible to parquet
     * readers), then a COMMIT MARKER file is created, then the olds are
     * deleted and the tmp renamed in, then the marker is removed.
-    * Recovery at the start of every call is one rule — the marker's
-    * presence says whose copy is authoritative:
-    *  · marker present: the tmp was COMPLETE before the marker was
-    *    written, so delete any remaining olds, rename the tmp in (if
-    *    it has not been renamed yet), drop the marker — ROLL FORWARD;
-    *  · marker absent but a tmp exists: the tmp may be a torn write
-    *    and every old partition is still intact — delete the tmp and
-    *    start over — ROLL BACK.
+    * Recovery at the start of every call heals EVERY marker/tmp found
+    * under the root — not just the current `upTo`'s (a crash mid-swap
+    * at upTo' followed by a call at a larger upTo must first finish
+    * the upTo' swap, or the rebuild would read a partially-deleted old
+    * set). One rule per id — the marker's presence says whose copy is
+    * authoritative:
+    *  · marker present, tmp present: the tmp was COMPLETE before the
+    *    marker was written — delete the olds, rename the tmp in, drop
+    *    the marker — ROLL FORWARD;
+    *  · marker present, tmp ABSENT: the rename already happened and
+    *    only the marker delete was lost — `batch_id=id` IS the
+    *    committed (possibly only) copy; delete the other olds and
+    *    drop the marker, never the dest;
+    *  · tmp with no marker: the tmp may be a torn write and every old
+    *    partition is still intact — delete the tmp — ROLL BACK.
     * Readers mid-swap see at least one complete copy of every row
     * (olds until the delete, the renamed dest after), and re-running
-    * with the same `upTo` after any crash converges. */
+    * with ANY `upTo` after any crash converges. */
   def compactState(spark: org.apache.spark.sql.SparkSession, statePath: String,
       upTo: Long, targetFiles: Int = 1): Unit =
     Seq("corpus", "index", "dups").foreach { sub =>
@@ -116,17 +123,7 @@ object CorpusIngest {
             val n = p.getName
             n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= upTo
           }
-        if (fs.exists(marker)) {
-          // roll FORWARD: tmp was complete when the marker was cut
-          olds().foreach(p => fs.delete(p, true))
-          if (fs.exists(tmp) && !fs.rename(tmp, dest))
-            throw new java.io.IOException(s"compactState recovery: rename $tmp -> $dest failed")
-          fs.delete(marker, false)
-        } else if (fs.exists(tmp)) {
-          // roll BACK: no marker means the olds are all intact and the
-          // tmp is possibly torn — discard it
-          fs.delete(tmp, true)
-        }
+        recoverSwaps(fs, root)
         if (olds().size > 1) {
           spark.read.parquet(olds().map(_.toString): _*)
             .repartition(targetFiles)
@@ -141,6 +138,48 @@ object CorpusIngest {
         }
       }
     }
+
+  /** Heal every interrupted swap under `root`, whatever `upTo` it was
+    * started with (see the crash-discipline note on [[compactState]]).
+    * Keyed by the id embedded in the marker/tmp names; the marker is
+    * the commit point, and a marker surviving the rename means
+    * `batch_id=id` is the committed — possibly only — copy, so the
+    * roll-forward must never delete it. */
+  private def recoverSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(root).toSeq.map(_.getPath)
+    def ids(prefix: String) = entries
+      .filter(_.getName.startsWith(prefix))
+      .map(_.getName.stripPrefix(prefix).toLong)
+    val markerIds = ids(".compact_commit_")
+    markerIds.foreach { id =>
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$id")
+      val marker = new org.apache.hadoop.fs.Path(root, s".compact_commit_$id")
+      val dest = new org.apache.hadoop.fs.Path(root, s"batch_id=$id")
+      val olds = fs.listStatus(root).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith("batch_id=") && n.stripPrefix("batch_id=").toLong <= id
+      }
+      if (fs.exists(tmp)) {
+        // roll FORWARD: tmp was complete when the marker was cut
+        olds.foreach(p => fs.delete(p, true))
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(
+            s"compactState recovery: rename $tmp -> $dest failed")
+      } else {
+        // rename already done; only the marker delete was lost — dest
+        // holds the committed rows, clear any stragglers around it
+        olds.filterNot(_.getName == dest.getName).foreach(p => fs.delete(p, true))
+      }
+      fs.delete(marker, false)
+    }
+    // tmps with NO marker are torn writes; every old is intact — discard
+    val committed = markerIds.toSet
+    entries.filter { p =>
+      p.getName.startsWith(".compact_tmp_") &&
+        !committed.contains(p.getName.stripPrefix(".compact_tmp_").toLong)
+    }.foreach(p => fs.delete(p, true))
+  }
 
   /** Start the ingestion stream over a (doc_id, text) source. */
   def start(docs: DataFrame, statePath: String, checkpoint: String): StreamingQuery =

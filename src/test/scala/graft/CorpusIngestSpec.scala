@@ -136,6 +136,69 @@ class CorpusIngestSpec extends SparkSuite {
     assert(!new java.io.File(s"$iroot/.compact_tmp_2").exists())
   }
 
+  test("a marker surviving the rename never deletes the committed copy") {
+    // r10 regression (ADVICE high): crash AFTER rename(tmp, dest) but
+    // BEFORE the marker delete leaves marker present, tmp gone, and
+    // dest as the ONLY copy. The old roll-forward deleted every
+    // batch_id <= upTo — including dest — permanently losing all rows.
+    val st = state()
+    CorpusIngest.ingestBatch(docsDf(1L -> texts(1), 2L -> texts(2)), 0L, st)
+    CorpusIngest.ingestBatch(docsDf(3L -> texts(3)), 1L, st)
+    def content(sub: String) = readState(st, sub).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val before = Seq("corpus", "index", "dups").map(content)
+    CorpusIngest.compactState(spark, st, upTo = 1L) // completes cleanly
+    // re-create the marker in every table root: exactly the
+    // crash-between-rename-and-marker-delete window
+    Seq("corpus", "index", "dups").foreach { sub =>
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$st/$sub", ".compact_commit_1"))
+    }
+    CorpusIngest.compactState(spark, st, upTo = 1L)
+    assert(Seq("corpus", "index", "dups").map(content) === before,
+      "dest is the committed copy — recovery must keep it, not delete it")
+    Seq("corpus", "index", "dups").foreach { sub =>
+      assert(!new java.io.File(s"$st/$sub/.compact_commit_1").exists())
+      assert(new java.io.File(s"$st/$sub/batch_id=1").exists())
+    }
+  }
+
+  test("a stale marker from an EARLIER upTo is healed before a larger compaction") {
+    // r10 regression (ADVICE medium): crash mid-delete during
+    // compactState(upTo=1) — tmp_1 complete, marker_1 cut, batch_id=0
+    // already deleted — followed by compactState(upTo=2). The old code
+    // only looked for upTo=2's marker/tmp, so the rebuild read the
+    // partially-deleted old set and silently dropped batch 0's rows.
+    val st = state()
+    CorpusIngest.ingestBatch(docsDf(1L -> texts(1), 2L -> texts(2)), 0L, st)
+    CorpusIngest.ingestBatch(docsDf(3L -> texts(3)), 1L, st)
+    CorpusIngest.ingestBatch(docsDf(4L -> texts(4)), 2L, st)
+    def content(sub: String) = readState(st, sub).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val before = Seq("corpus", "index", "dups").map(content)
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete()
+    }
+    // hand-construct the upTo=1 crash in `corpus`
+    val root = s"$st/corpus"
+    spark.read.parquet(s"$root/batch_id=0", s"$root/batch_id=1")
+      .repartition(1).write.parquet(s"$root/.compact_tmp_1")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, ".compact_commit_1"))
+    rmrf(new java.io.File(s"$root/batch_id=0"))
+
+    CorpusIngest.compactState(spark, st, upTo = 2L)
+    assert(Seq("corpus", "index", "dups").map(content) === before,
+      "the stale upTo=1 swap must roll forward before the upTo=2 rebuild reads olds")
+    assert(!new java.io.File(s"$root/.compact_commit_1").exists())
+    assert(!new java.io.File(s"$root/.compact_tmp_1").exists())
+    // everything <= 2 now sits in one partition per table
+    Seq("corpus", "index", "dups").foreach { sub =>
+      val dirs = new java.io.File(s"$st/$sub").listFiles()
+        .count(_.getName.startsWith("batch_id="))
+      assert(dirs === 1, s"$sub should hold exactly batch_id=2 after compaction")
+    }
+  }
+
   test("restart from the checkpoint replays the crashed batch; corpus and index stay exactly-once") {
     // the operational question the events sink already answers, asked
     // of the dedup ingest: kill the stream in the window between the
