@@ -51,11 +51,26 @@ object Graph {
     * known ancestors, so covered chain distance doubles per round —
     * `rounds` rounds reach depth 2^rounds exactly. Each round is one
     * keyed self-join + distinct, localCheckpoint'd so lineage stays
-    * flat and superseded rounds free their storage. */
+    * flat and superseded rounds free their storage.
+    *
+    * `rounds` is a BUDGET, not a schedule: the closure grows
+    * monotonically, so an unchanged pair count after a round means
+    * the fixpoint was reached and the remaining rounds would be
+    * no-op self-joins — exit instead. The count reads the
+    * just-materialized stage (no extra compute), and on a shallow
+    * tree (depth d needs only ceil(log2 d) + 1 rounds) this halves
+    * the serial job chain; the truncation contract is unchanged —
+    * data deeper than 2^rounds still exhausts the budget and is
+    * caught by [[closureComplete]]. */
   def ancestorClosure(edges: DataFrame, rounds: Int): DataFrame = {
     var closure = edges.stage()
-    for (_ <- 1 to rounds) {
+    var size = closure.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       closure = closure.unionByName(jump(closure)).distinct().stage()
+      val grown = closure.count()
+      converged = grown == size
+      size = grown
     }
     closure
   }
@@ -64,6 +79,57 @@ object Graph {
     closure.as("x")
       .join(closure.as("y"), col("x.anc") === col("y.node"))
       .select(col("x.node").as("node"), col("y.anc").as("anc"))
+
+  /** Pointer-JUMPING path rollup for a single-parent edge set (a
+    * forest: every node has at most one `anc`) — the scale form of
+    * [[ancestorClosure]] when only per-node aggregates of the chain
+    * are wanted, not the pair set. The closure materializes N·depth
+    * rows and re-shuffles all of them every round; here each node
+    * carries a 4-field state — `ptr` (the furthest ancestor reached,
+    * i.e. ancestor #depth), `depth` (ancestors covered), `mn` (min
+    * ancestor covered) — and a round substitutes ptr's OWN state
+    * (one N-row self-join, no distinct), doubling the covered
+    * segment. State stays N rows at every round, so at 100 TB the
+    * per-round shuffle is the node table, not the closure.
+    *
+    * Exits as soon as a round moves no pointer (every chain hit a
+    * root — fixpoint); `rounds` bounds the worst case exactly like
+    * the closure budget (coverage 2^rounds), and the same loud-
+    * failure contract applies: [[forestComplete]] is true iff no
+    * ptr is still an internal node. On completion `ptr` IS the
+    * root; `mn` equals it when parent ids decrease along chains
+    * (this repo's synthesized trees) but stays correct as "min
+    * ancestor" for arbitrary id orders. */
+  def forestRollup(edges: DataFrame, rounds: Int): DataFrame = {
+    var state = edges.select(col("node"), col("anc").as("ptr"),
+      lit(1L).as("depth"), col("anc").as("mn")).stage()
+    var moved = 1L
+    var r = 0
+    while (moved > 0 && r < rounds) {
+      val t = state.select(col("node").as("t_node"), col("ptr").as("t_ptr"),
+        col("depth").as("t_depth"), col("mn").as("t_mn"))
+      val next = state.join(t, col("ptr") === col("t_node"), "left")
+        .select(col("node"),
+          coalesce(col("t_ptr"), col("ptr")).as("ptr"),
+          (col("depth") + coalesce(col("t_depth"), lit(0L))).as("depth"),
+          least(col("mn"), coalesce(col("t_mn"), col("mn"))).as("mn"),
+          col("t_node").isNotNull.as("moved"))
+        .stage()
+      moved = next.filter(col("moved")).count()
+      state = next.drop("moved")
+      r += 1
+    }
+    state
+  }
+
+  /** True iff [[forestRollup]]'s budget covered every chain: a ptr
+    * still present in the edge set's `node` column is an internal
+    * node whose segment was truncated. Same cost order as one round. */
+  def forestComplete(state: DataFrame, edges: DataFrame): Boolean =
+    state.select(col("ptr")).as("s")
+      .join(edges.select(col("node")).as("en"),
+        col("s.ptr") === col("en.node"), "left_semi")
+      .isEmpty
 
   /** The DEPTH CONTRACT made checkable: true iff the closure is a
     * fixpoint (one more jump adds no pair), i.e. every chain fit
@@ -233,22 +299,20 @@ object Graph {
     // lacks natively): every part hangs in a synthesized quaternary
     // tree (parent = partkey div 4, roots 1..3), and the query rolls
     // subtree size, subtree retail value, and max depth up to each
-    // root. The engine answer to recursion is POINTER DOUBLING on the
-    // ancestor closure: round r extends every known (node, ancestor)
-    // pair with the ancestor's own known ancestors, so covered depth
-    // doubles per round — 5 rounds reach depth 2⁵ = 32, i.e. 4³² keys
-    // in this tree, unconditionally enough (the dedup_clusters
-    // fixed-round argument; each round is one keyed self-join +
-    // distinct, localCheckpoint'd so lineage stays flat and
-    // superseded rounds free). Closure size is N·depth — the
-    // log-depth materialization a sequential parent-walk (depth
-    // keyed joins) would spread over ~9 serial rounds at this SF.
+    // root. The engine answer to recursion is POINTER JUMPING
+    // ([[forestRollup]], r10 — the tree is single-parent, so per-node
+    // (ptr, depth, min-anc) state replaces the N·depth pair closure):
+    // each round substitutes ptr's own state, covered depth doubles,
+    // state stays N rows, and the loop EXITS as soon as a round moves
+    // no pointer — the test-SF tree pays ceil(log2 depth)+1 rounds of
+    // a budget of 5 (coverage 2⁵ = 32 levels = 4³² keys, the
+    // dedup_clusters fixed-round argument). [[ancestorClosure]]
+    // remains the operator for multi-parent ancestor SETS; its
+    // budget-truncation contract carries over here as
+    // [[forestComplete]] (spec-proven to flag a depth-40 chain under
+    // 5 rounds and clear it under 6).
     // The oracle is DuckDB's native WITH RECURSIVE walking each
     // node's parent chain — recursion semantics proven, not imitated.
-    // The round budget is a CONTRACT, not a hope: [[closureComplete]]
-    // is the fixpoint check a deployment on unknown-depth data runs
-    // after the fixed rounds (spec-proven to flag a depth-40 chain
-    // under 5 rounds and clear it under 6).
     // Depth-0 roots keep themselves (left join + coalesce); min(anc)
     // IS the root because parents strictly decrease along the chain.
     QueryDef(
@@ -272,9 +336,12 @@ object Graph {
       val edges = part
         .select(col("node"), expr("node div 4").as("anc"))
         .filter(col("anc") >= 1)
-      val closure = ancestorClosure(edges, 5)
-      val pa = closure.groupBy(col("node"))
-        .agg(min(col("anc")).as("root"), countAll.as("depth"))
+      // single-parent tree → the N-rows-per-round pointer-jumping
+      // rollup, not the N·depth closure (ancestorClosure remains the
+      // operator for genuinely multi-parent ancestor sets); min-anc
+      // and chain length come straight off the rolled state
+      val pa = forestRollup(edges, 5)
+        .select(col("node"), col("mn").as("root"), col("depth"))
       part.join(pa, Seq("node"), "left")
         .select(
           coalesce(col("root"), col("node")).as("root"),

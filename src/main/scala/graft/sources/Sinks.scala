@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{BooleanType, StringType, StructField, StructType}
 
 /** Sinks mirroring the reference's load side (SURVEY.md §2.1 R7–R9):
   *
@@ -31,6 +32,26 @@ object Sinks {
     df.select(courseColumns.map(df.col): _*)
       .write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** The pinned 15-column type layout of the course CSV: every column
+    * a string except the two booleans the flatten projects as typed —
+    * exactly what landing the reference's CSV into a typed table
+    * should recover. */
+  val courseCsvSchema: StructType = StructType(courseColumns.map {
+    case n @ ("is_part_of_coursera_plus" | "is_pathway_content") =>
+      StructField(n, BooleanType)
+    case n => StructField(n, StringType)
+  })
+
+  /** R7-load, production form — explicit-schema CSV read-back: one
+    * scan, no inference pass (the 100 TB rule the inferred variant's
+    * Scaladoc states), types pinned so upstream drift surfaces as
+    * parse nulls instead of a silently retyped table. */
+  def readCourseCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(courseCsvSchema)
+      .csv(path)
 
   /** R7-load — the warehouse's schema-inferred CSV read-back: the twin
     * of the reference's BigQuery `autodetect=True, skip_leading_rows=1`

@@ -859,6 +859,45 @@ class QueriesSpec extends SparkSuite {
     assert(got === (1L to 40L).map(n => n -> ((0L, n))).toMap)
   }
 
+  test("forest rollup: same contract as the closure, N-row state, early exit at the fixpoint") {
+    import spark.implicits._
+    // same adversarial chain as the closure test: 0 ← 1 ← … ← 40
+    val edges = (1L to 40L).map(n => (n, n - 1L)).toDF("node", "anc")
+    val five = graft.operators.Graph.forestRollup(edges, 5)
+    assert(!graft.operators.Graph.forestComplete(five, edges),
+      "a depth-40 chain must NOT satisfy the 5-round rollup budget")
+    // coverage boundary is exactly 2^rounds: node 40 covered its 32
+    // nearest ancestors, ptr parked at 8 (still internal)
+    val s40 = five.filter(col("node") === 40L).head
+    assert(s40.getAs[Long]("depth") === 32L)
+    assert(s40.getAs[Long]("ptr") === 8L)
+    assert(s40.getAs[Long]("mn") === 8L)
+    // one more round clears the contract and yields the true walk
+    val six = graft.operators.Graph.forestRollup(edges, 6)
+    assert(graft.operators.Graph.forestComplete(six, edges))
+    val got = six.collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("ptr"), r.getAs[Long]("mn"), r.getAs[Long]("depth")))).toMap
+    assert(got === (1L to 40L).map(n => n -> ((0L, 0L, n))).toMap)
+    // early exit: a generous budget costs only the fixpoint rounds —
+    // the result is identical, not over-iterated garbage
+    val twenty = graft.operators.Graph.forestRollup(edges, 20)
+    assert(twenty.collect().map(_.toSeq).toSet === six.collect().map(_.toSeq).toSet)
+    // and on the part tree it must agree with the pair-closure form
+    val pe = graft.sources.Tables.part(spark, sf0001)
+      .select(col("p_partkey").cast("long").as("node"))
+      .select(col("node"), expr("node div 4").as("anc"))
+      .filter(col("anc") >= 1)
+    val viaClosure = graft.operators.Graph.ancestorClosure(pe, 5)
+      .groupBy(col("node"))
+      .agg(min(col("anc")).as("root"), count(lit(1)).as("depth"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaRollup = graft.operators.Graph.forestRollup(pe, 5)
+      .select(col("node"), col("mn"), col("depth"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaRollup === viaClosure)
+  }
+
   test("events_twap matches a driver-side step-function integral per user") {
     val got = SparkEntry.queries("events_twap")(spark, sf0001).collect()
       .map(r => r.getAs[Long]("user_id") ->

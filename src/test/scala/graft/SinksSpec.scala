@@ -38,6 +38,40 @@ class SinksSpec extends SparkSuite {
     assert(back.filter(col("is_part_of_coursera_plus")).count() === wrote)
   }
 
+  test("R7: pinned-schema read-back round-trips the sink cell-for-cell") {
+    val dir = tmp()
+    val df = CourseFlatten.flatten(CourseFlatten.nestedCollections(spark, sf0001))
+    Sinks.writeCourseCsv(df, s"$dir/csv")
+    val back = Sinks.readCourseCsv(spark, s"$dir/csv")
+    assert(back.schema === Sinks.courseCsvSchema)
+    // CSV cannot carry NULL-vs-'' — normalize identically on both
+    // sides (same rule the flatten_csv_file oracle applies); cast all
+    // to string so the typed flatten and the pinned read compare
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select(Sinks.courseColumns.map(c =>
+        coalesce(col(c).cast("string"), lit("")).as(c)): _*)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(norm(back) === norm(df),
+      "every cell — including ', '-quoted partner lists — must survive write+read")
+  }
+
+  test("R7: the committed CSV fixture rewrites only on drift, back to canonical bytes") {
+    val p = java.nio.file.Paths.get(CourseFlatten.CsvFixturePath)
+    CourseFlatten.writeCsvFixture(spark)
+    val canonical = java.nio.file.Files.readAllBytes(p)
+    // unchanged content → untouched file (concurrent sessions read, not write)
+    val old = java.nio.file.attribute.FileTime.fromMillis(1000000L)
+    java.nio.file.Files.setLastModifiedTime(p, old)
+    CourseFlatten.writeCsvFixture(spark)
+    assert(java.nio.file.Files.getLastModifiedTime(p) === old,
+      "identical bytes must not be rewritten")
+    // drifted content (a sink behavior change would look like this) →
+    // restored to the sink's canonical output
+    java.nio.file.Files.write(p, "junk\n".getBytes("UTF-8"))
+    CourseFlatten.writeCsvFixture(spark)
+    assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(p), canonical))
+  }
+
   test("R8 negative: autodetect type drift between batches refuses the append") {
     // The BigQuery-autodetect failure mode (transform/main.py:63-65):
     // batch 1's course_count is all-numeric → inferred integral;
