@@ -502,6 +502,42 @@ object Dedup {
       |  SELECT e.d, w.label FROM walk w JOIN e ON e.s = w.doc_id AND w.label < e.d),
       |comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id)""".stripMargin
 
+  /** dedup_audit's in-plan collapse floors (Gates.floors; r9 verdict
+    * #3): precision is STRUCTURAL — detected pairs are exact-verified
+    * at the same threshold the truth uses, so anything under 1.0 is a
+    * pipeline bug, enforced exactly; recall 0.5 sits under the
+    * measured 1.0 at both verify SFs (tiny 2-5-pair truth sets — one
+    * legitimately capped borderline pair must not redden a round) and
+    * far above a dead candidate stage's 0. Tight per-scale recall
+    * floors live in ScaleSpec. */
+  private[graft] val AuditRecallFloor = 0.5
+
+  /** dedup_audit's scored tail over (sample, truth pairs, detected
+    * pairs) — separated so the gate spec can drive the identical
+    * gated plan with a degraded detector and prove the job dies. */
+  private[graft] def dedupAuditFrame(sample: DataFrame, truth: DataFrame,
+      detS: DataFrame): DataFrame = {
+    import graft.functions.Portable.quant6
+    // intersect is POSITIONAL — re-project both sides to (da, db)
+    val tp = truth.select(col("da"), col("db"))
+      .intersect(detS.select(col("da"), col("db")))
+    val res = sample.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth_pairs"))))
+      .crossJoin(broadcast(detS.agg(count(lit(1)).as("n_detected"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_true_pos"))))
+      .select(col("n_sample"), col("n_truth_pairs"), col("n_detected"),
+        col("n_true_pos"),
+        quant6(col("n_true_pos").cast("double")
+          / nullif(col("n_detected").cast("double"), lit(0.0))).as("precision"),
+        quant6(col("n_true_pos").cast("double")
+          / nullif(col("n_truth_pairs").cast("double"), lit(0.0))).as("recall"))
+    graft.functions.Gates.floors(res,
+      (col("n_detected") === 0 || col("precision") >= 1.0,
+        graft.functions.Gates.msg("dedup_audit", "precision", 1.0, col("precision"))),
+      (col("n_truth_pairs") === 0 || col("recall") >= AuditRecallFloor,
+        graft.functions.Gates.msg("dedup_audit", "recall", AuditRecallFloor, col("recall"))))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // L2+L4 — MinHash signatures → banded LSH buckets → exact-Jaccard
@@ -585,20 +621,7 @@ object Dedup {
           >= JaccardThreshold)
         .select(col("da"), col("db"))
         .stage() // feeds n_truth_pairs AND the intersect
-      // intersect is POSITIONAL and the second semi-join moved its key
-      // column first — re-project both sides to (da, db)
-      val tp = truth.select(col("da"), col("db"))
-        .intersect(detS.select(col("da"), col("db")))
-      sample.agg(count(lit(1)).as("n_sample"))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth_pairs"))))
-        .crossJoin(broadcast(detS.agg(count(lit(1)).as("n_detected"))))
-        .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_true_pos"))))
-        .select(col("n_sample"), col("n_truth_pairs"), col("n_detected"),
-          col("n_true_pos"),
-          quant6(col("n_true_pos").cast("double")
-            / nullif(col("n_detected").cast("double"), lit(0.0))).as("precision"),
-          quant6(col("n_true_pos").cast("double")
-            / nullif(col("n_truth_pairs").cast("double"), lit(0.0))).as("recall"))
+      dedupAuditFrame(sample, truth, detS)
     },
 
     // L33 — leakage-safe train/eval SPLIT: the hygiene step between

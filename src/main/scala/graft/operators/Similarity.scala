@@ -945,6 +945,49 @@ object Similarity {
     c
   }
 
+  /** Collapse floors the audit queries ENFORCE IN-PLAN (Gates.floors;
+    * r9 verdict #3). Set under the worst small-SF measurement
+    * (agreement 0.66 at sf0.001 / 0.76 at sf0.01; LSH recall@5 0.44 /
+    * 0.52 on the 5-query sample) but far above a broken path (random
+    * routing ≈ 1/K; dead candidate stage ≈ 0): the gate turns a
+    * silent quality regression into a failed job everywhere the query
+    * runs. The tight per-scale floors live in ScaleSpec. */
+  private[graft] val AssignAgreementFloor = 0.5
+  private[graft] val LshRecallFloor = 0.3
+
+  /** semantic_assign_audit's scored tail over the two assignment
+    * frames — separated so the gate spec can drive the IDENTICAL
+    * gated plan with a degraded `two` side and prove the job dies. */
+  private[graft] def assignAgreementFrame(flat: DataFrame, two: DataFrame): DataFrame = {
+    val res = flat.join(two, "vec_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("cid_flat") === col("cid_two"), 1)).as("n_agree"))
+      .select(col("n_vecs"), col("n_agree"),
+        (floor(col("n_agree") * lit(1000000.0) / col("n_vecs")) / 1000000.0).as("agreement"))
+    graft.functions.Gates.floors(res,
+      (col("n_vecs") === 0 || col("agreement") >= AssignAgreementFloor,
+        graft.functions.Gates.msg("semantic_assign_audit", "two-level agreement",
+          AssignAgreementFloor, col("agreement"))))
+  }
+
+  /** ann_audit's scored tail over the exact and approximate result
+    * sets — separated for the same forced-degradation spec reason. */
+  private[graft] def annAuditFrame(queries: DataFrame, brute: DataFrame,
+      approx: DataFrame): DataFrame = {
+    val hits = brute.intersect(approx)
+    val res = queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_baseline"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_queries"), lit(TopK.toLong).as("k"), col("n_baseline"),
+        col("n_hits"),
+        Portable.quant6(col("n_hits").cast("double")
+          / col("n_baseline").cast("double")).as("recall"))
+    graft.functions.Gates.floors(res,
+      (col("n_baseline") === 0 || col("recall") >= LshRecallFloor,
+        graft.functions.Gates.msg("ann_audit", "LSH recall@k",
+          LshRecallFloor, col("recall"))))
+  }
+
   private def embV(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     Tables.embeddings(spark, dir)
@@ -1347,11 +1390,7 @@ object Similarity {
         .select(col("vec_id"), col("cid").as("cid_flat"))
       val two = assignTwoLevel(sample, cent, k, g)
         .select(col("vec_id"), col("cid").as("cid_two"))
-      flat.join(two, "vec_id")
-        .agg(count(lit(1)).as("n_vecs"),
-          count(when(col("cid_flat") === col("cid_two"), 1)).as("n_agree"))
-        .select(col("n_vecs"), col("n_agree"),
-          (floor(col("n_agree") * lit(1000000.0) / col("n_vecs")) / 1000000.0).as("agreement"))
+      assignAgreementFrame(flat, two)
     },
 
     // L6 — exact brute-force cosine top-k for the query batch.
@@ -1535,14 +1574,7 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"))
       val lsh = lshSearch(spark, dir)
         .select(col("query_id"), col("neighbor_id"))
-      val hits = brute.intersect(lsh)
-      defaultQueries(emb).agg(count(lit(1)).as("n_queries"))
-        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_baseline"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-        .select(col("n_queries"), lit(TopK.toLong).as("k"), col("n_baseline"),
-          col("n_hits"),
-          Portable.quant6(col("n_hits").cast("double")
-            / col("n_baseline").cast("double")).as("recall"))
+      annAuditFrame(defaultQueries(emb), brute, lsh)
     },
 
     // L50 — Reciprocal Rank Fusion (Cormack et al. 2009, k=60): the

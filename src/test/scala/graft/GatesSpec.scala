@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.Gates
+import org.apache.spark.sql.functions._
+
+/** r9 verdict #3 — the audit queries must ENFORCE their floors, not
+  * just report: each gate is part of the returned plan (assert_true
+  * filter), so a degraded detector turns every execution of the audit
+  * into a failed job. These specs force the degradation through the
+  * IDENTICAL gated tails the production queries call and prove the
+  * job dies with the gate's message — and that healthy inputs pass
+  * through with values unchanged. */
+class GatesSpec extends SparkSuite {
+
+  /** assert_true failures surface wrapped in task/job exceptions —
+    * search the whole cause chain for the gate message. */
+  private def gateMessage(t: Throwable): String = {
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  private def firesWith(msgPart: String)(body: => Unit): Unit = {
+    val ex = intercept[Throwable](body)
+    assert(gateMessage(ex).contains(msgPart),
+      s"expected a gate failure mentioning '$msgPart', got: ${gateMessage(ex)}")
+  }
+
+  test("Gates.floors passes rows unchanged at floor, aborts the job below it") {
+    import spark.implicits._
+    val ok = Seq((10L, 0.9)).toDF("n", "score")
+    val gated = Gates.floors(ok,
+      (col("score") >= 0.5, Gates.msg("t", "score", 0.5, col("score"))))
+    assert(gated.columns.toSeq === Seq("n", "score"), "gate must not change the schema")
+    assert(gated.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((10L, 0.9)))
+    firesWith("score below floor 0.5, got 0.2") {
+      Gates.floors(Seq((10L, 0.2)).toDF("n", "score"),
+        (col("score") >= 0.5, Gates.msg("t", "score", 0.5, col("score")))).collect()
+    }
+  }
+
+  test("semantic_assign_audit: collapsed two-level routing kills the job") {
+    import spark.implicits._
+    // 100 vectors; the flat (exact) assignment says cid = id % 7
+    val flat = (0L until 100L).map(i => (i, i % 7)).toDF("vec_id", "cid_flat")
+    // degraded routing: only 40% agree — under the 0.5 collapse floor
+    val broken = (0L until 100L)
+      .map(i => (i, if (i % 10 < 4) i % 7 else (i % 7) + 100))
+      .toDF("vec_id", "cid_two")
+    firesWith("two-level agreement below floor 0.5, got 0.4") {
+      graft.operators.Similarity.assignAgreementFrame(flat, broken).collect()
+    }
+    // healthy routing (90% agreement) flows through with exact values
+    val healthy = (0L until 100L)
+      .map(i => (i, if (i % 10 < 9) i % 7 else (i % 7) + 100))
+      .toDF("vec_id", "cid_two")
+    val row = graft.operators.Similarity.assignAgreementFrame(flat, healthy).head
+    assert(row.getAs[Long]("n_vecs") === 100L)
+    assert(row.getAs[Long]("n_agree") === 90L)
+    assert(row.getAs[Double]("agreement") === 0.9)
+  }
+
+  test("ann_audit: a dead candidate stage kills the job") {
+    import spark.implicits._
+    val queries = (0L until 5L).toDF("query_id")
+    val brute = (for (q <- 0L until 5L; n <- 1L to 5L) yield (q, q * 10 + n))
+      .toDF("query_id", "neighbor_id")
+    // degraded search: only 1 of 25 exact neighbors found — recall 0.04
+    val dead = Seq((0L, 1L)).toDF("query_id", "neighbor_id")
+    firesWith("LSH recall@k below floor 0.3, got 0.04") {
+      graft.operators.Similarity.annAuditFrame(queries, brute, dead).collect()
+    }
+    // perfect search passes with recall 1.0
+    val row = graft.operators.Similarity.annAuditFrame(queries, brute, brute).head
+    assert(row.getAs[Long]("n_hits") === 25L)
+    assert(row.getAs[Double]("recall") === 1.0)
+  }
+
+  test("dedup_audit: a false positive OR a dead detector kills the job") {
+    import spark.implicits._
+    val sample = (0L until 10L).toDF("doc_id")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    // detector reports a pair that is NOT a true duplicate — the
+    // structural precision=1 property is broken, a pipeline bug
+    val falsePos = Seq((1L, 2L), (5L, 6L)).toDF("da", "db")
+    firesWith("precision below floor 1.0, got 0.5") {
+      graft.operators.Dedup.dedupAuditFrame(sample, truth, falsePos).collect()
+    }
+    // dead detector: nothing found with truth present — recall 0
+    val dead = truth.limit(0)
+    firesWith("recall below floor 0.5, got 0.0") {
+      graft.operators.Dedup.dedupAuditFrame(sample, truth, dead).collect()
+    }
+    // healthy detector passes with both metrics exact
+    val row = graft.operators.Dedup.dedupAuditFrame(sample, truth, truth).head
+    assert(row.getAs[Double]("precision") === 1.0)
+    assert(row.getAs[Double]("recall") === 1.0)
+    // empty audit universe (no truth pairs, nothing detected) is
+    // "nothing to audit", not a failure
+    val none = graft.operators.Dedup.dedupAuditFrame(sample, truth.limit(0), dead).head
+    assert(none.getAs[Long]("n_truth_pairs") === 0L)
+  }
+}
