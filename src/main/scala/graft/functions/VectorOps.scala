@@ -37,11 +37,49 @@ object VectorOps {
         .toDouble / 16777216.0 - 0.5
     }
 
-  /** Sign-bucket of an embedding under `nPlanes` hyperplanes of table t. */
-  def signBucket(emb: Column, t: Int, nPlanes: Int, dims: Int): Column =
+  /** md5-derived coordinate pair (i, j), i ≠ j, for the sparse
+    * comparison plane (table t, plane p): i uniform over [0, dims),
+    * j uniform over the remaining dims-1 coordinates. Mirrors in SQL as
+    * `('0x'||substr(md5('pair_t_p_a'),1,6))::BIGINT % dims` (and `_b`
+    * over dims-1 with the ≥-shift). */
+  def sparsePair(t: Int, p: Int, dims: Int): (Int, Int) = {
+    val i = (java.lang.Long.parseLong(
+      Portable.md5Hex(s"pair_${t}_${p}_a").substring(0, 6), 16) % dims).toInt
+    val j0 = (java.lang.Long.parseLong(
+      Portable.md5Hex(s"pair_${t}_${p}_b").substring(0, 6), 16) % (dims - 1)).toInt
+    (i, if (j0 >= i) j0 + 1 else j0)
+  }
+
+  /** Sign-bucket of an embedding under `nPlanes` planes of table t.
+    *
+    * Planes below `densePlanes` are the md5 hyperplanes (one dims-wide
+    * dot each). Planes at or past it are SPARSE hyperplanes e_i − e_j
+    * with md5-chosen coordinates — `sign(v[i] − v[j])`, an O(1)
+    * comparison of two stored values instead of an O(dims) dot. The
+    * self-join LSH path (dedup_embed) grows its bucket count with the
+    * corpus to hold occupancy constant; with every plane dense that
+    * made per-vector work Θ(log N)·dims (measured 122× wall at 100×
+    * data). Capping the dense planes keeps per-vector hashing work
+    * CONSTANT as buckets double: extra bits cost one double-compare.
+    * Sparse bits are weaker splitters per bit than dense ones for
+    * arbitrary angles, but for the near-duplicate pairs the self-join
+    * must keep (cosine ≥ threshold) the compared coordinates are
+    * nearly equal on both sides, so a planted near-dup flips a sparse
+    * bit only when |v_i − v_j| is inside the perturbation — recall is
+    * spec-measured (ScaleSpec). A degenerate corpus where one md5
+    * pair's coordinates tie everywhere costs one bit of one table
+    * (occupancy 2×), never correctness: the cosine verify is exact. */
+  def signBucket(emb: Column, t: Int, nPlanes: Int, dims: Int,
+      densePlanes: Int = Int.MaxValue): Column =
     (0 until nPlanes).map { p =>
-      val w = typedlit(hyperplane(t, p, dims))
-      when(dot(emb, w) > 0, lit(1 << p)).otherwise(lit(0))
+      if (p < densePlanes) {
+        val w = typedlit(hyperplane(t, p, dims))
+        when(dot(emb, w) > 0, lit(1 << p)).otherwise(lit(0))
+      } else {
+        val (i, j) = sparsePair(t, p, dims)
+        when(element_at(emb, i + 1) > element_at(emb, j + 1), lit(1 << p))
+          .otherwise(lit(0))
+      }
     }.reduce(_ + _)
 
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =

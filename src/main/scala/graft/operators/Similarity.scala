@@ -155,6 +155,17 @@ object Similarity {
     p
   }
 
+  /** Dense-plane cap for the self-join grid: planes 0..7 are full
+    * hyperplane dots, planes ≥ 8 are sparse e_i−e_j comparison bits
+    * (VectorOps.signBucket). dynPlanes doubles the bucket count with
+    * the corpus to hold occupancy flat; with all planes dense that made
+    * per-vector hashing Θ(log N)·dims — the 100× sweep's one
+    * above-linear entry (122× wall at 100× data, 4×8→4×14 dots). The
+    * cap keeps per-vector work constant: 4×8 dots always, extra bucket
+    * bits at one double-compare each. 8 = dynPlanes at the sweep's 1×
+    * base (sf0.1, n=5·10³), so every measured base point is unchanged. */
+  private[graft] val DensePlanes = 8
+
   /** Near-dup candidate pairs (va < vb) for dedup_embed:
     * sign-LSH buckets under [[dynPlanes]]-many planes (bucket count
     * grows with N, occupancy constant) with the minhash pipeline's
@@ -170,7 +181,7 @@ object Similarity {
     // plane form must too
     val keys = emb.select(col("vec_id"),
       posexplode(array((0 until NumTables).map(t =>
-        signBucket(col("v"), t, numPlanes, Dims)): _*)).as(Seq("t", "bucket")))
+        signBucket(col("v"), t, numPlanes, Dims, DensePlanes)): _*)).as(Seq("t", "bucket")))
       .stage()
     // hot-key set is corpus-shaped (≤ N/cap keys): no broadcast hint,
     // AQE broadcasts while small (the minhash rationale, Dedup.scala)
@@ -1247,7 +1258,12 @@ object Similarity {
     // rule the oracle's np CTE replays verbatim (series scan + bit
     // shift; no float log₂ can disagree) — so bucket occupancy stays
     // ~constant and the candidate pair set is LINEAR in N instead of
-    // the fixed-16-bucket Θ(N²) that measured 61× at 10× data. The
+    // the fixed-16-bucket Θ(N²) that measured 61× at 10× data. Since
+    // r10 planes past DensePlanes are sparse e_i−e_j comparison bits
+    // (sp/sbit CTEs ↔ VectorOps.signBucket's densePlanes cap), so
+    // per-vector hashing work is CONSTANT as buckets double — the r9
+    // sweep's one above-linear entry (122× wall at 100× data) was the
+    // Θ(log N) dense-dot growth, 4×8→4×14 dims-wide dots/vector. The
     // MaxBucketDocs cap (mirrored in hot/bkc) guards adversarial skew:
     // a bucket past cap size carries no near-dup signal (minhash rule).
     QueryDef(
@@ -1259,14 +1275,25 @@ object Similarity {
          |             list_transform(generate_series(0, ${Dims - 1}),
          |               i -> CAST('0x' || substr(md5('plane_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 6) AS BIGINT) / 16777216.0 - 0.5) AS wv
          |      FROM generate_series(0, ${NumTables - 1}) t(t),
-         |           generate_series(0, 19) p(p)
+         |           generate_series(0, ${DensePlanes - 1}) p(p)
+         |      WHERE p.p < (SELECT np FROM np)),
+         |sp AS (SELECT t.t, p.p,
+         |             CAST(CAST('0x' || substr(md5('pair_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_a'), 1, 6) AS BIGINT) % $Dims AS INT) AS ci,
+         |             CAST(CAST('0x' || substr(md5('pair_' || CAST(t.t AS VARCHAR) || '_' || CAST(p.p AS VARCHAR) || '_b'), 1, 6) AS BIGINT) % ${Dims - 1} AS INT) AS cj0
+         |      FROM generate_series(0, ${NumTables - 1}) t(t),
+         |           generate_series($DensePlanes, 19) p(p)
          |      WHERE p.p < (SELECT np FROM np)),
          |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |dots AS (SELECT ev.vec_id, pl.t, pl.p, list_inner_product(ev.v, pl.wv) AS dot
          |         FROM ev, pl),
-         |bkt AS (SELECT vec_id, t,
-         |               CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2.0, p) AS INT) ELSE 0 END) AS INT) AS bucket
-         |        FROM dots GROUP BY vec_id, t),
+         |sbit AS (SELECT ev.vec_id, sp.t,
+         |               CAST(SUM(CASE WHEN ev.v[sp.ci + 1] > ev.v[CASE WHEN sp.cj0 >= sp.ci THEN sp.cj0 + 2 ELSE sp.cj0 + 1 END] THEN CAST(pow(2.0, sp.p) AS INT) ELSE 0 END) AS INT) AS sb
+         |         FROM ev, sp GROUP BY ev.vec_id, sp.t),
+         |bkt AS (SELECT d.vec_id, d.t, CAST(d.db + COALESCE(s.sb, 0) AS INT) AS bucket
+         |        FROM (SELECT vec_id, t,
+         |                     SUM(CASE WHEN dot > 0 THEN CAST(pow(2.0, p) AS INT) ELSE 0 END) AS db
+         |              FROM dots GROUP BY vec_id, t) d
+         |        LEFT JOIN sbit s ON s.vec_id = d.vec_id AND s.t = d.t),
          |hot AS (SELECT t, bucket FROM bkt GROUP BY t, bucket
          |        HAVING COUNT(*) > ${Dedup.MaxBucketDocs}),
          |bkc AS (SELECT bkt.* FROM bkt WHERE NOT EXISTS

@@ -193,48 +193,68 @@ object EventsStreaming {
           // SEALS it, so both paths run the same fold (with an empty
           // arrival set on timeout) and eviction falls out of the
           // retention rules at the end
-          val wmMs = state.getCurrentWatermarkMs()
-          val prev = state.getOption.getOrElse(AsofState(-1L, 0L, 0.0, Nil))
-          val all = prev.pending ++ (if (state.hasTimedOut) Nil else batch.toList)
-          // decide everything the watermark has STRICTLY passed: a row
-          // at exactly the watermark is not late under Spark's filter
-          // and can still arrive in a later micro-batch — sealing
-          // `<= wm` would fold it AFTER an equal-instant row it should
-          // precede under the (t, feature-first, id) order
-          val (ripe, stillPending) = all.partition(_.t.getTime < wmMs)
-          var snapT = prev.snapT; var snapN = prev.snapN; var snapV = prev.snapV
-          val out = Seq.newBuilder[FeatureAsof]
-          ripe.sortBy(e => (e.t.getTime, -e.is_feat, e.event_id)).foreach { e =>
-            if (e.is_feat == 1) {
-              // sealed instants are monotone across batches, but keep
-              // the guard: a newer snapshot must never regress
-              if (e.t.getTime >= snapT) {
-                snapT = e.t.getTime; snapN = e.feat_n; snapV = e.feat_value
-              }
-            } else {
-              val has = snapT >= 0
-              out += FeatureAsof(e.event_id, uid, e.t,
-                if (has) Some(new Timestamp(snapT)) else None,
-                if (has) Some(snapN) else None,
-                if (has) Some(snapV) else None)
-            }
+          val (next, out, wake) = asofStep(uid,
+            state.getOption.getOrElse(AsofState(-1L, 0L, 0.0, Nil)),
+            if (state.hasTimedOut) Nil else batch.toList,
+            state.getCurrentWatermarkMs(), maxFeatureAgeSec)
+          next match {
+            case Some(s) => state.update(s); wake.foreach(state.setTimeoutTimestamp)
+            case None => state.remove()
           }
-          if (stillPending.nonEmpty) {
-            state.update(AsofState(snapT, snapN, snapV, stillPending))
-            // wake just past the oldest pending instant (or the next
-            // watermark tick) to seal it
-            state.setTimeoutTimestamp(math.max(
-              stillPending.map(_.t.getTime).min + 1000, wmMs + 1000))
-          } else if (snapT >= 0 && snapT + maxFeatureAgeSec * 1000 > wmMs) {
-            // fresh snapshot, empty buffer: keep serving until the
-            // freshness horizon, then the timeout evicts it
-            state.update(AsofState(snapT, snapN, snapV, Nil))
-            state.setTimeoutTimestamp(snapT + maxFeatureAgeSec * 1000)
-          } else {
-            state.remove()
-          }
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** One seal-and-fold step of [[asofFeatureJoin]] — PURE state
+    * transition (prev state, this batch's arrivals, current watermark)
+    * → (next state or eviction, emissions, timeout instant), extracted
+    * so the randomized arrival-order property sweep (PropertiesSpec)
+    * can drive the decision logic through a simulated micro-batch
+    * protocol without paying a streaming query per shuffle. The
+    * streaming closure is a thin adapter around this. */
+  private[graft] def asofStep(uid: Long, prev: AsofState, arrivals: List[AsofIn],
+      wmMs: Long, maxFeatureAgeSec: Long): (Option[AsofState], Seq[FeatureAsof], Option[Long]) = {
+    val all = prev.pending ++ arrivals
+    // decide everything the watermark has STRICTLY passed. The exact
+    // boundary row is the one spot Spark's contract is ambiguous on
+    // (StreamOrderPropertySpec's fidelity run measured a row at
+    // exactly the watermark being DROPPED as late) — strict sealing
+    // is safe under either reading: if such a row were admitted,
+    // sealing `<= wm` would fold it after an equal-instant row it
+    // should precede under the (t, feature-first, id) order; since
+    // it is in fact dropped, strictness merely holds the boundary
+    // instant pending one extra tick.
+    val (ripe, stillPending) = all.partition(_.t.getTime < wmMs)
+    var snapT = prev.snapT; var snapN = prev.snapN; var snapV = prev.snapV
+    val out = Seq.newBuilder[FeatureAsof]
+    ripe.sortBy(e => (e.t.getTime, -e.is_feat, e.event_id)).foreach { e =>
+      if (e.is_feat == 1) {
+        // sealed instants are monotone across batches, but keep
+        // the guard: a newer snapshot must never regress
+        if (e.t.getTime >= snapT) {
+          snapT = e.t.getTime; snapN = e.feat_n; snapV = e.feat_value
+        }
+      } else {
+        val has = snapT >= 0
+        out += FeatureAsof(e.event_id, uid, e.t,
+          if (has) Some(new Timestamp(snapT)) else None,
+          if (has) Some(snapN) else None,
+          if (has) Some(snapV) else None)
+      }
+    }
+    if (stillPending.nonEmpty) {
+      // wake just past the oldest pending instant (or the next
+      // watermark tick) to seal it
+      (Some(AsofState(snapT, snapN, snapV, stillPending)), out.result(),
+        Some(math.max(stillPending.map(_.t.getTime).min + 1000, wmMs + 1000)))
+    } else if (snapT >= 0 && snapT + maxFeatureAgeSec * 1000 > wmMs) {
+      // fresh snapshot, empty buffer: keep serving until the
+      // freshness horizon, then the timeout evicts it
+      (Some(AsofState(snapT, snapN, snapV, Nil)), out.result(),
+        Some(snapT + maxFeatureAgeSec * 1000))
+    } else {
+      (None, out.result(), None)
+    }
   }
 
   case class DebounceState(lastKeptSec: Long, pending: List[Event])
@@ -269,37 +289,47 @@ object EventsStreaming {
       .flatMapGroupsWithState[DebounceState, Event](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, batch: Iterator[Event], state: GroupState[DebounceState]) =>
-          val wmMs = state.getCurrentWatermarkMs()
-          val wmSec = wmMs / 1000
-          val prev = state.getOption.getOrElse(DebounceState(-1L, Nil))
-          val pending = prev.pending ++ batch
-          // decide a SECOND only once the whole second is strictly
-          // below the watermark ((sec+1)*1000 <= wm): the fold runs in
-          // (second, event_id) order, and a second that merely
-          // CONTAINS the watermark can still receive arrivals (a row
-          // at or above the watermark is not late) — sealing it early
-          // would decide a later event_id before an admissible earlier
-          // one, flipping both survivor verdicts vs the batch fold
-          val (ripe, stillPending) =
-            pending.partition(e => (e.ts.getTime / 1000 + 1) * 1000 <= wmMs)
-          var lastKept = prev.lastKeptSec
-          val out = Seq.newBuilder[Event]
-          ripe.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
-            val sec = e.ts.getTime / 1000
-            if (lastKept < 0 || sec - lastKept > gapSec) { lastKept = sec; out += e }
+          val (next, out, wake) = debounceStep(
+            state.getOption.getOrElse(DebounceState(-1L, Nil)),
+            batch.toList, state.getCurrentWatermarkMs(), gapSec, watermarkDelaySec)
+          next match {
+            case Some(s) => state.update(s); wake.foreach(state.setTimeoutTimestamp)
+            case None => state.remove()
           }
-          if (stillPending.nonEmpty) {
-            state.update(DebounceState(lastKept, stillPending))
-            state.setTimeoutTimestamp(math.max(
-              stillPending.map(_.ts.getTime).min + 1000, (wmSec + 1) * 1000))
-          } else if (lastKept >= 0 && (lastKept + gapSec + watermarkDelaySec) > wmSec) {
-            state.update(DebounceState(lastKept, Nil))
-            state.setTimeoutTimestamp((lastKept + gapSec + watermarkDelaySec) * 1000)
-          } else {
-            state.remove()
-          }
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** One seal-and-fold step of [[debounce]] — pure state transition,
+    * extracted for the arrival-order property sweep (see [[asofStep]]). */
+  private[graft] def debounceStep(prev: DebounceState, arrivals: List[Event],
+      wmMs: Long, gapSec: Long, watermarkDelaySec: Long): (Option[DebounceState], Seq[Event], Option[Long]) = {
+    val wmSec = wmMs / 1000
+    val pending = prev.pending ++ arrivals
+    // decide a SECOND only once the whole second is strictly
+    // below the watermark ((sec+1)*1000 <= wm): the fold runs in
+    // (second, event_id) order, and a second that merely
+    // CONTAINS the watermark can still receive arrivals (a row
+    // strictly above the watermark is never late) — sealing it
+    // early would decide a later event_id before an admissible
+    // earlier one, flipping both survivor verdicts vs the batch fold
+    val (ripe, stillPending) =
+      pending.partition(e => (e.ts.getTime / 1000 + 1) * 1000 <= wmMs)
+    var lastKept = prev.lastKeptSec
+    val out = Seq.newBuilder[Event]
+    ripe.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
+      val sec = e.ts.getTime / 1000
+      if (lastKept < 0 || sec - lastKept > gapSec) { lastKept = sec; out += e }
+    }
+    if (stillPending.nonEmpty) {
+      (Some(DebounceState(lastKept, stillPending)), out.result(),
+        Some(math.max(stillPending.map(_.ts.getTime).min + 1000, (wmSec + 1) * 1000)))
+    } else if (lastKept >= 0 && (lastKept + gapSec + watermarkDelaySec) > wmSec) {
+      (Some(DebounceState(lastKept, Nil)), out.result(),
+        Some((lastKept + gapSec + watermarkDelaySec) * 1000))
+    } else {
+      (None, out.result(), None)
+    }
   }
 
   case class SessionBufState(hasOpen: Boolean, start: Long, end: Long,
@@ -320,8 +350,9 @@ object EventsStreaming {
     * watermark still admits a 10:20 arrival, which the batch query
     * puts in the FIRST session but the eager fold glued to 10:45.
     * Sealed-then-fold makes every decision final only when Spark can
-    * no longer admit an earlier row (seal is STRICT `< watermark`:
-    * boundary rows at exactly the watermark can still arrive).
+    * no longer admit an earlier row (seal is STRICT `< watermark` —
+    * safe under either reading of the boundary instant, which Spark
+    * was measured to drop; see StreamOrderPropertySpec).
     *
     * A closed session is emitted when a SEALED event passes the gap —
     * no pending (unsealed) arrival can contradict that close, because
@@ -345,46 +376,58 @@ object EventsStreaming {
       .flatMapGroupsWithState[SessionBufState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionBufState]) =>
-          val wmMs = state.getCurrentWatermarkMs()
-          val prev = state.getOption.getOrElse(SessionBufState(false, 0L, 0L, 0L, 0.0, Nil))
-          val all = prev.pending ++ (if (state.hasTimedOut) Nil else batch.toList)
-          val (ripe, stillPending) = all.partition(_.ts.getTime < wmMs)
-          var open: Option[SessionState] =
-            if (prev.hasOpen) Some(SessionState(prev.start, prev.end, prev.n, prev.value))
-            else None
-          val out = Seq.newBuilder[Session]
-          ripe.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            open match {
-              case Some(s) if t - s.end > gapMs =>
-                out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
-                open = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
-              case None =>
-                open = Some(SessionState(t, t, 1, e.value))
-            }
+          val (next, out, wake) = sessionizeStep(userId,
+            state.getOption.getOrElse(SessionBufState(false, 0L, 0L, 0L, 0.0, Nil)),
+            if (state.hasTimedOut) Nil else batch.toList,
+            state.getCurrentWatermarkMs(), gapMs)
+          next match {
+            case Some(s) => state.update(s); wake.foreach(state.setTimeoutTimestamp)
+            case None => state.remove()
           }
-          // close once NO admissible arrival can extend: extenders have
-          // ts ≤ end + gap, possible only while watermark ≤ end + gap
-          open match {
-            case Some(s) if wmMs > s.end + gapMs =>
-              out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
-              open = None
-            case _ => ()
-          }
-          if (open.isEmpty && stillPending.isEmpty) {
-            state.remove()
-          } else {
-            state.update(SessionBufState(open.isDefined,
-              open.map(_.start).getOrElse(0L), open.map(_.end).getOrElse(0L),
-              open.map(_.n).getOrElse(0L), open.map(_.value).getOrElse(0.0),
-              stillPending))
-            val wake = (stillPending.map(_.ts.getTime + 1) ++
-              open.map(_.end + gapMs + 1)).min
-            state.setTimeoutTimestamp(math.max(wake, wmMs + 1))
-          }
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** One seal-and-fold step of [[sessionize]] — pure state transition,
+    * extracted for the arrival-order property sweep (see [[asofStep]]). */
+  private[graft] def sessionizeStep(userId: Long, prev: SessionBufState,
+      arrivals: List[Event], wmMs: Long, gapMs: Long): (Option[SessionBufState], Seq[Session], Option[Long]) = {
+    val all = prev.pending ++ arrivals
+    val (ripe, stillPending) = all.partition(_.ts.getTime < wmMs)
+    var open: Option[SessionState] =
+      if (prev.hasOpen) Some(SessionState(prev.start, prev.end, prev.n, prev.value))
+      else None
+    val out = Seq.newBuilder[Session]
+    ripe.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.end > gapMs =>
+          out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+          open = Some(SessionState(t, t, 1, e.value))
+        case Some(s) =>
+          open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.value + e.value))
+        case None =>
+          open = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    // close once NO admissible arrival can extend: extenders have
+    // ts ≤ end + gap, possible only while watermark ≤ end + gap
+    open match {
+      case Some(s) if wmMs > s.end + gapMs =>
+        out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.value)
+        open = None
+      case _ => ()
+    }
+    if (open.isEmpty && stillPending.isEmpty) {
+      (None, out.result(), None)
+    } else {
+      val st = SessionBufState(open.isDefined,
+        open.map(_.start).getOrElse(0L), open.map(_.end).getOrElse(0L),
+        open.map(_.n).getOrElse(0L), open.map(_.value).getOrElse(0.0),
+        stillPending)
+      val wake = (stillPending.map(_.ts.getTime + 1) ++
+        open.map(_.end + gapMs + 1)).min
+      (Some(st), out.result(), Some(math.max(wake, wmMs + 1)))
+    }
   }
 }

@@ -414,6 +414,70 @@ class ScaleSpec extends SparkSuite {
       "two-level per-vector assignment cost is growing like the flat path again")
   }
 
+  test("hybrid sparse-bit LSH grid: flat per-vector hashing work, expression parity, planted recall") {
+    // r9 sweep's one above-linear entry: dedup_embed at 122× wall for
+    // 100× data, because every dynPlanes bit was a dims-wide dot
+    // (4×8 → 4×14 dots/vector). Since r10 planes past DensePlanes are
+    // sparse e_i−e_j comparison bits — per-vector DOT work is capped:
+    import graft.operators.Similarity
+    import graft.functions.{Portable, VectorOps}
+    VectorOps.ensureRegistered(spark)
+    def denseDots(n: Long): Int = math.min(Similarity.dynPlanes(n), 8)
+    assert(denseDots(5000) === 8)        // the sweep's 1× base: unchanged
+    assert(denseDots(500000) === 8)      // 100×: was 14 dense dots, now 8 + 6 cheap bits
+    assert(denseDots(500) === 4)         // oracle gate: below the cap, bit-identical history
+
+    // expression parity: the DataFrame signBucket column must equal a
+    // plain-Scala recompute from the same md5 seeds (guards bit order,
+    // 1-based element_at, the j≥i shift — the exact seams the DuckDB
+    // oracle mirrors)
+    def synth(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> cast(pmod(hash(id * 64 + i), 1000) as double) / 1000.0 - 0.5)")
+        .as("v"))
+    val nP = 12 // 8 dense + 4 sparse
+    val rows = synth(64)
+      .select(col("vec_id"), col("v"),
+        VectorOps.signBucket(col("v"), 2, nP, 64, 8).as("bucket"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      var want = 0
+      for (p <- 0 until nP) {
+        val set =
+          if (p < 8) {
+            val w = VectorOps.hyperplane(2, p, 64)
+            v.iterator.zip(w.iterator).map { case (a, b) => a * b }.sum > 0
+          } else {
+            val (i, j) = VectorOps.sparsePair(2, p, 64)
+            v(i) > v(j)
+          }
+        if (set) want |= 1 << p
+      }
+      assert(r.getInt(2) === want, s"bucket mismatch for vec ${r.getLong(0)}")
+    }
+
+    // planted near-dup recall where the sparse bits are LIVE:
+    // n≈21k → dynPlanes=10 → 2 sparse bits per table. Twins perturb
+    // every coordinate by ±0.001; a sparse bit flips only when the
+    // md5-chosen coordinate gap is inside that perturbation, so the
+    // 4-table union must still catch nearly all planted pairs.
+    val base = synth(20000)
+    val twins = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x + if(pmod(vec_id + i, 2) = 0, 0.001, -0.001))").as("v"))
+    val emb = base.unionByName(twins).cache()
+    val n = emb.count()
+    assert(Similarity.dynPlanes(n) === 10)
+    val cand = Similarity.embedCandidates(emb, Similarity.dynPlanes(n))
+      .filter(col("vb") - col("va") === 1000000L)
+    val caught = cand.count()
+    val planted = 1000L
+    info(f"hybrid-grid planted recall: $caught/$planted = ${caught.toDouble / planted}%.3f")
+    assert(caught >= 0.8 * planted,
+      s"sparse-bit grid lost planted near-dups: $caught/$planted")
+    emb.unpersist()
+  }
+
   test("media band-join candidate growth stays near-linear at 10x data") {
     // the r8 verdict's item 2: the old 4×16-bit single-block join had
     // a constant 2^16 bucket space, so uniform-random collisions grew
