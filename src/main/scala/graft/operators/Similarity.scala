@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Portable
 import graft.functions.VectorOps._
-import graft.sources.Tables
+import graft.sources.{Tables, Warehouse}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -837,6 +837,23 @@ object Similarity {
       .select(col("nid"), col("cd"), col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
+
+  /** Nightly maintenance for a persisted index (IVF-SQ8 or IVF-PQ —
+    * both share the `cells/cid=` layout): every [[appendToIvfIndex]] /
+    * [[appendToIvfPqIndex]] delta writes one file per task per touched
+    * cell, so a month of daily ingestion turns each cell into dozens
+    * of KB-files and every probed-cell scan pays listing + footer
+    * overhead per file. This bin-packs the small files inside each
+    * `cid=` partition via the warehouse's swap-journaled compaction
+    * (R12): searches before and after are IDENTICAL (set-union of the
+    * same rows — spec-asserted), compaction cost is ∝ the delta mass
+    * (files already at target size are never reread), and a crash at
+    * any instant leaves the index readable (hidden `.compact_tmp`,
+    * per-partition journal roll-forward/back). */
+  def compactIndex(spark: SparkSession, path: String,
+      smallBytes: Long = 8L << 20,
+      targetBytes: Long = 128L << 20): Warehouse.CompactReport =
+    Warehouse.compactPartitionedSmallFiles(spark, s"$path/cells", smallBytes, targetBytes)
 
   /** Search a [[buildIvfPqIndex]]-persisted index: identical results
     * to the dynamic [[ivfPqSearch]], no assignment or encode stage in

@@ -392,19 +392,33 @@ object Warehouse {
     cleanupSwapTmpDirs(fs, dir)
   }
 
-  /** Remove the swap ops' sibling rewrite directories (r8 ADVICE): a
-    * crash before/inside a swap can strand <path>__erase_tmp /
-    * <path>__compact_tmp on disk, and stale rewrite output both
-    * accumulates and invites being mistaken for table data. Always
-    * safe: a LIVE swap never runs concurrently with recovery (every
-    * swap op starts by calling recoverSwap, then writes its tmp), and
-    * originals are intact whenever a tmp exists without a "deleting"
-    * journal. */
-  private def cleanupSwapTmpDirs(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+  /** Remove the swap ops' rewrite directories (r8 ADVICE): a crash
+    * before/inside a swap can strand <path>__erase_tmp (sibling) or
+    * <path>/.compact_tmp (hidden, inside) on disk, and stale rewrite
+    * output both accumulates and invites being mistaken for table
+    * data. Always safe: a LIVE swap never runs concurrently with
+    * recovery (every swap op starts by calling recoverSwap, then
+    * writes its tmp), and originals are intact whenever a tmp exists
+    * without a "deleting" journal. The legacy sibling
+    * <path>__compact_tmp name is swept too (pre-r10 crashes). */
+  private def cleanupSwapTmpDirs(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     Seq("__erase_tmp", "__compact_tmp").foreach { suffix =>
       val p = new Path(dir.stripSuffix("/") + suffix)
       if (fs.exists(p)) fs.delete(p, true)
     }
+    val hidden = new Path(dir, CompactTmp)
+    if (fs.exists(hidden)) fs.delete(hidden, true)
+  }
+
+  /** Compaction rewrite dir: INSIDE the table dir with a dot-name, so
+    * Spark's file listing ignores it even mid-crash. The old sibling
+    * naming (<path>__compact_tmp) was safe for flat tables but lethal
+    * inside a `cid=` partitioned index layout: a crash would strand a
+    * `cid=3__compact_tmp` DIRECTORY that partition discovery then
+    * parses as a partition value, flipping the cid column's inferred
+    * type for every reader until someone cleans up. A dot-dir is
+    * invisible to every Spark reader at every nesting level. */
+  private val CompactTmp = ".compact_tmp"
 
   final case class CompactReport(
       filesTotal: Int, filesCompacted: Int, filesWritten: Int, bytesCompacted: Long)
@@ -445,7 +459,7 @@ object Warehouse {
     if (small.size <= 1) return CompactReport(files.size, 0, 0, 0L)
     val totalBytes = small.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val tmp = new Path(path, CompactTmp).toString
     spark.read.parquet(small.map(_.getPath.toString): _*)
       .repartition(nOut)
       .write.mode("overwrite").parquet(tmp)
@@ -456,6 +470,33 @@ object Warehouse {
     swapIn(fs, path, renames, small.map(_.getPath), "compactSmallFiles")
     fs.delete(new Path(tmp), true)
     CompactReport(files.size, small.size, renames.size, totalBytes)
+  }
+
+  /** [[compactSmallFiles]] over a Hive-style partitioned layout: run
+    * the swap-journaled compaction INSIDE every `key=value` partition
+    * directory (each partition heals, packs, and journals
+    * independently — a crash in one partition never blocks the
+    * others). Part files inside a partition dir carry only the data
+    * columns (the partition value lives in the dir name), so the
+    * rewrite round-trips them unchanged and readers of the full
+    * layout are oblivious. Cost is ∝ the small-file MASS actually
+    * rewritten (files at or above `smallBytes` — e.g. a compacted
+    * base — are never reread), which is what makes this the right
+    * nightly maintenance for an append-heavy `cid=` ANN index: each
+    * daily delta adds O(tasks) small files per cell, and compaction
+    * pays for the deltas, not the index. */
+  def compactPartitionedSmallFiles(spark: SparkSession, root: String,
+      smallBytes: Long, targetBytes: Long = 128L << 20): CompactReport = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(p => compactSmallFiles(spark, p.getPath.toString, smallBytes, targetBytes))
+      .foldLeft(CompactReport(0, 0, 0, 0L)) { (a, b) =>
+        CompactReport(a.filesTotal + b.filesTotal,
+          a.filesCompacted + b.filesCompacted,
+          a.filesWritten + b.filesWritten,
+          a.bytesCompacted + b.bytesCompacted)
+      }
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

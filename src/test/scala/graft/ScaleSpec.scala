@@ -348,6 +348,76 @@ class ScaleSpec extends SparkSuite {
     assert(inc.count() > 0)
   }
 
+  test("index compaction packs append-accumulated small files; searches are unchanged") {
+    // the maintenance lifecycle the daily-append tests imply: each
+    // appendToIvfIndex delta writes one file per task per touched
+    // cid= cell, so cells accumulate small files; compactIndex must
+    // bin-pack them (R12's swap-journaled compaction per partition)
+    // without changing a single search result, and its cost must be
+    // the DELTA mass, not the index (files >= smallBytes are skipped)
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val cent = Similarity.seedCentroids(emb)
+    val queries = Similarity.defaultQueries(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), cent, s"$dir/ix")
+    // four daily deltas → ≥4 extra files in every touched cell
+    (0 until 4).foreach { d =>
+      Similarity.appendToIvfIndex(spark,
+        emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 4 === d), s"$dir/ix")
+    }
+    def partFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/ix/cells"))
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
+    val before = Similarity.searchIvfIndex(spark, s"$dir/ix", emb, queries).collect()
+    val filesBefore = partFiles()
+    assert(filesBefore.size >= 20, s"appends produced only ${filesBefore.size} files")
+
+    // a stale hidden rewrite dir from a hypothetical earlier crash
+    // must be invisible to readers (the reason the tmp moved INSIDE
+    // the partition dir with a dot-name: a sibling `cid=N__compact_tmp`
+    // would poison partition discovery) and swept by the next compact
+    val cidDir = new java.io.File(s"$dir/ix/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head
+    val stale = new java.io.File(cidDir, ".compact_tmp")
+    java.nio.file.Files.createDirectories(stale.toPath)
+    java.nio.file.Files.writeString(new java.io.File(stale, "junk").toPath, "stale")
+    val withStale = Similarity.searchIvfIndex(spark, s"$dir/ix", emb, queries).collect()
+    assert(withStale.toSet === before.toSet, "a hidden tmp dir changed search results")
+
+    // a cell left with a single file is skipped (nothing to pack), so
+    // the accounting asserts cover the multi-file cells only
+    val byCell = filesBefore.groupBy(_.getParentFile)
+    val packable = byCell.values.filter(_.size >= 2)
+    val smallMass = packable.flatten.map(_.length).sum
+    val report = Similarity.compactIndex(spark, s"$dir/ix", smallBytes = 1L << 20)
+    assert(!stale.exists(), "compaction did not sweep the stale rewrite dir")
+    val filesAfter = partFiles()
+    val nCells = new java.io.File(s"$dir/ix/cells").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(filesAfter.size === nCells,
+      s"expected one packed file per cell, got ${filesAfter.size} across $nCells cells")
+    // cost ∝ small-file mass: the report accounts exactly the bytes
+    // of the files it rewrote, which is every multi-file cell's mass
+    assert(report.bytesCompacted === smallMass)
+    assert(report.filesCompacted === packable.map(_.size).sum)
+    val after = Similarity.searchIvfIndex(spark, s"$dir/ix", emb, queries).collect()
+    assert(after.toSet === before.toSet, "compaction changed search results")
+    assert(after.length === before.length)
+
+    // idempotence: a second pass finds nothing small enough to touch
+    // twice (each cell is already one file — the <=1 early exit)
+    val report2 = Similarity.compactIndex(spark, s"$dir/ix", smallBytes = 1L << 20)
+    assert(report2.filesCompacted === 0)
+    emb.unpersist()
+  }
+
   test("dedup_embed candidate generation stays LINEAR at 10x data (r7's 61x scale-killer)") {
     // r7 verdict headline: the fixed 16-bucket LSH self-join measured
     // 61× runtime at 10× data (candidate set Θ(N²)). The fix — planes
