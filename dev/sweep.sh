@@ -20,8 +20,15 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 J="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 
 sbt -batch compile | tail -1
-rm -rf "$OUT"
-$J graft.ScaleUp "$SRC" "$OUT" "$TILES" 2>&1 | grep scaleup
+# SPARK_GRAFT_KEEP_TILES=1 reuses an already-materialized $OUT (e.g. a
+# family sweep followed by the full suite at the same tile count) —
+# ScaleUp is deterministic, so the tiles are identical either way.
+if [ "${SPARK_GRAFT_KEEP_TILES:-0}" = "1" ] && [ -d "$OUT" ]; then
+  echo "reusing tiles at $OUT"
+else
+  rm -rf "$OUT"
+  $J graft.ScaleUp "$SRC" "$OUT" "$TILES" 2>&1 | grep scaleup
+fi
 
 echo "== bench $SRC =="
 SPARK_GRAFT_SF_DIR=$SRC SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/dev/null | tail -1
