@@ -30,8 +30,13 @@ def main(sfdir, oracle_path, out_path, threads=32):
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
     for t in TABLES:
+        # ScaleUp-tiled corpora are Spark-style directories of part
+        # files (the dev/compare.py rule) — glob in that case
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(oracle_path))
     times = {}
 
