@@ -22,14 +22,16 @@ import org.apache.spark.sql.functions.{assert_true, concat, lit}
   * the query — no separate monitoring job to forget.
   *
   * Floors are COLLAPSE detectors, not aspirational targets: they sit
-  * under the worst measured value across the verify scales (the
-  * small-SF audits run on 100-vector / 5-query / 200-doc samples
-  * whose honest values are well below production's — e.g. two-level
-  * agreement measures 0.66 at sf0.001 vs ≥0.9 at ScaleSpec's N=20k)
-  * but far above what a broken implementation produces (random
-  * routing ≈ 1/K agreement; a dead candidate stage ≈ 0 recall). The
-  * per-scale quality FLOORS stay in ScaleSpec where the sample is big
-  * enough to make them tight.
+  * far from every healthy measurement but far above (or, for ceiling
+  * metrics, far below) what a broken implementation produces (random
+  * routing pays ≈ the full best-cosine mass in regret; a dead
+  * candidate stage ≈ 0 recall). A gated metric must also be
+  * SCALE-STABLE — the r10 lesson: exact-cell agreement decays with
+  * K by construction (0.76 at sf0.01 → 0.168 at 100×), so its fixed
+  * 0.5 floor false-fired at sf0.1 and was replaced by the routing
+  * regret ceiling (Similarity.AssignRegretCeiling). The per-scale
+  * quality FLOORS stay in ScaleSpec where the sample is big enough
+  * to make them tight.
   */
 object Gates {
 
@@ -44,5 +46,10 @@ object Gates {
   /** Standard message: "<query>: <metric> below floor <f>, got <value>". */
   def msg(query: String, metric: String, floor: Double, value: Column): Column =
     concat(lit(s"$query audit gate: $metric below floor $floor, got "),
+      value.cast("string"))
+
+  /** Ceiling twin for metrics where HIGH is broken (routing regret). */
+  def msgCeil(query: String, metric: String, ceiling: Double, value: Column): Column =
+    concat(lit(s"$query audit gate: $metric above ceiling $ceiling, got "),
       value.cast("string"))
 }

@@ -305,8 +305,11 @@ object Similarity {
     * table join is KEYED on gid, so it broadcasts only while fineK ≤
     * [[MaxBroadcastCentroids]] and becomes a plain shuffle join past
     * that — the degrade-don't-die fallback the flat crossJoin form
-    * cannot have. Returns (vec_id, cid, v): the vector rides the
-    * final aggregate so a consumer never re-joins the corpus for it. */
+    * cannot have. Returns (vec_id, cid, score, v): the chosen
+    * centroid's quant6 cosine rides along (free — it is the max the
+    * final aggregate already computes; semantic_assign_audit's regret
+    * metric needs it), and the vector rides the final aggregate so a
+    * consumer never re-joins the corpus for it. */
   private[graft] def assignTwoLevel(emb: DataFrame, cent: DataFrame,
       fineK: Int, coarseK: Int, probes: Int = 2): DataFrame = {
     val coarse = seedCentroids(
@@ -343,6 +346,7 @@ object Similarity {
           (-col("cid")).as("nc"), col("cid")).as("s"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("s.cid"), struct(col("s.score"), col("s.nc"))).as("cid"),
+        max(col("s.score")).as("score"),
         first(col("v")).as("v"))
   }
 
@@ -973,29 +977,57 @@ object Similarity {
     c
   }
 
-  /** Collapse floors the audit queries ENFORCE IN-PLAN (Gates.floors;
-    * r9 verdict #3). Set under the worst small-SF measurement
-    * (agreement 0.66 at sf0.001 / 0.76 at sf0.01; LSH recall@5 0.44 /
-    * 0.52 on the 5-query sample) but far above a broken path (random
-    * routing ≈ 1/K; dead candidate stage ≈ 0): the gate turns a
-    * silent quality regression into a failed job everywhere the query
-    * runs. The tight per-scale floors live in ScaleSpec. */
-  private[graft] val AssignAgreementFloor = 0.5
+  /** Collapse bounds the audit queries ENFORCE IN-PLAN (Gates.floors;
+    * r9 verdict #3): far from every healthy measurement, far above a
+    * broken path, so the gate turns a silent quality regression into
+    * a failed job everywhere the query runs. The tight per-scale
+    * floors live in ScaleSpec.
+    *
+    * The assignment gate bounds ROUTING REGRET, not exact-cell
+    * agreement: agreement (still reported) is scale-UNSTABLE by
+    * construction — with probes=2 of G ≈ √K coarse groups the probed
+    * fraction shrinks as K = N/32 grows, and the measured decay is
+    * 0.76 at sf0.01 (K=16) → 0.475 at sf0.1 (K=640) → 0.168 at 100×
+    * (K=64k), so ANY fixed agreement floor either false-fires at
+    * scale (an r10 full-suite sweep actually died this way at sf0.1)
+    * or detects nothing small. mean_regret — the mean quant6-cosine
+    * gap between the flat-best centroid and the two-level choice — is
+    * the quality that matters for SemDeDup (a near-as-good cell keeps
+    * near-dups co-located) and is nearly scale-FLAT: two-level ≤ flat
+    * by construction (same scorer, exhaustive vs probed max), and the
+    * measured healthy curve is 0.020 at sf0.01 → 0.037 at sf0.1 →
+    * 0.062 at 100× (sub-log growth: a missed argmax still finds an
+    * almost-as-good cell because cells shrink as K grows), while
+    * broken routing pays the full best-cosine mass (≈0.5 on this
+    * data). Ceiling 0.2 = 3.2× above the 100× measurement, 2.5×
+    * below broken. */
+  private[graft] val AssignRegretCeiling = 0.2
   private[graft] val LshRecallFloor = 0.3
 
   /** semantic_assign_audit's scored tail over the two assignment
-    * frames — separated so the gate spec can drive the IDENTICAL
-    * gated plan with a degraded `two` side and prove the job dies. */
+    * frames (vec_id, cid_*, score_*) — separated so the gate spec can
+    * drive the IDENTICAL gated plan with a degraded `two` side and
+    * prove the job dies. Scores are summed as micro-unit BIGINTs (the
+    * label_centroids rule: quant6 doubles are multiples of 1e-6, so
+    * floor(s·1e6 + 0.5) is the exact integer and the sum is
+    * order-independent — a double SUM would be accumulation-order
+    * nondeterministic and could hash-diverge from the oracle). */
   private[graft] def assignAgreementFrame(flat: DataFrame, two: DataFrame): DataFrame = {
     val res = flat.join(two, "vec_id")
+      .select(col("cid_flat"), col("cid_two"),
+        floor(col("score_flat") * lit(1000000.0) + lit(0.5)).cast("long").as("qf"),
+        floor(col("score_two") * lit(1000000.0) + lit(0.5)).cast("long").as("qt"))
       .agg(count(lit(1)).as("n_vecs"),
-        count(when(col("cid_flat") === col("cid_two"), 1)).as("n_agree"))
+        count(when(col("cid_flat") === col("cid_two"), 1)).as("n_agree"),
+        sum(col("qf")).as("sqf"), sum(col("qt")).as("sqt"))
       .select(col("n_vecs"), col("n_agree"),
-        (floor(col("n_agree") * lit(1000000.0) / col("n_vecs")) / 1000000.0).as("agreement"))
+        (floor(col("n_agree") * lit(1000000.0) / col("n_vecs")) / 1000000.0).as("agreement"),
+        Portable.quant6((col("sqf") - col("sqt")).cast("double")
+          / (col("n_vecs") * lit(1000000.0))).as("mean_regret"))
     graft.functions.Gates.floors(res,
-      (col("n_vecs") === 0 || col("agreement") >= AssignAgreementFloor,
-        graft.functions.Gates.msg("semantic_assign_audit", "two-level agreement",
-          AssignAgreementFloor, col("agreement"))))
+      (col("n_vecs") === 0 || col("mean_regret") <= AssignRegretCeiling,
+        graft.functions.Gates.msgCeil("semantic_assign_audit", "two-level routing regret",
+          AssignRegretCeiling, col("mean_regret"))))
   }
 
   /** ann_audit's scored tail over the exact and approximate result
@@ -1387,7 +1419,12 @@ object Similarity {
     // 20% sample (vec_id % 5 = 0; assignment is per-vector independent,
     // so sampling the audited vectors changes nothing about either
     // path) both assignments run against the SAME full-corpus centroid
-    // table and the query reports n_vecs / n_agree / agreement. Audit
+    // table and the query reports n_vecs / n_agree / agreement (the
+    // scale-dependent diagnostic) plus mean_regret (the scale-stable
+    // quality: mean quant6-cosine gap flat-best − two-level choice,
+    // micro-int BIGINT sums for oracle parity) — the in-plan gate
+    // bounds REGRET, see AssignRegretCeiling for why agreement cannot
+    // be gated at a fixed level. Audit
     // cost is |sample|·K dots for the exact baseline — the audit, like
     // ann_audit's brute-force side, is priced by its sample knob — but
     // even the baseline avoids a corpus-shaped broadcast: it is the
@@ -1398,22 +1435,23 @@ object Similarity {
       "semantic_assign_audit", {
         s"""WITH $semCtes,
            |s AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
-           |flat AS (SELECT vec_id, cid AS cid_flat FROM (
-           |   SELECT s.vec_id, c.cid,
+           |flat AS (SELECT vec_id, cid AS cid_flat, CAST(floor(sc * 1000000.0 + 0.5) AS BIGINT) AS qf FROM (
+           |   SELECT s.vec_id, c.cid, ${quantCos.format("s.v", "c.cv")} AS sc,
            |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "c.cv")} DESC, c.cid) AS rn
            |   FROM s, c) t WHERE rn = 1),
            |routed AS (SELECT vec_id, gid FROM (
            |   SELECT s.vec_id, g.gid,
            |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "g.gv")} DESC, g.gid) AS rn
            |   FROM s, g) t WHERE rn <= 2),
-           |two AS (SELECT vec_id, cid AS cid_two FROM (
-           |   SELECT r.vec_id, c.cid,
+           |two AS (SELECT vec_id, cid AS cid_two, CAST(floor(sc * 1000000.0 + 0.5) AS BIGINT) AS qt FROM (
+           |   SELECT r.vec_id, c.cid, ${quantCos.format("sv.v", "c.cv")} AS sc,
            |          ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY ${quantCos.format("sv.v", "c.cv")} DESC, c.cid) AS rn
            |   FROM routed r JOIN grp ON grp.gid = r.gid JOIN c ON c.cid = grp.cid
            |        JOIN s sv ON sv.vec_id = r.vec_id) t WHERE rn = 1)
            |SELECT COUNT(*) AS n_vecs,
            |       COUNT(*) FILTER (WHERE f.cid_flat = t.cid_two) AS n_agree,
-           |       floor((COUNT(*) FILTER (WHERE f.cid_flat = t.cid_two)) * 1000000.0 / COUNT(*)) / 1000000.0 AS agreement
+           |       floor((COUNT(*) FILTER (WHERE f.cid_flat = t.cid_two)) * 1000000.0 / COUNT(*)) / 1000000.0 AS agreement,
+           |       ${Portable.Quant6Sql("CAST(SUM(f.qf) - SUM(t.qt) AS DOUBLE) / (COUNT(*) * 1000000.0)")} AS mean_regret
            |FROM flat f JOIN two t USING (vec_id)""".stripMargin
       }) { (spark, dir) =>
       val emb = embV(spark, dir)
@@ -1431,9 +1469,9 @@ object Similarity {
       // gid-keyed join that degrades to a shuffle past
       // MaxBroadcastCentroids instead of hard-failing
       val flat = assignTwoLevel(sample, cent, k, g, probes = g)
-        .select(col("vec_id"), col("cid").as("cid_flat"))
+        .select(col("vec_id"), col("cid").as("cid_flat"), col("score").as("score_flat"))
       val two = assignTwoLevel(sample, cent, k, g)
-        .select(col("vec_id"), col("cid").as("cid_two"))
+        .select(col("vec_id"), col("cid").as("cid_two"), col("score").as("score_two"))
       assignAgreementFrame(flat, two)
     },
 
