@@ -77,7 +77,7 @@ print(f"median ratio {statistics.median(ratios.values()):.2f}, "
 # to the linear gate would flag the workload, not the plan.
 SCAFFOLD = {"ann_bruteforce", "ann_quantized", "ann_lsh", "ann_ivf",
             "ann_ivf_sq8", "ann_pq", "ann_ivf_pq", "ann_audit",
-            "semantic_assign_audit"}
+            "ann_index_lifecycle", "semantic_assign_audit"}
 bad = [q for q, r in ratios.items()
        if r > (tiles * tiles if q in SCAFFOLD else tiles) * 1.3]
 if bad:

@@ -225,6 +225,46 @@ object Bench {
     slowest.foreach { case (k, rs, s, _) =>
       System.err.println(f"[bench]   $k%-24s ${rs.min}%7.2fs  shuffle ${s}%8.1f MB")
     }
+    // Round-over-round self-comparison (r10 verdict task 7: bench_full
+    // is overwritten every run, so the r9-vs-r10 per-query comparison
+    // had to be reconstructed from slowest-10 lists): diff this run
+    // against the LATEST committed BENCH_FULL_r<NN>.json in cwd, to
+    // stderr only. Purely informational — shuffle-MB deltas in the two
+    // full files stay the ground truth for plan-vs-noise adjudication.
+    try {
+      val prev = new java.io.File(".").listFiles((_, n) =>
+        n.matches("BENCH_FULL_r\\d+\\.json"))
+      if (prev != null && prev.nonEmpty && only.isEmpty) {
+        val latest = prev.maxBy(f =>
+          "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+        val content = new String(
+          java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+        // the artifact is this class's own flat output: "name":secs
+        // inside the "queries" object — a regex scan avoids a JSON dep
+        val qsec = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(content.substring(
+            content.indexOf("\"queries\":"),
+            content.indexOf("\"runs\":")))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
+        if (prevSf.forall(_ == sfDir)) {
+          val deltas = results.collect {
+            case (k, rs, _, _) if rs.min >= 0 && qsec.getOrElse(k, -1.0) > 0 =>
+              (k, qsec(k), rs.min, rs.min - qsec(k))
+          }.sortBy(-_._4)
+          System.err.println(s"[bench] vs ${latest.getName} (same sf) — top regressions:")
+          deltas.take(10).filter(_._4 > 0.1).foreach { case (k, p, c, d) =>
+            System.err.println(f"[bench]   $k%-24s $p%7.2fs -> $c%7.2fs  (+$d%.2fs)")
+          }
+          val totPrev = deltas.map(_._2).sum
+          val totCur = deltas.map(_._3).sum
+          System.err.println(
+            f"[bench] common-query total: $totPrev%.1fs -> $totCur%.1fs")
+        }
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] round-diff skipped: ${e.getMessage}")
+    }
     spark.stop()
     // Budget enforced at emit time: a future query-name explosion must
     // fail HERE, visibly, not silently re-break the driver's parse.

@@ -99,8 +99,22 @@ object Graph {
     * ptr is still an internal node. On completion `ptr` IS the
     * root; `mn` equals it when parent ids decrease along chains
     * (this repo's synthesized trees) but stays correct as "min
-    * ancestor" for arbitrary id orders. */
-  def forestRollup(edges: DataFrame, rounds: Int): DataFrame = {
+    * ancestor" for arbitrary id orders.
+    *
+    * `checkConvergence = false` skips the per-round moved count: the
+    * loop runs the full `rounds` budget with ONE job per round
+    * instead of two. That is the right mode when the caller can
+    * BOUND the depth from the data (part_hierarchy: parent =
+    * node div 4 makes depth(n) exactly floor(log4 n), so
+    * rounds = ceil(log2 bound) is provably sufficient and the
+    * fixpoint probe would only ever confirm it); extra rounds past
+    * the fixpoint are no-op substitutions (every ptr is a root,
+    * the left join matches nothing), so the result is identical —
+    * spec-asserted against the checked form. The moved count stays
+    * the default for unknown-depth forests, where it is both the
+    * early exit and the [[forestComplete]] truncation signal. */
+  def forestRollup(edges: DataFrame, rounds: Int,
+      checkConvergence: Boolean = true): DataFrame = {
     var state = edges.select(col("node"), col("anc").as("ptr"),
       lit(1L).as("depth"), col("anc").as("mn")).stage()
     var moved = 1L
@@ -115,7 +129,7 @@ object Graph {
           least(col("mn"), coalesce(col("t_mn"), col("mn"))).as("mn"),
           col("t_node").isNotNull.as("moved"))
         .stage()
-      moved = next.filter(col("moved")).count()
+      if (checkConvergence) moved = next.filter(col("moved")).count()
       state = next.drop("moved")
       r += 1
     }
@@ -303,10 +317,11 @@ object Graph {
     // ([[forestRollup]], r10 — the tree is single-parent, so per-node
     // (ptr, depth, min-anc) state replaces the N·depth pair closure):
     // each round substitutes ptr's own state, covered depth doubles,
-    // state stays N rows, and the loop EXITS as soon as a round moves
-    // no pointer — the test-SF tree pays ceil(log2 depth)+1 rounds of
-    // a budget of 5 (coverage 2⁵ = 32 levels = 4³² keys, the
-    // dedup_clusters fixed-round argument). [[ancestorClosure]]
+    // and state stays N rows. The budget is derived from max(partkey)
+    // (depth is exactly floor(log4 n) for this parent rule), so the
+    // loop pays ceil(log2 depthBound) one-job rounds and NO fixpoint
+    // probes — at sf0.1 that is 3 rounds for depth 7, and a 1000×
+    // corpus adds two rounds, not a rescan. [[ancestorClosure]]
     // remains the operator for multi-parent ancestor SETS; its
     // budget-truncation contract carries over here as
     // [[forestComplete]] (spec-proven to flag a depth-40 chain under
@@ -339,8 +354,22 @@ object Graph {
       // single-parent tree → the N-rows-per-round pointer-jumping
       // rollup, not the N·depth closure (ancestorClosure remains the
       // operator for genuinely multi-parent ancestor sets); min-anc
-      // and chain length come straight off the rolled state
-      val pa = forestRollup(edges, 5)
+      // and chain length come straight off the rolled state.
+      // The round budget is DERIVED, not probed (r10 verdict: the
+      // fixed-budget-plus-fixpoint-probe loop paid ~2 jobs/round and
+      // one wasted no-op round): parent = node div 4 makes depth(n)
+      // exactly floor(log4 n), so the deepest chain under max(node)
+      // is bounded by one tiny column-pruned scalar aggregate and
+      // ceil(log2 bound) doubling rounds provably reach every root —
+      // the moved-count probe and its per-round job are skipped
+      // (checkConvergence = false; identity spec-asserted). The agg
+      // is the writeZOrdered scalar-broadcast pattern: one driver
+      // scalar off a single-column scan, never a per-row collect.
+      val maxNode = part.agg(max(col("node"))).head.getLong(0)
+      val depthBound = math.max(1, (math.log(math.max(maxNode, 4).toDouble)
+        / math.log(4.0)).floor.toInt + 1) // +1 absorbs float rounding at powers of 4
+      val rounds = (32 - Integer.numberOfLeadingZeros(depthBound - 1)) max 1
+      val pa = forestRollup(edges, rounds, checkConvergence = false)
         .select(col("node"), col("mn").as("root"), col("depth"))
       part.join(pa, Seq("node"), "left")
         .select(

@@ -540,7 +540,12 @@ object Similarity {
   def ivfSq8Search(
       emb: DataFrame, cent: DataFrame, queries: DataFrame,
       nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame =
-    sq8SearchCells(quantizedCells(emb, cent), emb, cent, queries, nProbes, excludeSelf)
+    // stage the N×K assignment (the pareto_class rule): the search and
+    // its in-plan recall gate both consume the cell table, and the
+    // assignment feeds a broadcast join (no exchange boundary), so
+    // without the cut it would be computed once per branch
+    sq8SearchCells(quantizedCells(emb, cent).stage(), emb, cent, queries,
+      nProbes, excludeSelf)
 
   /** Each corpus row's (cell, int8 vector) in ONE scan and ONE
     * shuffle: the quantization is a per-row projection BEFORE the
@@ -561,6 +566,14 @@ object Similarity {
     * on — shared by the dynamic path ([[ivfSq8Search]]) and the
     * persisted index ([[searchIvfIndex]]). */
   private def sq8SearchCells(
+      cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
+      queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame =
+    gateSampledRecall(
+      sq8SearchCellsRaw(cellTable, emb, cent, queries, nProbes, excludeSelf),
+      emb, queries, excludeSelf, "ann_ivf_sq8")(
+      s => sq8SearchCellsRaw(cellTable, emb, cent, s, nProbes, excludeSelf))
+
+  private def sq8SearchCellsRaw(
       cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
       queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame = {
     val cells = cellTable.withColumn("__cs",
@@ -674,14 +687,19 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     // codebook = the seedCentroids sample (pqBook's "" key reproduces
     // md5(vec_id) order); encode + per-query ADC table + the coarse
-    // 8-lookup fixed-order score, shared with the IVF×PQ composition
+    // 8-lookup fixed-order score, shared with the IVF×PQ composition.
+    // The N-row encode is staged: the search and its in-plan recall
+    // gate both scan it across a broadcast join (no exchange to reuse)
     val book = pqBook(emb, "")
-    val enc = pqEncode(emb, book)
-    val qt = pqTable(queries, book)
-    val coarse = dropSelf(pairQueries(enc, qt, broadcastQueries), excludeSelf, "qid", "vec_id")
-      .select(col("qid"), col("vec_id").as("nid"), adcScore.as("cscore"))
-    rerank(saltedTopK(coarse, col("cscore"), PqRerank).select(col("qid"), col("nid")),
-      emb, queries)
+    val enc = pqEncode(emb, book).stage()
+    def raw(q: DataFrame): DataFrame = {
+      val qt = pqTable(q, book)
+      val coarse = dropSelf(pairQueries(enc, qt, broadcastQueries), excludeSelf, "qid", "vec_id")
+        .select(col("qid"), col("vec_id").as("nid"), adcScore.as("cscore"))
+      rerank(saltedTopK(coarse, col("cscore"), PqRerank).select(col("qid"), col("nid")),
+        emb, q)
+    }
+    gateSampledRecall(raw(queries), emb, queries, excludeSelf, "ann_pq")(raw)
   }
 
   /** Ordered dot product of subspace `m`'s slice — codegen'd VecDot
@@ -761,7 +779,10 @@ object Similarity {
     // evaluated once per branch
     val asnR = residualAssign(emb, cent).stage()
     val rbook = pqBook(asnR.select(col("vec_id"), col("v")), "r")
-    pqSearchCells(pqCellTable(asnR, rbook), cent, rbook, emb, queries, nProbes, excludeSelf)
+    // the encoded cell table is staged for the same reason as asnR:
+    // the search and its recall gate share it across a broadcast join
+    pqSearchCells(pqCellTable(asnR, rbook).stage(), cent, rbook, emb,
+      queries, nProbes, excludeSelf)
   }
 
   /** Nearest-centroid assignment carrying the residual: (vec_id, cid,
@@ -787,6 +808,14 @@ object Similarity {
     * cell table on — shared by the dynamic path ([[ivfPqSearch]]) and
     * the persisted index ([[searchIvfPqIndex]]). */
   private def pqSearchCells(
+      cellTable: DataFrame, cent: DataFrame, rbook: DataFrame, emb: DataFrame,
+      queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame =
+    gateSampledRecall(
+      pqSearchCellsRaw(cellTable, cent, rbook, emb, queries, nProbes, excludeSelf),
+      emb, queries, excludeSelf, "ann_ivf_pq")(
+      s => pqSearchCellsRaw(cellTable, cent, rbook, emb, s, nProbes, excludeSelf))
+
+  private def pqSearchCellsRaw(
       cellTable: DataFrame, cent: DataFrame, rbook: DataFrame, emb: DataFrame,
       queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame = {
     val cells = cellTable.withColumn("__cs",
@@ -1004,6 +1033,70 @@ object Similarity {
   private[graft] val AssignRegretCeiling = 0.2
   private[graft] val LshRecallFloor = 0.3
 
+  /** Collapse floor + sample size for the PRODUCTION quantized search
+    * paths' in-plan freshness gate (r10 verdict task 6: the recall
+    * floors for ann_pq/ann_ivf_pq/ann_ivf_sq8 lived only in ScaleSpec,
+    * so a codebook/centroid regression would ship silently between CI
+    * runs). Every execution of those searches now embeds a miniature
+    * ann_audit: a CONSTANT-SIZE md5-chosen subsample of its own query
+    * batch is answered both exactly (brute force) and by the identical
+    * approximate pipeline, and the plan aborts when sampled recall@k
+    * collapses. Constant sample size is what keeps the gate 100 TB-
+    * legal — its brute side is GateSampleQ·N dots, linear in the
+    * corpus, while a proportional sample would re-introduce the N²/c
+    * exhaustive scan the index exists to avoid. The floor is collapse-
+    * level (healthy measurements are 0.84–1.0 across scales and the
+    * sweep; random/broken candidate routing pays ≈0): scale-stable by
+    * the same argument as [[LshRecallFloor]]. The tight per-method
+    * floors (0.80–0.9) stay in ScaleSpec where the query population is
+    * the full % 100 sample. */
+  private[graft] val AnnGateFloor = 0.3
+  private[graft] val GateSampleQ = 8
+
+  /** One-row gated recall frame over a sampled query batch's exact and
+    * approximate result sets — separated (the assignAgreementFrame
+    * rule) so GatesSpec can drive the IDENTICAL gated plan with a
+    * degraded approx side and prove the job dies. */
+  private[graft] def sampledRecallFrame(brute: DataFrame, approx: DataFrame,
+      query: String): DataFrame = {
+    val b = brute.select(col("query_id"), col("neighbor_id"))
+    val hits = b.intersect(approx.select(col("query_id"), col("neighbor_id")))
+    val res = b.agg(count(lit(1)).as("n_baseline"))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_baseline"), col("n_hits"),
+        // nullif guards the ANSI divide-by-zero on an empty query
+        // batch; the gate condition short-circuits on n_baseline = 0
+        // (true OR null = true), reading the null as "nothing to audit"
+        Portable.quant6(col("n_hits").cast("double")
+          / nullif(col("n_baseline").cast("double"), lit(0.0))).as("recall"))
+    graft.functions.Gates.floors(res,
+      (col("n_baseline") === 0 || col("recall") >= AnnGateFloor,
+        graft.functions.Gates.msg(query, s"sampled recall@$TopK",
+          AnnGateFloor, col("recall"))))
+  }
+
+  /** Attach the sampled-recall gate to a search result: the gate frame
+    * rides the returned plan as a broadcast one-row cross join (the
+    * audit-gate mechanics — assert_true inside the frame's filter, so
+    * a collapsed recall aborts every execution path while a healthy
+    * one passes rows through byte-identical). `approxOf` must be the
+    * UNGATED form of the same search (the gated form would recurse).
+    * The sample re-runs that search on GateSampleQ queries only; its
+    * corpus-sized subtrees (PQ encode, cell tables) are structurally
+    * identical to the main result's, so exchange reuse pays them once
+    * — bench-verified, not assumed. */
+  private def gateSampledRecall(result: DataFrame, emb: DataFrame,
+      queries: DataFrame, excludeSelf: Boolean, query: String)
+      (approxOf: DataFrame => DataFrame): DataFrame = {
+    val sample = queries
+      .orderBy(md5(concat(lit("anngate"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(GateSampleQ)
+    val frame = sampledRecallFrame(
+      bruteForce(emb, sample, broadcastQueries = true, excludeSelf),
+      approxOf(sample), query)
+    result.crossJoin(broadcast(frame.select(lit(1).as("__gate")))).drop("__gate")
+  }
+
   /** semantic_assign_audit's scored tail over the two assignment
     * frames (vec_id, cid_*, score_*) — separated so the gate spec can
     * drive the IDENTICAL gated plan with a degraded `two` side and
@@ -1106,6 +1199,31 @@ object Similarity {
       |              list_transform(v, x -> greatest(least(floor(x * 127.0), 127.0), -128.0)) AS qv
       |       FROM e)""".stripMargin
 
+  /** The IVFADC (IVF×SQ8) oracle — shared verbatim by `ann_ivf_sq8`
+    * and `ann_index_lifecycle`: the persisted build→append→compact→
+    * search cycle is bit-identity-preserving, so one SQL definition
+    * checks both and the two seats can never drift. */
+  private lazy val ivfSq8Sql: String =
+    s"""WITH ${ivfCtes(SqNumProbes)},
+       |$qzCte,
+       |co AS (SELECT q.qid, a.vec_id AS nid, list_inner_product(z.qv, zq.qv) AS cscore
+       |       FROM qprobe q
+       |       JOIN asn a ON a.cid = q.cid AND a.vec_id <> q.qid
+       |       JOIN qz z ON z.vec_id = a.vec_id
+       |       JOIN qz zq ON zq.vec_id = q.qid),
+       |ck AS (SELECT qid, nid FROM (
+       |   SELECT qid, nid,
+       |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
+       |   FROM co) t WHERE crn <= $RerankK),
+       |sc AS (SELECT ck.qid, ck.nid,
+       |              ${quantCos.format("eq.v", "en.v")} AS score
+       |       FROM ck JOIN e eq ON eq.vec_id = ck.qid JOIN e en ON en.vec_id = ck.nid),
+       |r AS (SELECT qid, nid, score,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+       |      FROM sc)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
+       |FROM r WHERE rn <= $TopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // L7b — IVF-style ANN: assign every vector to its nearest coarse
@@ -1135,29 +1253,36 @@ object Similarity {
 
     // L7d — IVFADC: int8 coarse scan inside probed cells only, exact
     // rerank on the coarse top-R (see ivfSq8Search).
-    QueryDef(
-      "ann_ivf_sq8",
-      s"""WITH ${ivfCtes(SqNumProbes)},
-         |$qzCte,
-         |co AS (SELECT q.qid, a.vec_id AS nid, list_inner_product(z.qv, zq.qv) AS cscore
-         |       FROM qprobe q
-         |       JOIN asn a ON a.cid = q.cid AND a.vec_id <> q.qid
-         |       JOIN qz z ON z.vec_id = a.vec_id
-         |       JOIN qz zq ON zq.vec_id = q.qid),
-         |ck AS (SELECT qid, nid FROM (
-         |   SELECT qid, nid,
-         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
-         |   FROM co) t WHERE crn <= $RerankK),
-         |sc AS (SELECT ck.qid, ck.nid,
-         |              ${quantCos.format("eq.v", "en.v")} AS score
-         |       FROM ck JOIN e eq ON eq.vec_id = ck.qid JOIN e en ON en.vec_id = ck.nid),
-         |r AS (SELECT qid, nid, score,
-         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
-         |      FROM sc)
-         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
-         |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+    QueryDef("ann_ivf_sq8", ivfSq8Sql) { (spark, dir) =>
       val emb = embV(spark, dir)
       ivfSq8Search(emb, seedCentroids(emb), defaultQueries(emb))
+    },
+
+    // L7d lifecycle seat — the PERSISTED index's full maintenance
+    // cycle as a driver-checked query (r10 verdict task 8: the
+    // build→append→compact→search path had spec-scale evidence only):
+    // every invocation rebuilds the inverted file from a 90% base,
+    // appends the remaining three deltas against the FROZEN centroid
+    // table, bin-packs the per-cell delta files with the swap-
+    // journaled compaction, and answers the standard query batch from
+    // the compacted index. The oracle is ann_ivf_sq8's SQL verbatim —
+    // append+compact are bit-identity-preserving by design, so the
+    // whole lifecycle must hash-match the dynamic search; the bench/
+    // sweep entry prices the maintenance path itself (index build is
+    // O(N·K), appends O(|delta|·K), compaction ∝ delta mass, search
+    // Q-proportional — tiles² by workload, the SCAFFOLD class).
+    QueryDef("ann_index_lifecycle", ivfSq8Sql) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      val path = "/tmp/graft_ann_lifecycle_" + Portable.md5Hex(dir).take(12)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      val cent = seedCentroids(emb)
+      buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), cent, path)
+      Seq(7L, 17L, 27L).foreach { m =>
+        appendToIvfIndex(spark, emb.filter(pmod(col("vec_id"), lit(30)) === m), path)
+      }
+      compactIndex(spark, path)
+      searchIvfIndex(spark, path, emb, defaultQueries(emb))
     },
 
     // L7f — IVFADC with residual PQ (see ivfPqSearch).

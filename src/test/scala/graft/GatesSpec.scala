@@ -87,6 +87,33 @@ class GatesSpec extends SparkSuite {
     assert(row.getAs[Double]("recall") === 1.0)
   }
 
+  test("production ANN searches: collapsed sampled recall kills the job") {
+    import spark.implicits._
+    // the gated frame the three quantized production paths embed
+    // (sampledRecallFrame rides ann_pq / ann_ivf_sq8 / ann_ivf_pq and
+    // both persisted-index searches): exact top-k for the 8-query
+    // sample vs a DEGRADED approximate side that found 2 of 40
+    val brute = (for (q <- 0L until 8L; n <- 1L to 5L)
+      yield (q, q * 10 + n, n, 0.9)).toDF("query_id", "neighbor_id", "rank", "score")
+    val dead = brute.limit(2)
+    firesWith("sampled recall@5 below floor 0.3, got 0.05") {
+      graft.operators.Similarity.sampledRecallFrame(brute, dead, "ann_pq").collect()
+    }
+    // a healthy approximate side passes with the recall exact…
+    val row = graft.operators.Similarity.sampledRecallFrame(brute, brute, "ann_pq").head
+    assert(row.getAs[Long]("n_baseline") === 40L)
+    assert(row.getAs[Double]("recall") === 1.0)
+    // …and an empty query batch is "nothing to audit", not a failure
+    val none = graft.operators.Similarity
+      .sampledRecallFrame(brute.limit(0), dead.limit(0), "ann_pq").head
+    assert(none.getAs[Long]("n_baseline") === 0L)
+    // end-to-end: the gate rides the production query's RETURNED plan
+    // (schema and rows byte-identical to the ungated form is asserted
+    // by the driver's hash check; here: the gate columns must not leak)
+    val got = SparkEntry.queries("ann_pq")(spark, sf0001)
+    assert(got.columns.toSeq === Seq("query_id", "neighbor_id", "rank", "score"))
+  }
+
   test("dedup_audit: a false positive OR a dead detector kills the job") {
     import spark.implicits._
     val sample = (0L until 10L).toDF("doc_id")

@@ -883,6 +883,13 @@ class QueriesSpec extends SparkSuite {
     // the result is identical, not over-iterated garbage
     val twenty = graft.operators.Graph.forestRollup(edges, 20)
     assert(twenty.collect().map(_.toSeq).toSet === six.collect().map(_.toSeq).toSet)
+    // derived-budget mode (checkConvergence = false): same result with
+    // no fixpoint probes, both at the exact budget and past it (rounds
+    // past the fixpoint are no-op substitutions, never garbage)
+    val unchecked = graft.operators.Graph.forestRollup(edges, 6, checkConvergence = false)
+    assert(unchecked.collect().map(_.toSeq).toSet === six.collect().map(_.toSeq).toSet)
+    val uncheckedOver = graft.operators.Graph.forestRollup(edges, 8, checkConvergence = false)
+    assert(uncheckedOver.collect().map(_.toSeq).toSet === six.collect().map(_.toSeq).toSet)
     // and on the part tree it must agree with the pair-closure form
     val pe = graft.sources.Tables.part(spark, sf0001)
       .select(col("p_partkey").cast("long").as("node"))
