@@ -17,7 +17,13 @@ TILES=${3:-10}
 OUTJSON=${4:-BENCH_SF1.json}
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
-J="java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
+# -XX:GCLockerRetryAllocationCount: the r11 full sweep's scaled JVM
+# died with "Retried waiting for GCLocker too often allocating 3
+# words" ~75 min in (JNI critical sections from parquet/compression
+# starving tiny allocations; the JDK default retry count is 2) — the
+# standard mitigation is raising the retry count. 64g heap for the
+# 100x ANN/lifecycle stages' headroom on the 128g box.
+J="java $ADD_OPENS -Xmx64g -XX:GCLockerRetryAllocationCount=64 -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 
 sbt -batch compile | tail -1
 # SPARK_GRAFT_KEEP_TILES=1 reuses an already-materialized $OUT (e.g. a
@@ -30,11 +36,14 @@ else
   $J graft.ScaleUp "$SRC" "$OUT" "$TILES" 2>&1 | grep scaleup
 fi
 
+# bench stderr goes to a side log, not /dev/null: when a multi-hour
+# scaled run dies (OOM, kill) the [bench]/JVM diagnostics there are
+# the only evidence of which query was running and why it died
 echo "== bench $SRC =="
-SPARK_GRAFT_SF_DIR=$SRC SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/dev/null | tail -1
+SPARK_GRAFT_SF_DIR=$SRC SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/tmp/sweep_bench_base.err | tail -1
 cp bench_full.json /tmp/sweep_base.json
 echo "== bench $OUT =="
-SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/dev/null | tail -1
+SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/tmp/sweep_bench_scaled.err | tail -1
 cp bench_full.json /tmp/sweep_scaled.json
 
 python3 - "$TILES" "$OUTJSON" <<'EOF'

@@ -75,23 +75,64 @@ object Bench {
     // Warm the JVM/codegen once so per-query times measure the plan, not JIT.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
+    // Dev-loop filters: SPARK_GRAFT_ONLY=q1,q2 times just those
+    // queries; SPARK_GRAFT_EXCLUDE=q3,q4 drops named queries (used by
+    // the scale sweep to leave out exhaustive-baseline scaffolding
+    // whose 100× cost is workload-priced tiles² by construction).
     // Unset (the driver's invocation) = the full suite.
+    val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     // Fail fast on unknown names (mirrors Verify): a misspelled filter
-    // would silently time nothing.
-    only.foreach { names =>
+    // would silently time nothing (or silently time everything).
+    (only.toSeq :+ exclude).foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        s"bench filter names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    // Locale.ROOT: String.format follows the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON artifact
+    def num(v: Double, fmt: String): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    def s3(v: Double): String = if (v < 0) "-1" else num(v, "%.3f")
+    def mb(v: Double): String = num(v, "%.1f")
+    def fullJson(rs: Seq[(String, Seq[Double], Double, Double)]): String = {
+      val qs = rs.map { case (k, r, _, _) => "\"" + k + "\":" + s3(r.min) }
+        .mkString("{", ",", "}")
+      val rr = rs.map { case (k, r, _, _) =>
+        "\"" + k + "\":" + r.map(s3).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val sh = rs.map { case (k, _, s, _) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
+      val sp = rs.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
+      val tot = rs.collect { case (_, r, _, _) if r.min >= 0 => r.min }.sum
+      s"""{"metric":"total","value":${s3(tot)},"unit":"sec","queries":$qs,""" +
+        s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},"sf":"$sfDir"}"""
+    }
+    // bench_full.json is (re)written after EVERY query, not only at
+    // exit: a multi-hour scale sweep killed mid-run (round timeout,
+    // OOM) used to lose every per-query measurement it had already
+    // paid for — r10 lost its completed 100× half exactly this way.
+    def writeFull(rs: Seq[(String, Seq[Double], Double, Double)], quiet: Boolean): Unit =
+      for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {
+        try {
+          val p = java.nio.file.Paths.get(dir, "bench_full.json")
+          java.nio.file.Files.write(p, fullJson(rs).getBytes("UTF-8"))
+          if (!quiet) System.err.println(s"[bench] full JSON -> $p")
+        } catch { case e: Exception =>
+          if (!quiet) System.err.println(s"[bench] could not write $dir/bench_full.json: ${e.getMessage}")
+        }
+      }
     var failed = List.empty[String]
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val benched = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Double], Double, Double)]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !exclude.contains(name)
+      }
+      .foreach { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val ok =
         try { once(); true } // warm-up: codegen/JIT compile off the clock
@@ -143,8 +184,10 @@ object Bench {
       val nRuns = math.max(runs.size, 1)
       val shuffleMb = (metrics.shuffleWrite.get() - sw0) / nRuns.toDouble / 1048576.0 // per-run mean
       val spillMb = (metrics.spill.get() - sp0) / nRuns.toDouble / 1048576.0
-      (name, runs, shuffleMb, spillMb)
+      benched += ((name, runs, shuffleMb, spillMb))
+      writeFull(benched.toSeq, quiet = true)
     }
+    val firstPass: Seq[(String, Seq[Double], Double, Double)] = benched.toSeq
     // When the run-to-run spread says the box was contended (>3 —
     // the r6/r7/r8 false-regression class), give the 3 slowest-looking
     // queries ONE more timed attempt at the end of the suite: by then
@@ -175,19 +218,6 @@ object Bench {
           }
         }
       }
-    // Locale.ROOT: String.format follows the JVM default locale, and a
-    // comma decimal separator would corrupt the JSON artifact
-    def num(v: Double, fmt: String): String =
-      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    def s3(v: Double): String = if (v < 0) "-1" else num(v, "%.3f")
-    def mb(v: Double): String = num(v, "%.1f")
-    val qs = results.map { case (k, rs, _, _) => "\"" + k + "\":" + s3(rs.min) }
-      .mkString("{", ",", "}")
-    val rr = results.map { case (k, rs, _, _) =>
-      "\"" + k + "\":" + rs.map(s3).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val sh = results.map { case (k, _, s, _) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
-    val sp = results.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
     val total = results.collect { case (_, rs, _, _) if rs.min >= 0 => rs.min }.sum
     // Two artifacts (rounds 1–6 proved one is not enough): the driver
     // tail-captures ~2.3 KB of stdout, so the line it must parse has to
@@ -209,17 +239,7 @@ object Bench {
     }.foldLeft(1.0)(math.max)
     val compact =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"cal":${num(calMs, "%.0f")},"sf":"$sfDir","slowest":$slowTen}"""
-    val full = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},"sf":"$sfDir"}"""
-    for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {
-      try {
-        val p = java.nio.file.Paths.get(dir, "bench_full.json")
-        java.nio.file.Files.write(p, full.getBytes("UTF-8"))
-        System.err.println(s"[bench] full JSON -> $p")
-      } catch { case e: Exception =>
-        System.err.println(s"[bench] could not write $dir/bench_full.json: ${e.getMessage}")
-      }
-    }
+    writeFull(results, quiet = false) // final write includes any re-timed runs
     val slowest = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
     System.err.println(f"[bench] total ${total}%.1fs over ${results.size} queries; slowest 10:")
     slowest.foreach { case (k, rs, s, _) =>
