@@ -23,7 +23,7 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 # starving tiny allocations; the JDK default retry count is 2) — the
 # standard mitigation is raising the retry count. 64g heap for the
 # 100x ANN/lifecycle stages' headroom on the 128g box.
-J="java $ADD_OPENS -Xmx64g -XX:GCLockerRetryAllocationCount=64 -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
+J="java $ADD_OPENS -Xmx64g -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 
 sbt -batch compile | tail -1
 # SPARK_GRAFT_KEEP_TILES=1 reuses an already-materialized $OUT (e.g. a
