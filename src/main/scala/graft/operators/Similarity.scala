@@ -1040,39 +1040,57 @@ object Similarity {
     * runs). Every execution of those searches now embeds a miniature
     * ann_audit: a CONSTANT-SIZE md5-chosen subsample of its own query
     * batch is answered both exactly (brute force) and by the identical
-    * approximate pipeline, and the plan aborts when sampled recall@k
-    * collapses. Constant sample size is what keeps the gate 100 TB-
-    * legal — its brute side is GateSampleQ·N dots, linear in the
-    * corpus, while a proportional sample would re-introduce the N²/c
-    * exhaustive scan the index exists to avoid. The floor is collapse-
-    * level (healthy measurements are 0.84–1.0 across scales and the
-    * sweep; random/broken candidate routing pays ≈0): scale-stable by
-    * the same argument as [[LshRecallFloor]]. The tight per-method
-    * floors (0.80–0.9) stay in ScaleSpec where the query population is
-    * the full % 100 sample. */
+    * approximate pipeline, and the plan aborts when the sampled
+    * quality collapses. Constant sample size is what keeps the gate
+    * 100 TB-legal — its brute side is GateSampleQ·N dots, linear in
+    * the corpus, while a proportional sample would re-introduce the
+    * N²/c exhaustive scan the index exists to avoid.
+    *
+    * The gated metric is SCORE RECALL — Σ exact-cosine of the returned
+    * top-k over Σ exact-cosine of the brute top-k — not id-recall@k.
+    * Same lesson as the r10 regret redesign, re-learned here at 100×:
+    * id-recall is scale-UNSTABLE for a fixed quantization budget (the
+    * first r11 100× sweep measured ann_ivf_pq's sampled id-recall at
+    * 0.2 — 16 residual codes cannot rank 130k-vector cells, yet the
+    * returned neighbors' exact cosines are nearly as good as the true
+    * top-k, which is the quality SemDeDup/retrieval actually consume),
+    * so any fixed id floor either false-fires at scale or detects
+    * nothing small. Score recall is scale-flat: healthy paths measure
+    * ≈0.8–1.0 at every tested scale, while broken candidate routing
+    * returns ≈random-cosine candidates and pays ≈0. Both sums are
+    * micro-quantized BIGINTs (the label_centroids rule — quant6 scores
+    * are exact multiples of 1e-6, so the sums are order-independent).
+    * Tight per-method id-recall floors stay in ScaleSpec where the
+    * query population is the full % 100 sample. */
   private[graft] val AnnGateFloor = 0.3
   private[graft] val GateSampleQ = 8
 
-  /** One-row gated recall frame over a sampled query batch's exact and
-    * approximate result sets — separated (the assignAgreementFrame
-    * rule) so GatesSpec can drive the IDENTICAL gated plan with a
-    * degraded approx side and prove the job dies. */
+  /** One-row gated score-recall frame over a sampled query batch's
+    * exact and approximate result sets — separated (the
+    * assignAgreementFrame rule) so GatesSpec can drive the IDENTICAL
+    * gated plan with a degraded approx side and prove the job dies.
+    * Both inputs carry the search contract's exact `score` column
+    * (every path's rerank emits the full-precision quant6 cosine). */
   private[graft] def sampledRecallFrame(brute: DataFrame, approx: DataFrame,
       query: String): DataFrame = {
-    val b = brute.select(col("query_id"), col("neighbor_id"))
-    val hits = b.intersect(approx.select(col("query_id"), col("neighbor_id")))
-    val res = b.agg(count(lit(1)).as("n_baseline"))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-      .select(col("n_baseline"), col("n_hits"),
+    def mass(df: DataFrame, as: String) =
+      df.agg(coalesce(sum(floor(col("score") * lit(1000000.0) + lit(0.5))
+        .cast("long")), lit(0L)).as(as))
+    val res = mass(brute, "q_brute")
+      .crossJoin(broadcast(mass(approx, "q_approx")))
+      .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_baseline"))))
+      .select(col("n_baseline"), col("q_brute"),
         // nullif guards the ANSI divide-by-zero on an empty query
         // batch; the gate condition short-circuits on n_baseline = 0
-        // (true OR null = true), reading the null as "nothing to audit"
-        Portable.quant6(col("n_hits").cast("double")
-          / nullif(col("n_baseline").cast("double"), lit(0.0))).as("recall"))
+        // or a zero brute mass (true OR null = true) — both read as
+        // "nothing to audit", never as a failure
+        Portable.quant6(col("q_approx").cast("double")
+          / nullif(col("q_brute").cast("double"), lit(0.0))).as("score_recall"))
     graft.functions.Gates.floors(res,
-      (col("n_baseline") === 0 || col("recall") >= AnnGateFloor,
-        graft.functions.Gates.msg(query, s"sampled recall@$TopK",
-          AnnGateFloor, col("recall"))))
+      (col("n_baseline") === 0 || col("q_brute") === 0L
+        || col("score_recall") >= AnnGateFloor,
+        graft.functions.Gates.msg(query, s"sampled score recall@$TopK",
+          AnnGateFloor, col("score_recall"))))
   }
 
   /** Attach the sampled-recall gate to a search result: the gate frame

@@ -87,25 +87,37 @@ class GatesSpec extends SparkSuite {
     assert(row.getAs[Double]("recall") === 1.0)
   }
 
-  test("production ANN searches: collapsed sampled recall kills the job") {
+  test("production ANN searches: collapsed sampled score recall kills the job") {
     import spark.implicits._
     // the gated frame the three quantized production paths embed
     // (sampledRecallFrame rides ann_pq / ann_ivf_sq8 / ann_ivf_pq and
-    // both persisted-index searches): exact top-k for the 8-query
-    // sample vs a DEGRADED approximate side that found 2 of 40
+    // both persisted-index searches). The metric is SCORE recall —
+    // exact-cosine mass of the returned rows over the brute top-k's —
+    // because id-recall is scale-unstable for fixed code budgets (the
+    // first r11 100× sweep false-fired on exactly that).
     val brute = (for (q <- 0L until 8L; n <- 1L to 5L)
       yield (q, q * 10 + n, n, 0.9)).toDF("query_id", "neighbor_id", "rank", "score")
-    val dead = brute.limit(2)
-    firesWith("sampled recall@5 below floor 0.3, got 0.05") {
-      graft.operators.Similarity.sampledRecallFrame(brute, dead, "ann_pq").collect()
+    // BROKEN candidate routing: the returned neighbors are random-pair
+    // quality (exact cosine ≈ 0.02) instead of near-top — score mass
+    // 0.02/0.9 ≈ 0.022 of brute's, far under the 0.3 collapse floor
+    val deadRouting = brute.withColumn("score", lit(0.02))
+    firesWith("sampled score recall@5 below floor 0.3, got 0.022") {
+      graft.operators.Similarity.sampledRecallFrame(brute, deadRouting, "ann_pq").collect()
     }
-    // a healthy approximate side passes with the recall exact…
-    val row = graft.operators.Similarity.sampledRecallFrame(brute, brute, "ann_pq").head
+    // a healthy approximate side passes even when its IDS differ, as
+    // long as the returned neighbors' exact scores carry the mass —
+    // the scale behavior the metric exists to tolerate (different ids,
+    // near-equal cosine: 0.85/0.9 ≈ 0.944)
+    val differentIdsNearScores = brute
+      .withColumn("neighbor_id", col("neighbor_id") + 1000L)
+      .withColumn("score", lit(0.85))
+    val row = graft.operators.Similarity
+      .sampledRecallFrame(brute, differentIdsNearScores, "ann_pq").head
     assert(row.getAs[Long]("n_baseline") === 40L)
-    assert(row.getAs[Double]("recall") === 1.0)
+    assert(row.getAs[Double]("score_recall") === 0.944444)
     // …and an empty query batch is "nothing to audit", not a failure
     val none = graft.operators.Similarity
-      .sampledRecallFrame(brute.limit(0), dead.limit(0), "ann_pq").head
+      .sampledRecallFrame(brute.limit(0), brute.limit(0), "ann_pq").head
     assert(none.getAs[Long]("n_baseline") === 0L)
     // end-to-end: the gate rides the production query's RETURNED plan
     // (schema and rows byte-identical to the ungated form is asserted
