@@ -6,9 +6,14 @@
 # box, and emit <outJson> + a ratio table to stdout.
 # Usage: dev/sweep.sh [srcSf=/root/testdata/sf0.1] [outDir=/tmp/sf1] \
 #                     [tiles=10] [outJson=BENCH_SF1.json]
-# Env: SPARK_GRAFT_ONLY=q1,q2 restricts both bench runs to a family
-# (used for the 100x dedup/ANN sweep, where the full suite would take
-# an hour at the scaled size).
+# Env: SPARK_GRAFT_ONLY=q1,q2 restricts both bench runs to a family;
+# SPARK_GRAFT_EXCLUDE overrides the scaled run's exclusion list (at
+# tiles >= 100 it defaults to the exhaustive-exact-baseline family —
+# see BRUTE_FAMILY below — and the artifact records the exclusion);
+# SPARK_GRAFT_REUSE_BASE=/path.json reuses a base-run artifact from an
+# earlier sweep of the SAME code on the SAME $SRC (two sweeps launched
+# back-to-back share one idle base run instead of paying it twice) —
+# the artifact records the reuse and keeps the base's own cal/spread.
 set -eo pipefail
 cd /root/repo
 SRC=${1:-/root/testdata/sf0.1}
@@ -36,23 +41,59 @@ else
   $J graft.ScaleUp "$SRC" "$OUT" "$TILES" 2>&1 | grep scaleup
 fi
 
+# At tiles >= 100 the scaled run drops the exhaustive-exact-baseline
+# family: their workload is tiles^2 BY CONSTRUCTION (an O(Q*N) exact
+# scan with Q = N/100 — documented scaffolding, not an operator), so
+# at 100x each would run for hours and price nothing the 10x/26x
+# sweeps (which include them) don't already cover. The BASE run stays
+# the FULL suite — it doubles as the round's idle-box full-bench
+# evidence — and the exclusion is recorded in the output artifact.
+BRUTE_FAMILY="ann_audit,ann_bruteforce,ann_lsh,ann_quantized,rrf_fusion"
+if [ "$TILES" -ge 100 ]; then
+  SCALED_EXCLUDE=${SPARK_GRAFT_EXCLUDE:-$BRUTE_FAMILY}
+else
+  SCALED_EXCLUDE=${SPARK_GRAFT_EXCLUDE:-}
+fi
+
 # bench stderr goes to a side log, not /dev/null: when a multi-hour
 # scaled run dies (OOM, kill) the [bench]/JVM diagnostics there are
-# the only evidence of which query was running and why it died
-echo "== bench $SRC =="
-SPARK_GRAFT_SF_DIR=$SRC SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/tmp/sweep_bench_base.err | tail -1
-cp bench_full.json /tmp/sweep_base.json
+# the only evidence of which query was running and why it died.
+# SPARK_GRAFT_BENCH_OUT writes each run's full artifact to its OWN
+# path: r11's sweep lost its completed scaled half because the shared
+# bench_full.json was overwritten by a concurrent bench between the
+# run's last write and the cp that used to live here.
+if [ -n "${SPARK_GRAFT_REUSE_BASE:-}" ] && [ -f "$SPARK_GRAFT_REUSE_BASE" ]; then
+  echo "== bench $SRC == (reusing base artifact $SPARK_GRAFT_REUSE_BASE)"
+  cp "$SPARK_GRAFT_REUSE_BASE" /tmp/sweep_base.json
+  BASE_REUSED="$SPARK_GRAFT_REUSE_BASE"
+else
+  echo "== bench $SRC =="
+  SPARK_GRAFT_SF_DIR=$SRC SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT=/tmp/sweep_base.json \
+    $J graft.Bench 2>/tmp/sweep_bench_base.err | tail -1
+  BASE_REUSED=""
+fi
 echo "== bench $OUT =="
-SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_CPUS=32 $J graft.Bench 2>/tmp/sweep_bench_scaled.err | tail -1
-cp bench_full.json /tmp/sweep_scaled.json
+SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT=/tmp/sweep_scaled.json \
+  SPARK_GRAFT_EXCLUDE="$SCALED_EXCLUDE" \
+  $J graft.Bench 2>/tmp/sweep_bench_scaled.err | tail -1
 
-python3 - "$TILES" "$OUTJSON" <<'EOF'
+SWEEP_EXCLUDED="$SCALED_EXCLUDE" SWEEP_BASE_REUSED="$BASE_REUSED" \
+  python3 - "$TILES" "$OUTJSON" <<'EOF'
 import json, sys, statistics
 tiles = int(sys.argv[1])
 outjson = sys.argv[2]
 a = json.load(open('/tmp/sweep_base.json'))
 b = json.load(open('/tmp/sweep_scaled.json'))
+import os
 qa, qb = a['queries'], b['queries']
+# scaled-side exclusions (tiles>=100 brute-family) are EXPLICIT in the
+# artifact: a query in the base run but not the scaled one must be on
+# the declared exclusion list, anything else is a silent hole.
+excluded = sorted(x for x in os.environ.get('SWEEP_EXCLUDED', '').split(',') if x)
+holes = sorted(set(qa) - set(qb) - set(excluded))
+if holes:
+    print(f"queries missing from the scaled run but NOT declared excluded: {holes}")
+    sys.exit(1)
 failed = sorted([q for q in qa if qa[q] < 0] + [q for q in qb if qb[q] < 0])
 if failed:
     # a query that FAILS at either scale is the sweep's loudest
@@ -60,16 +101,26 @@ if failed:
     # negative 'ratio' that sails under the superlinear gate
     print(f"FAILED queries in sweep: {failed}")
     sys.exit(1)
-ratios = {q: round(qb[q] / qa[q], 2) for q in qa if qa[q] > 0}
+ratios = {q: round(qb[q] / qa[q], 2) for q in qa if qa[q] > 0 and q in qb}
 out = {
     "note": f"{tiles}x scale sweep via dev/sweep.sh: ScaleUp-tiled corpus, "
             "graft.Bench both scales back-to-back, min-of-runs per query",
     "tiles": tiles,
-    "base": {"sf": a["sf"], "total_sec": a["value"], "cal_ms": a.get("cal"), "queries": qa},
-    "scaled": {"sf": b["sf"], "total_sec": b["value"], "cal_ms": b.get("cal"), "queries": qb},
+    "excluded_at_scale": excluded,
+    "excluded_reason": ("exhaustive exact-baseline scaffolding: O(Q*N) with "
+                        "Q = N/100 is tiles^2 by construction — hours per query "
+                        "at >=100x; priced at 1x/10x/26x instead" if excluded else None),
+    "base": {"sf": a["sf"], "total_sec": a["value"], "cal_ms": a.get("cal"),
+             "contended": a.get("contended"), "spread": a.get("spread"),
+             "reused_from": os.environ.get('SWEEP_BASE_REUSED') or None,
+             "queries": qa},
+    "scaled": {"sf": b["sf"], "total_sec": b["value"], "cal_ms": b.get("cal"),
+               "contended": b.get("contended"), "spread": b.get("spread"), "queries": qb},
     "ratio_scaled_over_base": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
     "runs_scaled": b["runs"], "shuffle_mb_scaled": b["shuffle_mb"],
 }
+if a.get("contended") or b.get("contended"):
+    print("WARNING: a bench run flagged itself CONTENDED — numbers are suspect")
 json.dump(out, open(outjson, 'w'), indent=1)
 top = sorted(ratios.items(), key=lambda kv: -kv[1])[:12]
 print(f"{'query':28s} {'base':>7s} {'scaled':>8s} {'ratio':>6s}")

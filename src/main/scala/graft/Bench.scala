@@ -76,14 +76,20 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     // Dev-loop filters: SPARK_GRAFT_ONLY=q1,q2 times just those
-    // queries; SPARK_GRAFT_EXCLUDE=q3,q4 drops named queries (used by
-    // the scale sweep to leave out exhaustive-baseline scaffolding
-    // whose 100× cost is workload-priced tiles² by construction).
+    // queries; SPARK_GRAFT_EXCLUDE=q3,q4 drops named queries —
+    // dev/sweep.sh sets it on the SCALED run at tiles >= 100 to leave
+    // out the exhaustive-exact-baseline scaffolding whose cost is
+    // workload-priced tiles² by construction (hours per query at
+    // 100×); the exclusion list is recorded in the sweep artifact.
     // Unset (the driver's invocation) = the full suite.
+    // filter(_.nonEmpty): an EMPTY env value means "no filter", not
+    // the unknown query name "" (sweep.sh passes "" at small tiles)
     val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // Fail fast on unknown names (mirrors Verify): a misspelled filter
     // would silently time nothing (or silently time everything).
     (only.toSeq :+ exclude).foreach { names =>
@@ -99,6 +105,18 @@ object Bench {
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def s3(v: Double): String = if (v < 0) "-1" else num(v, "%.3f")
     def mb(v: Double): String = num(v, "%.1f")
+    // Contamination guard (r11 verdict task 6 — twice the round's
+    // headline number was polluted by adjacent heavy work and the
+    // diagnosis needed mtime archaeology): the artifact itself says
+    // when its numbers are suspect. cal on an idle run of THIS box is
+    // ~505-515 ms; spread on an idle run stays near 1.0-1.3.
+    val CalContendedMs = 550.0
+    val SpreadContended = 3.0
+    def spreadOf(rs: Seq[(String, Seq[Double], Double, Double)]): Double =
+      rs.collect { case (_, r, _, _) if r.min >= 0.5 => r.max / r.min }
+        .foldLeft(1.0)(math.max)
+    def contendedOf(rs: Seq[(String, Seq[Double], Double, Double)]): Boolean =
+      calMs > CalContendedMs || spreadOf(rs) > SpreadContended
     def fullJson(rs: Seq[(String, Seq[Double], Double, Double)]): String = {
       val qs = rs.map { case (k, r, _, _) => "\"" + k + "\":" + s3(r.min) }
         .mkString("{", ",", "}")
@@ -109,22 +127,32 @@ object Bench {
       val sp = rs.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
       val tot = rs.collect { case (_, r, _, _) if r.min >= 0 => r.min }.sum
       s"""{"metric":"total","value":${s3(tot)},"unit":"sec","queries":$qs,""" +
-        s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},"sf":"$sfDir"}"""
+        s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},""" +
+        s""""spread":${num(spreadOf(rs), "%.2f")},"contended":${contendedOf(rs)},"sf":"$sfDir"}"""
     }
-    // bench_full.json is (re)written after EVERY query, not only at
+    // The full artifact is (re)written after EVERY query, not only at
     // exit: a multi-hour scale sweep killed mid-run (round timeout,
     // OOM) used to lose every per-query measurement it had already
     // paid for — r10 lost its completed 100× half exactly this way.
-    def writeFull(rs: Seq[(String, Seq[Double], Double, Double)], quiet: Boolean): Unit =
-      for (dir <- Seq(sys.props.getOrElse("user.dir", "."), "/tmp")) {
+    // SPARK_GRAFT_BENCH_OUT redirects it to a caller-owned path:
+    // bench_full.json is a SHARED name, and r11's sweep lost its
+    // completed scaled half to a concurrent bench overwriting it
+    // between the sweep's last write and its copy step.
+    val fullOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    def writeFull(rs: Seq[(String, Seq[Double], Double, Double)], quiet: Boolean): Unit = {
+      val targets = fullOut.map(Seq(_)).getOrElse(
+        Seq(sys.props.getOrElse("user.dir", "."), "/tmp")
+          .map(d => java.nio.file.Paths.get(d, "bench_full.json").toString))
+      for (t <- targets) {
         try {
-          val p = java.nio.file.Paths.get(dir, "bench_full.json")
-          java.nio.file.Files.write(p, fullJson(rs).getBytes("UTF-8"))
-          if (!quiet) System.err.println(s"[bench] full JSON -> $p")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(t), fullJson(rs).getBytes("UTF-8"))
+          if (!quiet) System.err.println(s"[bench] full JSON -> $t")
         } catch { case e: Exception =>
-          if (!quiet) System.err.println(s"[bench] could not write $dir/bench_full.json: ${e.getMessage}")
+          if (!quiet) System.err.println(s"[bench] could not write $t: ${e.getMessage}")
         }
       }
+    }
     var failed = List.empty[String]
     val benched = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[Double], Double, Double)]
@@ -195,9 +223,6 @@ object Bench {
     // single quiet measurement correct a query that only LOOKED slow.
     // The extra run also widens that query's reported spread, which is
     // exactly right — the artifact should say "these runs disagreed".
-    def spreadOf(rs: Seq[(String, Seq[Double], Double, Double)]): Double =
-      rs.collect { case (_, r, _, _) if r.min >= 0.5 => r.max / r.min }
-        .foldLeft(1.0)(math.max)
     val results =
       if (spreadOf(firstPass) <= 3.0) firstPass
       else {
@@ -234,11 +259,15 @@ object Bench {
     // ratio across queries ≥0.5 s. ~1.0-1.3 = idle box, trust the
     // numbers; >>1.3 = contended — re-measure before calling anything
     // a regression (the r7 false-regression class).
-    val spread = results.collect {
-      case (_, rs, _, _) if rs.min >= 0.5 => rs.max / rs.min
-    }.foldLeft(1.0)(math.max)
+    val spread = spreadOf(results)
+    val contended = contendedOf(results)
+    if (contended)
+      System.err.println(
+        f"[bench] WARNING: box looks CONTENDED (cal ${calMs}%.0f ms vs idle ~510, " +
+          f"spread ${spread}%.2f) — treat these numbers as suspect; re-run on an idle box " +
+          "before calling anything a regression")
     val compact =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"cal":${num(calMs, "%.0f")},"sf":"$sfDir","slowest":$slowTen}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"cal":${num(calMs, "%.0f")},"contended":$contended,"sf":"$sfDir","slowest":$slowTen}"""
     writeFull(results, quiet = false) // final write includes any re-timed runs
     val slowest = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
     System.err.println(f"[bench] total ${total}%.1fs over ${results.size} queries; slowest 10:")

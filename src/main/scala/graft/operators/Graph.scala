@@ -365,7 +365,11 @@ object Graph {
       // (checkConvergence = false; identity spec-asserted). The agg
       // is the writeZOrdered scalar-broadcast pattern: one driver
       // scalar off a single-column scan, never a per-row collect.
-      val maxNode = part.agg(max(col("node"))).head.getLong(0)
+      // max(node) is NULL on an empty part table — fall back to the
+      // 1-round budget instead of throwing (r11 advice); the rollup
+      // over zero edges is a no-op either way.
+      val maxRow = part.agg(max(col("node"))).head()
+      val maxNode = if (maxRow.isNullAt(0)) 1L else maxRow.getLong(0)
       val depthBound = math.max(1, (math.log(math.max(maxNode, 4).toDouble)
         / math.log(4.0)).floor.toInt + 1) // +1 absorbs float rounding at powers of 4
       val rounds = (32 - Integer.numberOfLeadingZeros(depthBound - 1)) max 1

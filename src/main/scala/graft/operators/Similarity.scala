@@ -888,6 +888,25 @@ object Similarity {
       targetBytes: Long = 128L << 20): Warehouse.CompactReport =
     Warehouse.compactPartitionedSmallFiles(spark, s"$path/cells", smallBytes, targetBytes)
 
+  /** Lifecycle-seat scratch roots deleted at JVM exit (plain
+    * java.nio, not Hadoop — the FileSystem cache has its own shutdown
+    * hook and may already be closed when ours runs). Registered once;
+    * the set is concurrent because Spark tests share one JVM. */
+  private val lifecycleRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val lifecycleHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      lifecycleRoots.forEach { r =>
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        try rm(new java.io.File(r)) catch { case _: Exception => }
+      }))
+  private def lifecycleCleanupAtExit(root: String): Unit = {
+    lifecycleHook
+    lifecycleRoots.add(root); ()
+  }
+
   /** Search a [[buildIvfPqIndex]]-persisted index: identical results
     * to the dynamic [[ivfPqSearch]], no assignment or encode stage in
     * the plan, probed `cid=` partitions pruned at runtime. */
@@ -1087,7 +1106,12 @@ object Similarity {
         Portable.quant6(col("q_approx").cast("double")
           / nullif(col("q_brute").cast("double"), lit(0.0))).as("score_recall"))
     graft.functions.Gates.floors(res,
-      (col("n_baseline") === 0 || col("q_brute") === 0L
+      // q_brute <= 0 (not just == 0) is "nothing to audit": on a
+      // degenerate corpus whose brute top-k cosine mass is NEGATIVE,
+      // the ratio's sign flips and an even-worse approx side would
+      // read as score_recall > 1 — the division is only trusted for
+      // positive brute mass (r11 advice).
+      (col("n_baseline") === 0 || col("q_brute") <= 0L
         || col("score_recall") >= AnnGateFloor,
         graft.functions.Gates.msg(query, s"sampled score recall@$TopK",
           AnnGateFloor, col("score_recall"))))
@@ -1278,29 +1302,48 @@ object Similarity {
 
     // L7d lifecycle seat — the PERSISTED index's full maintenance
     // cycle as a driver-checked query (r10 verdict task 8: the
-    // build→append→compact→search path had spec-scale evidence only):
-    // every invocation rebuilds the inverted file from a 90% base,
+    // build→append→compact→search path had spec-scale evidence only).
+    // The 90% BASE index builds once per (corpus, JVM) — the bench's
+    // warm-up run pays it — and every invocation then copies the base,
     // appends the remaining three deltas against the FROZEN centroid
     // table, bin-packs the per-cell delta files with the swap-
     // journaled compaction, and answers the standard query batch from
-    // the compacted index. The oracle is ann_ivf_sq8's SQL verbatim —
-    // append+compact are bit-identity-preserving by design, so the
-    // whole lifecycle must hash-match the dynamic search; the bench/
-    // sweep entry prices the maintenance path itself (index build is
-    // O(N·K), appends O(|delta|·K), compaction ∝ delta mass, search
-    // Q-proportional — tiles² by workload, the SCAFFOLD class).
+    // the compacted index. Timed runs therefore price the MAINTENANCE
+    // delta the seat exists to prove (appends O(|delta|·K), compaction
+    // ∝ delta mass, search Q-proportional), not an O(N·K) rebuild per
+    // invocation (r11 verdict task 3). The oracle is ann_ivf_sq8's SQL
+    // verbatim — append+compact are bit-identity-preserving by design
+    // regardless of the base/delta split, so the whole lifecycle must
+    // hash-match the dynamic search. The on-disk root is keyed by
+    // md5(corpus dir) AND the Spark application id: two JVMs on the
+    // same sf dir (Verify and Bench overlapping) never race on a
+    // shared index (r11 advice), and a JVM shutdown hook clears the
+    // root — single-writer within a JVM by construction (queries run
+    // sequentially in Verify, Bench, and the test suite).
     QueryDef("ann_index_lifecycle", ivfSq8Sql) { (spark, dir) =>
       val emb = embV(spark, dir)
-      val path = "/tmp/graft_ann_lifecycle_" + Portable.md5Hex(dir).take(12)
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-      val cent = seedCentroids(emb)
-      buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7), cent, path)
-      Seq(7L, 17L, 27L).foreach { m =>
-        appendToIvfIndex(spark, emb.filter(pmod(col("vec_id"), lit(30)) === m), path)
+      val root = "/tmp/graft_ann_lifecycle_" + Portable.md5Hex(dir).take(12) +
+        "_" + spark.sparkContext.applicationId
+      lifecycleCleanupAtExit(root)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val base = new org.apache.hadoop.fs.Path(s"$root/base")
+      val built = new org.apache.hadoop.fs.Path(s"$root/base/_built")
+      if (!fs.exists(built)) {
+        fs.delete(base, true) // a half-built base (no marker) is debris
+        buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+          seedCentroids(emb), base.toString)
+        fs.create(built, true).close()
       }
-      compactIndex(spark, path)
-      searchIvfIndex(spark, path, emb, defaultQueries(emb))
+      val work = new org.apache.hadoop.fs.Path(s"$root/work")
+      fs.delete(work, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, base, fs, work, false, conf)
+      Seq(7L, 17L, 27L).foreach { m =>
+        appendToIvfIndex(spark, emb.filter(pmod(col("vec_id"), lit(30)) === m),
+          work.toString)
+      }
+      compactIndex(spark, work.toString)
+      searchIvfIndex(spark, work.toString, emb, defaultQueries(emb))
     },
 
     // L7f — IVFADC with residual PQ (see ivfPqSearch).

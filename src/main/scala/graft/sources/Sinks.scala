@@ -156,12 +156,27 @@ object Sinks {
     * bound count — that also aligns writer tasks with output
     * partitions, so a task writes whole files into one directory). */
   def overwriteDayPartitions(df: DataFrame, path: String, dayCol: String,
-      maxRecordsPerFile: Long): Unit =
+      maxRecordsPerFile: Long): Unit = {
+    // Stale-staging sweep (found by the r12 CrashPointSpec sweep, the
+    // same window class as the r9/r10 escapes): a crashed dynamic
+    // overwrite strands `<path>/.spark-staging-<jobUUID>`, and the
+    // retry COMMITS fine under a fresh UUID but never removes the old
+    // dir — invisible to readers (dot-dir) yet accreting a full copy
+    // of the failed write per crash. Same single-writer assumption as
+    // every journaled swap op: a staging dir found at entry can only
+    // be a dead predecessor's.
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".spark-staging"))
+        .foreach(s => fs.delete(s.getPath, true))
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(dayCol)
       .parquet(path)
+  }
 
   /** Small-files COMPACTION for an append-accumulated table: rewrite
     * `src` into `dst` under the sized bounds. Append sinks (R8 and the

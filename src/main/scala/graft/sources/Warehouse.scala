@@ -488,15 +488,38 @@ object Warehouse {
   def compactPartitionedSmallFiles(spark: SparkSession, root: String,
       smallBytes: Long, targetBytes: Long = 128L << 20): CompactReport = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(root)).toSeq
+    val parts = fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(p => compactSmallFiles(spark, p.getPath.toString, smallBytes, targetBytes))
-      .foldLeft(CompactReport(0, 0, 0, 0L)) { (a, b) =>
-        CompactReport(a.filesTotal + b.filesTotal,
-          a.filesCompacted + b.filesCompacted,
-          a.filesWritten + b.filesWritten,
-          a.bytesCompacted + b.bytesCompacted)
-      }
+    // Partitions pack CONCURRENTLY (bounded pool): each partition dir
+    // owns an independent swap journal, so parallelism is exactly as
+    // safe as the sequential fold was — and sequential was pure
+    // job-floor waste (K small Spark jobs back to back; the r11 bench
+    // priced 16 cells at ~0.3 s each, ~4 s of the lifecycle seat). On
+    // a cluster this is the same shape a real nightly job uses:
+    // per-partition maintenance fanned out, each unit journaling its
+    // own swap. The finally-block JOIN matters for crash discipline:
+    // after a failure every in-flight partition job has terminated
+    // before this returns, so a caller's recovery re-run never races
+    // a straggler thread from the failed attempt.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parts.size, 8)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(parts)(p => scala.concurrent.Future(
+          compactSmallFiles(spark, p.getPath.toString, smallBytes, targetBytes))),
+        scala.concurrent.duration.Duration.Inf)
+        .foldLeft(CompactReport(0, 0, 0, 0L)) { (a, b) =>
+          CompactReport(a.filesTotal + b.filesTotal,
+            a.filesCompacted + b.filesCompacted,
+            a.filesWritten + b.filesWritten,
+            a.bytesCompacted + b.bytesCompacted)
+        }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES); ()
+    }
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

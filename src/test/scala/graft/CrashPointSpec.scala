@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.CorpusIngest
 import graft.operators.Similarity
-import graft.sources.Warehouse
+import graft.sources.{Sinks, Warehouse}
 import org.apache.spark.sql.functions._
 
 /** Mechanical crash-point enumeration for every journaled swap (r10
@@ -222,6 +222,144 @@ class CrashPointSpec extends SparkSuite {
       if (k % 10 == 0 || k == m - 1)
         assert(search(work) === wantSearch,
           s"crash point $k/$m: search results diverged after recovery")
+    }
+    rmrf(new java.io.File(template)); rmrf(new java.io.File(work))
+  }
+
+  test("compactSmallFiles: a crash after EVERY fs mutation re-runs to the exact row set") {
+    ready
+    import spark.implicits._
+    val template = tmpDir("graft_crash_csf_tpl")
+    rmrf(new java.io.File(template))
+    FailingRawFs.reset(Long.MaxValue)
+    // six single-task appends = six small part files (the shape the
+    // op exists to repair); every row distinct so sorted-list equality
+    // catches loss AND duplication in one check
+    val rows = (0L until 120L).map(k => (k, s"payload_$k")).toDF("k", "payload")
+    for (g <- 0 until 6)
+      rows.filter(col("k") % 6 === g).repartition(1)
+        .write.mode("append").parquet(failing(template))
+    def got(root: String): Seq[(Long, String)] =
+      spark.read.parquet(root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val want = got(template)
+    assert(want.size === 120)
+
+    val work = tmpDir("graft_crash_csf_wrk")
+    resetWork(template, work)
+    FailingRawFs.reset(Long.MaxValue)
+    val rep = Warehouse.compactSmallFiles(spark, failing(work), 1L << 20, 1L << 20)
+    assert(rep.filesCompacted === 6 && got(work) === want)
+    val m = FailingRawFs.mutations
+    assert(m > 10, s"expected a rich mutation trace to sweep, got $m")
+
+    for (k <- 0L until m) {
+      resetWork(template, work)
+      FailingRawFs.reset(k)
+      crashed(Warehouse.compactSmallFiles(spark, failing(work), 1L << 20, 1L << 20))
+      FailingRawFs.reset(Long.MaxValue)
+      // the documented recovery: the NEXT compaction heals the swap
+      // first (recoverSwap), then packs whatever small files remain
+      Warehouse.compactSmallFiles(spark, failing(work), 1L << 20, 1L << 20)
+      assert(got(work) === want, s"crash point $k/$m: table diverged after recovery")
+      val leftover = new java.io.File(work).listFiles().map(_.getName)
+        .filter(n => n.contains("_swap_journal") || n.contains("compact_tmp"))
+      assert(leftover.isEmpty, s"crash point $k/$m: debris ${leftover.mkString(",")}")
+    }
+    rmrf(new java.io.File(template)); rmrf(new java.io.File(work))
+  }
+
+  test("compactParquet: a crash after EVERY fs mutation re-runs to the exact dst, src intact") {
+    ready
+    import spark.implicits._
+    val template = tmpDir("graft_crash_cp_tpl")
+    rmrf(new java.io.File(template))
+    FailingRawFs.reset(Long.MaxValue)
+    val rows = (0L until 90L).map(k => (k, s"payload_$k")).toDF("k", "payload")
+    for (g <- 0 until 3)
+      rows.filter(col("k") % 3 === g).repartition(1)
+        .write.mode("append").parquet(failing(s"$template/src"))
+    def got(root: String): Seq[(Long, String)] =
+      spark.read.parquet(root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val want = got(s"$template/src")
+    def srcFiles(root: String): Seq[String] =
+      new java.io.File(s"$root/src").listFiles().map(_.getName).toSeq.sorted
+    val wantSrc = srcFiles(template)
+
+    val work = tmpDir("graft_crash_cp_wrk")
+    resetWork(template, work)
+    FailingRawFs.reset(Long.MaxValue)
+    val n = Sinks.compactParquet(spark, failing(s"$work/src"), failing(s"$work/dst"), 2, 1000000)
+    assert(n === 90 && got(s"$work/dst") === want)
+    val m = FailingRawFs.mutations
+    assert(m > 5, s"expected a rich mutation trace to sweep, got $m")
+
+    for (k <- 0L until m) {
+      resetWork(template, work)
+      FailingRawFs.reset(k)
+      crashed {
+        Sinks.compactParquet(spark, failing(s"$work/src"), failing(s"$work/dst"), 2, 1000000)
+        ()
+      }
+      FailingRawFs.reset(Long.MaxValue)
+      // the documented recovery: the rewrite is an idempotent sized
+      // OVERWRITE into a fresh dir — a retry rewrites dst outright
+      val n2 = Sinks.compactParquet(spark, failing(s"$work/src"), failing(s"$work/dst"), 2, 1000000)
+      assert(n2 === 90 && got(s"$work/dst") === want,
+        s"crash point $k/$m: dst diverged after recovery")
+      assert(srcFiles(work) === wantSrc && got(s"$work/src") === want,
+        s"crash point $k/$m: src mutated")
+      val leftover = new java.io.File(s"$work/dst").listFiles().map(_.getName)
+        .filter(n => n.startsWith("_temporary") || n.startsWith(".spark-staging"))
+      assert(leftover.isEmpty, s"crash point $k/$m: debris ${leftover.mkString(",")}")
+    }
+    rmrf(new java.io.File(template)); rmrf(new java.io.File(work))
+  }
+
+  test("overwriteDayPartitions: a crash after EVERY fs mutation re-runs to the corrected table") {
+    ready
+    import spark.implicits._
+    val template = tmpDir("graft_crash_dyn_tpl")
+    rmrf(new java.io.File(template))
+    FailingRawFs.reset(Long.MaxValue)
+    val twoDays = ((0L until 40L).map(k => (k, 1, s"v1_$k"))
+      ++ (40L until 80L).map(k => (k, 2, s"stale_$k"))).toDF("k", "day", "payload")
+    Sinks.overwriteDayPartitions(twoDays.repartition(col("day")), failing(s"$template/t"),
+      "day", 1000000)
+    // the day-2 correction: fewer rows, new payloads — day 1 must
+    // survive every crash point byte-for-byte (the whole point of
+    // dynamic over static overwrite)
+    val corrected = (40L until 70L).map(k => (k, 2, s"fixed_$k")).toDF("k", "day", "payload")
+    def got(root: String): Seq[(Long, Int, String)] =
+      spark.read.parquet(s"$root/t").select("k", "day", "payload").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    val want = ((0L until 40L).map(k => (k, 1, s"v1_$k"))
+      ++ (40L until 70L).map(k => (k, 2, s"fixed_$k"))).sorted
+
+    val work = tmpDir("graft_crash_dyn_wrk")
+    resetWork(template, work)
+    FailingRawFs.reset(Long.MaxValue)
+    Sinks.overwriteDayPartitions(corrected.repartition(col("day")), failing(s"$work/t"),
+      "day", 1000000)
+    assert(got(work) === want)
+    val m = FailingRawFs.mutations
+    assert(m > 5, s"expected a rich mutation trace to sweep, got $m")
+
+    for (k <- 0L until m) {
+      resetWork(template, work)
+      FailingRawFs.reset(k)
+      crashed(Sinks.overwriteDayPartitions(corrected.repartition(col("day")),
+        failing(s"$work/t"), "day", 1000000))
+      FailingRawFs.reset(Long.MaxValue)
+      // the documented recovery: dynamic overwrite is the idempotent
+      // backfill idiom — re-running the same day's load converges
+      Sinks.overwriteDayPartitions(corrected.repartition(col("day")),
+        failing(s"$work/t"), "day", 1000000)
+      assert(got(work) === want, s"crash point $k/$m: table diverged after recovery")
+      val leftover = new java.io.File(s"$work/t").listFiles().map(_.getName)
+        .filter(n => n.startsWith("_temporary") || n.startsWith(".spark-staging"))
+      assert(leftover.isEmpty, s"crash point $k/$m: debris ${leftover.mkString(",")}")
     }
     rmrf(new java.io.File(template)); rmrf(new java.io.File(work))
   }
