@@ -41,19 +41,14 @@ else
   $J graft.ScaleUp "$SRC" "$OUT" "$TILES" 2>&1 | grep scaleup
 fi
 
-# At tiles >= 100 the scaled run drops the exhaustive-exact-baseline
-# family: their workload is tiles^2 BY CONSTRUCTION (an O(Q*N) exact
-# scan with Q = N/100 — documented scaffolding, not an operator), so
-# at 100x each would run for hours and price nothing the 10x/26x
-# sweeps (which include them) don't already cover. The BASE run stays
-# the FULL suite — it doubles as the round's idle-box full-bench
-# evidence — and the exclusion is recorded in the output artifact.
-BRUTE_FAMILY="ann_audit,ann_bruteforce,ann_lsh,ann_quantized,rrf_fusion"
-if [ "$TILES" -ge 100 ]; then
-  SCALED_EXCLUDE=${SPARK_GRAFT_EXCLUDE:-$BRUTE_FAMILY}
-else
-  SCALED_EXCLUDE=${SPARK_GRAFT_EXCLUDE:-}
-fi
+# No default exclusion at any tile count since r13: the ANN oracle
+# workload is a FIXED-size query sample (Similarity.QuerySample), so
+# the exact-baseline family is O(Q*N) with constant Q — linear in the
+# corpus like everything else. (Pre-r13 the sample was vec_id % 100,
+# Q = N/100 made that family tiles^2 by construction and it had to be
+# dropped at >= 100x.) SPARK_GRAFT_EXCLUDE stays available as an
+# explicit caller override, recorded in the artifact.
+SCALED_EXCLUDE=${SPARK_GRAFT_EXCLUDE:-}
 
 # bench stderr goes to a side log, not /dev/null: when a multi-hour
 # scaled run dies (OOM, kill) the [bench]/JVM diagnostics there are
@@ -94,6 +89,15 @@ holes = sorted(set(qa) - set(qb) - set(excluded))
 if holes:
     print(f"queries missing from the scaled run but NOT declared excluded: {holes}")
     sys.exit(1)
+# ...and the other direction (r12 advice): a query timed at scale but
+# absent from a REUSED base artifact (stale SPARK_GRAFT_REUSE_BASE
+# from an older code rev) would otherwise be silently dropped from
+# the ratio table by the `q in qb` filter below.
+base_holes = sorted(set(qb) - set(qa))
+if base_holes:
+    print(f"queries timed in the scaled run but absent from the base artifact "
+          f"(stale SPARK_GRAFT_REUSE_BASE?): {base_holes}")
+    sys.exit(1)
 failed = sorted([q for q in qa if qa[q] < 0] + [q for q in qb if qb[q] < 0])
 if failed:
     # a query that FAILS at either scale is the sweep's loudest
@@ -130,22 +134,12 @@ print(f"median ratio {statistics.median(ratios.values()):.2f}, "
       f"total {a['value']:.1f}s -> {b['value']:.1f}s; {outjson} written")
 # superlinear gate scales with the tile count: linear growth is
 # `tiles`x, the old 10x gate allowed 1.3x headroom — keep that margin.
-# The ANN query-batch family is gated against its OWN workload curve:
-# Q = N/100 makes their work tiles^2 BY CONSTRUCTION (an exhaustive
-# exact baseline over a corpus-growing query batch — documented
-# scaffolding in PLANS.md, not an operator property), so holding them
-# to the linear gate would flag the workload, not the plan.
-SCAFFOLD = {"ann_bruteforce", "ann_quantized", "ann_lsh", "ann_ivf",
-            "ann_ivf_sq8", "ann_pq", "ann_ivf_pq", "ann_audit",
-            "ann_index_lifecycle", "semantic_assign_audit"}
-bad = [q for q, r in ratios.items()
-       if r > (tiles * tiles if q in SCAFFOLD else tiles) * 1.3]
+# Since r13 EVERY query is held to the linear envelope: the ANN oracle
+# workload is a fixed-size query sample, so the former tiles^2
+# scaffolding allowance (Q = N/100) no longer has a justification.
+bad = [q for q, r in ratios.items() if r > tiles * 1.3]
 if bad:
-    print(f"SUPERLINEAR (beyond the workload envelope): {bad}")
+    print(f"SUPERLINEAR (beyond the linear envelope): {bad}")
     sys.exit(1)
-soft = [q for q in SCAFFOLD if ratios.get(q, 0) > tiles * 1.3]
-if soft:
-    print(f"note: Q-proportional scaffolding past the linear envelope "
-          f"(expected, workload is tiles^2): {sorted(soft)}")
 EOF
 echo "== sweep complete =="

@@ -108,15 +108,66 @@ object Bench {
     // Contamination guard (r11 verdict task 6 — twice the round's
     // headline number was polluted by adjacent heavy work and the
     // diagnosis needed mtime archaeology): the artifact itself says
-    // when its numbers are suspect. cal on an idle run of THIS box is
-    // ~505-515 ms; spread on an idle run stays near 1.0-1.3.
-    val CalContendedMs = 550.0
+    // when its numbers are suspect. The threshold is calibrated to an
+    // IDLE run of the current dev box (~505-515 ms) and is therefore
+    // box-specific — SPARK_GRAFT_CAL_CONTENDED_MS overrides it on any
+    // other machine (r12 advice: without the override a faster/slower
+    // box is permanently flagged contended, or never). Spread on an
+    // idle run stays near 1.0-1.3 on any box.
+    val CalContendedMs = sys.env.get("SPARK_GRAFT_CAL_CONTENDED_MS")
+      .map(_.toDouble).getOrElse(550.0)
     val SpreadContended = 3.0
     def spreadOf(rs: Seq[(String, Seq[Double], Double, Double)]): Double =
       rs.collect { case (_, r, _, _) if r.min >= 0.5 => r.max / r.min }
         .foldLeft(1.0)(math.max)
     def contendedOf(rs: Seq[(String, Seq[Double], Double, Double)]): Boolean =
       calMs > CalContendedMs || spreadOf(rs) > SpreadContended
+    // Prior-round full artifact, parsed ONCE: feeds both the stderr
+    // round-diff and the artifact's explicit regression block (r12
+    // verdict task 6 — a promised-but-never-run adjudication shipped
+    // silently twice; now the committed artifact itself carries the
+    // unadjudicated list, empty or not, so a dangling regression is
+    // visible in the tree).
+    val prevFull: Option[(String, Map[String, Double], Option[String])] =
+      try {
+        val files = new java.io.File(".").listFiles((_, n) =>
+          n.matches("BENCH_FULL_r\\d+\\.json"))
+        if (files == null || files.isEmpty) None
+        else {
+          val latest = files.maxBy(f =>
+            "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+          val content = new String(
+            java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+          // whitespace-tolerant: our own artifacts are compact, but a
+          // hand-repaired or pretty-printed prior file must still parse
+          val qsec = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+            .findAllMatchIn(content.substring(
+              content.indexOf("\"queries\":"), content.indexOf("\"runs\":")))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
+          Some((latest.getName, qsec, prevSf))
+        }
+      } catch { case _: Exception => None }
+    // A regression is UNADJUDICATED when this run is slower than the
+    // prior committed full artifact by >0.5 s AND >25% (min-of-runs)
+    // at the same sf. Only an UNCONTENDED run can accuse — a contended
+    // box inflates everything, so the block records the suppression
+    // instead of a false list.
+    def regressionBlock(rs: Seq[(String, Seq[Double], Double, Double)]): String =
+      prevFull match {
+        case Some((name, qsec, prevSf)) if prevSf.forall(_ == sfDir) =>
+          val suppressed = contendedOf(rs)
+          val regs =
+            if (suppressed) "{}"
+            else rs.collect {
+              case (k, r, _, _) if r.min >= 0 && qsec.getOrElse(k, -1.0) > 0 &&
+                r.min - qsec(k) > 0.5 && r.min / qsec(k) > 1.25 =>
+                "\"" + k + "\":[" + s3(qsec(k)) + "," + s3(r.min) + "]"
+            }.mkString("{", ",", "}")
+          s""","regressions":{"baseline":"$name","rule":"+0.5s and +25%, uncontended",""" +
+            s""""suppressed_contended":$suppressed,"unadjudicated":$regs}"""
+        case _ => ""
+      }
     def fullJson(rs: Seq[(String, Seq[Double], Double, Double)]): String = {
       val qs = rs.map { case (k, r, _, _) => "\"" + k + "\":" + s3(r.min) }
         .mkString("{", ",", "}")
@@ -128,7 +179,8 @@ object Bench {
       val tot = rs.collect { case (_, r, _, _) if r.min >= 0 => r.min }.sum
       s"""{"metric":"total","value":${s3(tot)},"unit":"sec","queries":$qs,""" +
         s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},""" +
-        s""""spread":${num(spreadOf(rs), "%.2f")},"contended":${contendedOf(rs)},"sf":"$sfDir"}"""
+        s""""spread":${num(spreadOf(rs), "%.2f")},"contended":${contendedOf(rs)},""" +
+        s""""sf":"$sfDir"${regressionBlock(rs)}}"""
     }
     // The full artifact is (re)written after EVERY query, not only at
     // exit: a multi-hour scale sweep killed mid-run (round timeout,
@@ -281,27 +333,13 @@ object Bench {
     // stderr only. Purely informational — shuffle-MB deltas in the two
     // full files stay the ground truth for plan-vs-noise adjudication.
     try {
-      val prev = new java.io.File(".").listFiles((_, n) =>
-        n.matches("BENCH_FULL_r\\d+\\.json"))
-      if (prev != null && prev.nonEmpty && only.isEmpty) {
-        val latest = prev.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
-        val content = new String(
-          java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
-        // the artifact is this class's own flat output: "name":secs
-        // inside the "queries" object — a regex scan avoids a JSON dep
-        val qsec = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
-          .findAllMatchIn(content.substring(
-            content.indexOf("\"queries\":"),
-            content.indexOf("\"runs\":")))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
-        if (prevSf.forall(_ == sfDir)) {
+      prevFull match {
+        case Some((name, qsec, prevSf)) if only.isEmpty && prevSf.forall(_ == sfDir) =>
           val deltas = results.collect {
             case (k, rs, _, _) if rs.min >= 0 && qsec.getOrElse(k, -1.0) > 0 =>
               (k, qsec(k), rs.min, rs.min - qsec(k))
           }.sortBy(-_._4)
-          System.err.println(s"[bench] vs ${latest.getName} (same sf) — top regressions:")
+          System.err.println(s"[bench] vs $name (same sf) — top regressions:")
           deltas.take(10).filter(_._4 > 0.1).foreach { case (k, p, c, d) =>
             System.err.println(f"[bench]   $k%-24s $p%7.2fs -> $c%7.2fs  (+$d%.2fs)")
           }
@@ -309,7 +347,15 @@ object Bench {
           val totCur = deltas.map(_._3).sum
           System.err.println(
             f"[bench] common-query total: $totPrev%.1fs -> $totCur%.1fs")
-        }
+          // the artifact-block twin, loudly: an unadjudicated
+          // regression must be impossible to miss in the run log too
+          val unadj = deltas.filter { case (_, p, c, d) => d > 0.5 && c / p > 1.25 }
+          if (!contended && unadj.nonEmpty)
+            System.err.println(
+              s"[bench] WARNING: UNADJUDICATED regressions (>0.5s and >25% on an " +
+                s"uncontended run) recorded in the artifact: " +
+                unadj.map(_._1).mkString(", ") + " — A/B these before committing claims")
+        case _ => ()
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] round-diff skipped: ${e.getMessage}")

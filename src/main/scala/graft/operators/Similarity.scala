@@ -24,13 +24,20 @@ import graft.operators.Distributed.StageSyntax
   *    fragment id. No driver-sized broadcast at ANY query-set size
   *    (identical output, spec-asserted), the same strategy-parameter
   *    shape as `Corpus.decide`'s contamination join.
-  * The oracle-checked queries use the deterministic `vec_id % 100`
-  * sample ([[defaultQueries]]) — harness scaffolding standing in for a
-  * real workload's query batch. Because that sample IS a corpus
-  * subset, the searches default to `excludeSelf = true` (a query must
-  * not return its own vector); an external batch whose ids are not
-  * corpus ids passes `excludeSelf = false`, since there id equality
-  * is coincidence and would drop an unrelated neighbor.
+  * The oracle-checked queries use a FIXED-SIZE deterministic sample
+  * ([[defaultQueries]]: md5-order LIMIT [[QuerySample]], the
+  * dedup_audit rule) — harness scaffolding standing in for a real
+  * workload's query batch. Fixed SIZE is the scale contract (r12
+  * verdict): a corpus-fraction sample (the pre-r13 `vec_id % 100`)
+  * made every ANN seat's workload Q ∝ N, so scale sweeps priced the
+  * growing query batch, not the engine — the exact-baseline family
+  * was tiles² by construction and had to be excluded at 100×. With Q
+  * constant, every search's query-side cost is workload-sized at any
+  * corpus size. Because that sample IS a corpus subset, the searches
+  * default to `excludeSelf = true` (a query must not return its own
+  * vector); an external batch whose ids are not corpus ids passes
+  * `excludeSelf = false`, since there id equality is coincidence and
+  * would drop an unrelated neighbor.
   *
   * Scale shapes (100 TB contract):
   *  - `ann_bruteforce`: scan × query set, salted exact top-k — the
@@ -88,11 +95,29 @@ object Similarity {
     * reducers carrying the corpus. */
   private val CellSalt = 16
 
+  /** Size of the deterministic oracle query batch — FIXED at every
+    * corpus size (20 = the pre-r13 `% 100` sample's size at the sf0.1
+    * bench point, so driver-bench numbers stay comparable across the
+    * change). The md5 key is 'q'-prefixed: the plain-md5 order is
+    * [[seedCentroids]]' — an unprefixed sample's first 16 queries
+    * would BE the centroid vectors. */
+  private[graft] val QuerySample = 20
+
   /** The deterministic query sample the oracle-checked queries use —
     * harness scaffolding for the DuckDB twin, NOT part of the operator:
-    * a real caller passes its own bounded query batch. */
+    * a real caller passes its own bounded query batch. A fixed-size
+    * md5-order TakeOrdered (K rows to the driver, the seedCentroids
+    * shape), never a corpus fraction — see the class doc. */
   def defaultQueries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 100 === 0)
+    emb.orderBy(md5(concat(lit("q"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(QuerySample)
+
+  /** The oracle CTE mirroring [[defaultQueries]] — `qs(vec_id)`, the
+    * fixed-size md5-order query-id sample. Prepended by [[ivfCtes]];
+    * standalone queries include it themselves. */
+  private val qsCte: String =
+    s"""qs AS (SELECT vec_id FROM embeddings
+       |       ORDER BY md5('q' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $QuerySample)""".stripMargin
 
   /** DuckDB CTEs rebuilding the same sign-buckets: planes from md5 as
     * ORDERED LISTS, dots via `list_inner_product` (element-order
@@ -434,7 +459,12 @@ object Similarity {
     * search that ships). */
   private[graft] def lshSearch(spark: SparkSession, dir: String): DataFrame = {
     val bk = buckets(spark, dir)
-    val qb = bk.filter(col("vec_id") % 100 === 0)
+    // the fixed-size query sample arrives as a broadcast semi-join on
+    // the bucket relation (QuerySample ids — the `% 100` filter this
+    // replaced was a corpus fraction, see the class doc)
+    val qb = bk.join(
+      broadcast(defaultQueries(embV(spark, dir)).select(col("vec_id"))),
+      Seq("vec_id"), "left_semi")
     val cand = qb.as("a")
       .join(bk.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
@@ -691,7 +721,16 @@ object Similarity {
     // The N-row encode is staged: the search and its in-plan recall
     // gate both scan it across a broadcast join (no exchange to reuse)
     val book = pqBook(emb, "")
-    val enc = pqEncode(emb, book).stage()
+    pqSearchFrom(pqEncode(emb, book).stage(), book, emb, queries,
+      broadcastQueries, excludeSelf)
+  }
+
+  /** The flat-PQ search from a materialized (vec_id, cd) code relation
+    * + codebook on — ONE definition shared by the dynamic path
+    * ([[pqSearch]]) and the persisted index ([[searchPqIndex]]), so
+    * the two can never drift on scoring, rerank, or the recall gate. */
+  private def pqSearchFrom(enc: DataFrame, book: DataFrame, emb: DataFrame,
+      queries: DataFrame, broadcastQueries: Boolean, excludeSelf: Boolean): DataFrame = {
     def raw(q: DataFrame): DataFrame = {
       val qt = pqTable(q, book)
       val coarse = dropSelf(pairQueries(enc, qt, broadcastQueries), excludeSelf, "qid", "vec_id")
@@ -700,6 +739,31 @@ object Similarity {
         emb, q)
     }
     gateSampledRecall(raw(queries), emb, queries, excludeSelf, "ann_pq")(raw)
+  }
+
+  /** BUILD-ONCE lifecycle for the FLAT-PQ index — the codebook-train +
+    * N-row encode are the whole corpus-proportional cost of pqSearch,
+    * so a serving deployment pays them once and persists (codes,
+    * book) exactly like the IVF twins persist (cells, centroids).
+    * There is no cell layout to prune here (flat PQ scans every code
+    * row by design — 32× narrower than the float column); the win is
+    * skipping the train+encode, not the scan. */
+  def buildPqIndex(emb: DataFrame, path: String): Unit = {
+    val book = pqBook(emb, "")
+    pqEncode(emb, book).write.mode("overwrite").parquet(s"$path/codes")
+    book.write.mode("overwrite").parquet(s"$path/book")
+  }
+
+  /** Search a [[buildPqIndex]]-persisted index: identical results to
+    * the dynamic [[pqSearch]] (spec-asserted — integer codes and the
+    * book's doubles round-trip parquet bit-exactly), with no codebook
+    * train or encode stage in the plan. */
+  def searchPqIndex(
+      spark: SparkSession, path: String, emb: DataFrame, queries: DataFrame,
+      broadcastQueries: Boolean = true, excludeSelf: Boolean = true): DataFrame = {
+    ensureRegistered(spark)
+    pqSearchFrom(spark.read.parquet(s"$path/codes"), spark.read.parquet(s"$path/book"),
+      emb, queries, broadcastQueries, excludeSelf)
   }
 
   /** Ordered dot product of subspace `m`'s slice — codegen'd VecDot
@@ -907,6 +971,46 @@ object Similarity {
     lifecycleRoots.add(root); ()
   }
 
+  /** Cheap content fingerprint of the corpus behind a staged-index
+    * root (r12 advice): file count + total bytes of the embeddings
+    * table. Keying the root by it means a fixture dir REWRITTEN within
+    * one application rebuilds instead of silently reusing a stale
+    * index — without paying a data scan for the check. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val sum = p.getFileSystem(spark.sessionState.newHadoopConf()).getContentSummary(p)
+    Portable.md5Hex(sum.getFileCount + "_" + sum.getLength).take(8)
+  }
+
+  /** Scratch root for a per-JVM staged index over `dir`'s corpus,
+    * keyed by md5(dir) + content fingerprint + application id (two
+    * JVMs on the same dir never race; a rewritten dir never reuses),
+    * registered for deletion at JVM exit. */
+  private def stagedRoot(spark: SparkSession, dir: String, kind: String): String = {
+    val root = s"/tmp/graft_ann_${kind}_" + Portable.md5Hex(dir).take(12) +
+      "_" + corpusFingerprint(spark, dir) + "_" + spark.sparkContext.applicationId
+    lifecycleCleanupAtExit(root)
+    root
+  }
+
+  /** Build-once guard for a staged root: `build` runs only when the
+    * `_built` marker is absent (a markerless root is half-built debris
+    * from a died build and is cleared first). Queries run sequentially
+    * in Verify, Bench, and the suite — single-writer per JVM by
+    * construction, same as the lifecycle seat. */
+  private def ensureBuilt(spark: SparkSession, root: String)(build: String => Unit): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val built = new org.apache.hadoop.fs.Path(s"$root/_built")
+    if (!fs.exists(built)) {
+      fs.delete(rootPath, true)
+      build(root)
+      fs.create(built, true).close()
+    }
+    root
+  }
+
   /** Search a [[buildIvfPqIndex]]-persisted index: identical results
     * to the dynamic [[ivfPqSearch]], no assignment or encode stage in
     * the plan, probed `cid=` partitions pruned at runtime. */
@@ -1080,7 +1184,7 @@ object Similarity {
     * micro-quantized BIGINTs (the label_centroids rule — quant6 scores
     * are exact multiples of 1e-6, so the sums are order-independent).
     * Tight per-method id-recall floors stay in ScaleSpec where the
-    * query population is the full % 100 sample. */
+    * query population is the full default sample. */
   private[graft] val AnnGateFloor = 0.3
   private[graft] val GateSampleQ = 8
 
@@ -1192,9 +1296,10 @@ object Similarity {
   /** Oracle CTEs shared by the IVF family: float vectors `e`, the
     * fixed-K centroid sample `c`, the nearest-cell assignment `asn`,
     * and the query probe list `qprobe` over `nProbes` cells. */
-  private def ivfCtes(nProbes: Int): String = {
+  private def ivfCtes(nProbes: Int, withQs: Boolean = true): String = {
     val qc = quantCos.format("e.v", "c.cv")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    val qsPrefix = if (withQs) s"$qsCte,\n" else ""
+    s"""${qsPrefix}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
        |asn AS (SELECT vec_id, cid FROM (
@@ -1204,7 +1309,7 @@ object Similarity {
        |qprobe AS (SELECT vec_id AS qid, cid FROM (
        |   SELECT e.vec_id, c.cid,
        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-       |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $nProbes)""".stripMargin
+       |   FROM e, c WHERE e.vec_id IN (SELECT vec_id FROM qs)) t WHERE rn <= $nProbes)""".stripMargin
   }
 
   /** Oracle CTEs shared by dedup_semantic and semantic_assign_audit
@@ -1315,26 +1420,22 @@ object Similarity {
     // verbatim — append+compact are bit-identity-preserving by design
     // regardless of the base/delta split, so the whole lifecycle must
     // hash-match the dynamic search. The on-disk root is keyed by
-    // md5(corpus dir) AND the Spark application id: two JVMs on the
-    // same sf dir (Verify and Bench overlapping) never race on a
-    // shared index (r11 advice), and a JVM shutdown hook clears the
-    // root — single-writer within a JVM by construction (queries run
+    // md5(corpus dir) + a content FINGERPRINT (r12 advice: a fixture
+    // dir rewritten within one JVM must rebuild, not reuse a stale
+    // base) + the Spark application id: two JVMs on the same sf dir
+    // (Verify and Bench overlapping) never race on a shared index
+    // (r11 advice), and a JVM shutdown hook clears the root —
+    // single-writer within a JVM by construction (queries run
     // sequentially in Verify, Bench, and the test suite).
     QueryDef("ann_index_lifecycle", ivfSq8Sql) { (spark, dir) =>
       val emb = embV(spark, dir)
-      val root = "/tmp/graft_ann_lifecycle_" + Portable.md5Hex(dir).take(12) +
-        "_" + spark.sparkContext.applicationId
-      lifecycleCleanupAtExit(root)
+      val root = stagedRoot(spark, dir, "lifecycle")
       val conf = spark.sessionState.newHadoopConf()
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-      val base = new org.apache.hadoop.fs.Path(s"$root/base")
-      val built = new org.apache.hadoop.fs.Path(s"$root/base/_built")
-      if (!fs.exists(built)) {
-        fs.delete(base, true) // a half-built base (no marker) is debris
-        buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
-          seedCentroids(emb), base.toString)
-        fs.create(built, true).close()
-      }
+      val base = new org.apache.hadoop.fs.Path(
+        ensureBuilt(spark, s"$root/base")(b =>
+          buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+            seedCentroids(emb), b)))
       val work = new org.apache.hadoop.fs.Path(s"$root/work")
       fs.delete(work, true)
       org.apache.hadoop.fs.FileUtil.copy(fs, base, fs, work, false, conf)
@@ -1354,7 +1455,8 @@ object Similarity {
           .map(m => s"qt.t[enc.cd[${m + 1}] * $PqM + ${m + 1}]")
           .mkString(" + ")
         val mSub = s"m.m * $PqSub + 1 : m.m * $PqSub + $PqSub"
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH $qsCte,
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |c AS (SELECT vec_id AS cid, v AS cv FROM e
            |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
            |asnv AS (SELECT vec_id, cid, cv, v FROM (
@@ -1378,12 +1480,12 @@ object Similarity {
            |qprobe AS (SELECT vec_id AS qid, cid FROM (
            |   SELECT e.vec_id, c.cid,
            |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-           |   FROM e, c WHERE e.vec_id % 100 = 0) t WHERE rn <= $PqNumProbes),
+           |   FROM e, c WHERE e.vec_id IN (SELECT vec_id FROM qs)) t WHERE rn <= $PqNumProbes),
            |qd AS (SELECT e.vec_id AS qid, rb.code,
            |              list_transform(generate_series(0, ${PqM - 1}),
            |                m -> list_inner_product(e.v[m * $PqSub + 1 : m * $PqSub + $PqSub],
            |                                        rb.cv[m * $PqSub + 1 : m * $PqSub + $PqSub])) AS dv
-           |       FROM e, rb WHERE e.vec_id % 100 = 0),
+           |       FROM e, rb WHERE e.vec_id IN (SELECT vec_id FROM qs)),
            |qt AS (SELECT qid, flatten(list(dv ORDER BY code)) AS t FROM qd GROUP BY qid),
            |dqc AS (SELECT q.qid, q.cid, list_inner_product(e.v, c.cv) AS d
            |        FROM qprobe q JOIN e ON e.vec_id = q.qid JOIN c ON c.cid = q.cid),
@@ -1404,8 +1506,19 @@ object Similarity {
            |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
            |FROM r WHERE rn <= $TopK""".stripMargin
       }) { (spark, dir) =>
+      // the driver-checked seat serves from the PERSISTED index (r12
+      // verdict: the dynamic form retrained the codebook and re-encoded
+      // the corpus on every execution — an O(N·(K+Cn)) rebuild per
+      // invocation that a real deployment pays once). Build-once per
+      // (corpus fingerprint, JVM): the bench warm-up pays the build,
+      // timed runs price the SEARCH — probe join, pruned cell scan,
+      // bounded rerank — which is the operator. searchIvfPqIndex is
+      // bit-identical to ivfPqSearch (ScaleSpec), so the oracle hash
+      // is unchanged.
       val emb = embV(spark, dir)
-      ivfPqSearch(emb, seedCentroids(emb), defaultQueries(emb), nProbes = PqNumProbes)
+      val root = ensureBuilt(spark, stagedRoot(spark, dir, "ivfpq"))(r =>
+        buildIvfPqIndex(emb, seedCentroids(emb), r))
+      searchIvfPqIndex(spark, root, emb, defaultQueries(emb), nProbes = PqNumProbes)
     },
 
     // L7e — product quantization + ADC (see pqSearch).
@@ -1415,7 +1528,8 @@ object Similarity {
           .map(m => s"qt.t[enc.cd[${m + 1}] * $PqM + ${m + 1}]")
           .mkString(" + ")
         val mSub = s"m.m * $PqSub + 1 : m.m * $PqSub + $PqSub"
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH $qsCte,
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |c AS (SELECT vec_id AS cid, v AS cv FROM e
            |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqCodes),
            |b AS (SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 AS code, cv FROM c),
@@ -1431,7 +1545,7 @@ object Similarity {
            |              list_transform(generate_series(0, ${PqM - 1}),
            |                m -> list_inner_product(e.v[m * $PqSub + 1 : m * $PqSub + $PqSub],
            |                                        b.cv[m * $PqSub + 1 : m * $PqSub + $PqSub])) AS dv
-           |       FROM e, b WHERE e.vec_id % 100 = 0),
+           |       FROM e, b WHERE e.vec_id IN (SELECT vec_id FROM qs)),
            |qt AS (SELECT qid, flatten(list(dv ORDER BY code)) AS t FROM qd GROUP BY qid),
            |co AS (SELECT qt.qid, enc.vec_id AS nid, $adcChain AS cscore
            |       FROM enc, qt WHERE enc.vec_id <> qt.qid),
@@ -1448,8 +1562,15 @@ object Similarity {
            |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rank, score
            |FROM r WHERE rn <= $TopK""".stripMargin
       }) { (spark, dir) =>
+      // persisted-index seat, same rationale as ann_ivf_pq: codebook
+      // train + N-row encode are paid once per (corpus fingerprint,
+      // JVM); timed runs price the ADC scan + rerank. searchPqIndex is
+      // bit-identical to pqSearch (spec-asserted), so the oracle hash
+      // is unchanged.
       val emb = embV(spark, dir)
-      pqSearch(emb, defaultQueries(emb))
+      val root = ensureBuilt(spark, stagedRoot(spark, dir, "pq"))(r =>
+        buildPqIndex(emb, r))
+      searchPqIndex(spark, root, emb, defaultQueries(emb))
     },
 
     // L7c — scalar-quantized (int8) ANN with exact rerank: the third
@@ -1461,9 +1582,10 @@ object Similarity {
     // column is what streams through memory bandwidth.
     QueryDef(
       "ann_quantized",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $qsCte,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$qzCte,
-         |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id % 100 = 0),
+         |q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id IN (SELECT vec_id FROM qs)),
          |co AS (SELECT q.qid, z.vec_id AS nid, list_inner_product(z.qv, q.qq) AS cscore
          |       FROM qz z, q WHERE z.vec_id <> q.qid),
          |ck AS (SELECT qid, nid FROM (
@@ -1664,8 +1786,9 @@ object Similarity {
     // L6 — exact brute-force cosine top-k for the query batch.
     QueryDef(
       "ann_bruteforce",
-      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-         |           FROM embeddings WHERE vec_id % 100 = 0),
+      s"""WITH $qsCte,
+         |q AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM qs)),
          |c AS (SELECT q.qid, e.vec_id AS nid,
          |             floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000.0) / 1000000.0 AS score
          |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
@@ -1682,11 +1805,12 @@ object Similarity {
     // query in at least one table; top-k within candidates.
     QueryDef(
       "ann_lsh",
-      s"""WITH $bucketCtes,
+      s"""WITH $qsCte,
+         |$bucketCtes,
          |cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
          |         FROM bkt qb JOIN bkt vb
          |           ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
-         |         WHERE qb.vec_id % 100 = 0),
+         |         WHERE qb.vec_id IN (SELECT vec_id FROM qs)),
          |sc AS (SELECT c.qid, c.nid, ${Portable.Quant6Sql(cosSql)} AS score
          |       FROM cand c
          |       JOIN embeddings ea ON ea.vec_id = c.qid
@@ -1805,11 +1929,12 @@ object Similarity {
     // with one double division. Cost = the two searches it audits.
     QueryDef(
       "ann_audit",
-      s"""WITH $bucketCtes,
+      s"""WITH $qsCte,
+         |$bucketCtes,
          |cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
          |         FROM bkt qb JOIN bkt vb
          |           ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
-         |         WHERE qb.vec_id % 100 = 0),
+         |         WHERE qb.vec_id IN (SELECT vec_id FROM qs)),
          |sc AS (SELECT c.qid, c.nid, ${Portable.Quant6Sql(cosSql)} AS score
          |       FROM cand c
          |       JOIN embeddings ea ON ea.vec_id = c.qid
@@ -1817,8 +1942,8 @@ object Similarity {
          |r AS (SELECT qid, nid,
          |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
          |      FROM sc),
-         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-         |      FROM embeddings WHERE vec_id % 100 = 0),
+         |q AS (SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM qs)),
          |bc AS (SELECT q.qid, e.vec_id AS nid,
          |              floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000.0) / 1000000.0 AS score
          |       FROM embeddings e, q WHERE e.vec_id <> q.qid),
@@ -1860,11 +1985,12 @@ object Similarity {
     // engines; ranks themselves come from quant6-scored windows.
     QueryDef(
       "rrf_fusion",
-      s"""WITH $bucketCtes,
+      s"""WITH $qsCte,
+         |$bucketCtes,
          |cand_l AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS nid
          |           FROM bkt qb JOIN bkt vb
          |             ON qb.t = vb.t AND qb.bucket = vb.bucket AND qb.vec_id <> vb.vec_id
-         |           WHERE qb.vec_id % 100 = 0),
+         |           WHERE qb.vec_id IN (SELECT vec_id FROM qs)),
          |sc_l AS (SELECT c.qid, c.nid, ${Portable.Quant6Sql(cosSql)} AS score
          |         FROM cand_l c
          |         JOIN embeddings ea ON ea.vec_id = c.qid
@@ -1872,7 +1998,7 @@ object Similarity {
          |r_l AS (SELECT qid, nid,
          |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
          |        FROM sc_l),
-         |${ivfCtes(NumProbes)},
+         |${ivfCtes(NumProbes, withQs = false)},
          |cand_i AS (SELECT DISTINCT q.qid, a.vec_id AS nid
          |           FROM qprobe q JOIN asn a ON a.cid = q.cid WHERE a.vec_id <> q.qid),
          |sc_i AS (SELECT cand_i.qid, cand_i.nid,

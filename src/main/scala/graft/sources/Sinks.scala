@@ -154,23 +154,32 @@ object Sinks {
     * without a dedup pass. File sizing rides along (`maxRecordsPerFile`
     * bounds size; callers pre-repartition by the partition column to
     * bound count — that also aligns writer tasks with output
-    * partitions, so a task writes whole files into one directory). */
+    * partitions, so a task writes whole files into one directory).
+    *
+    * SINGLE-WRITER CONTRACT (r12 advice): on entry this sink sweeps
+    * `.spark-staging-*` debris that a crashed predecessor stranded
+    * under `path` (invisible to readers, but accreting a full copy of
+    * the failed write per crash — found by the r12 CrashPointSpec
+    * sweep). The default `sweepStagingOlderThanMs = 0` deletes ALL
+    * staging dirs found at entry, which is only safe when one writer
+    * at a time touches this table path — the crash-retry idiom this
+    * sink documents. CONCURRENT backfills of different days into one
+    * table must not use the default: a second live writer's staging
+    * dir would be deleted mid-write, corrupting its commit. Such
+    * callers pass `-1` (never sweep; debris needs separate nightly
+    * cleanup) or an age threshold comfortably above their longest
+    * write (only dirs with mtime older than that are swept). */
   def overwriteDayPartitions(df: DataFrame, path: String, dayCol: String,
-      maxRecordsPerFile: Long): Unit = {
-    // Stale-staging sweep (found by the r12 CrashPointSpec sweep, the
-    // same window class as the r9/r10 escapes): a crashed dynamic
-    // overwrite strands `<path>/.spark-staging-<jobUUID>`, and the
-    // retry COMMITS fine under a fresh UUID but never removes the old
-    // dir — invisible to readers (dot-dir) yet accreting a full copy
-    // of the failed write per crash. Same single-writer assumption as
-    // every journaled swap op: a staging dir found at entry can only
-    // be a dead predecessor's.
+      maxRecordsPerFile: Long, sweepStagingOlderThanMs: Long = 0L): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+    if (sweepStagingOlderThanMs >= 0 && fs.exists(p)) {
+      val cutoff = System.currentTimeMillis() - sweepStagingOlderThanMs
       fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".spark-staging"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".spark-staging")
+          && s.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, true))
+    }
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -505,8 +505,9 @@ object Warehouse {
       math.max(1, math.min(parts.size, 8)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    var bodyCompleted = false
     try {
-      scala.concurrent.Await.result(
+      val report = scala.concurrent.Await.result(
         scala.concurrent.Future.traverse(parts)(p => scala.concurrent.Future(
           compactSmallFiles(spark, p.getPath.toString, smallBytes, targetBytes))),
         scala.concurrent.duration.Duration.Inf)
@@ -516,9 +517,28 @@ object Warehouse {
             a.filesWritten + b.filesWritten,
             a.bytesCompacted + b.bytesCompacted)
         }
+      bodyCompleted = true
+      report
     } finally {
       pool.shutdown()
-      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES); ()
+      // The boolean matters (r12 advice): after a FAILED partition job
+      // the other futures may still be running, and a straggler that
+      // outlives the cap would keep mutating its partition's swap
+      // journal while the caller starts recovery — exactly the race
+      // the join exists to prevent. Log loudly either way; escalate to
+      // a throw only when no original exception is already in flight
+      // (a throw from finally would swallow it).
+      val terminated =
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!terminated) {
+        System.err.println(
+          "[warehouse] compactPartitionedSmallFiles: worker pool did NOT terminate " +
+            "within 10 minutes — a straggler may still be mutating a partition's swap " +
+            "journal; do not start recovery against this table until this JVM exits")
+        if (bodyCompleted)
+          throw new IllegalStateException(
+            "compactPartitionedSmallFiles: pool failed to terminate within 10 minutes")
+      }
     }
   }
 
