@@ -40,7 +40,7 @@ object Dedup {
   /** Fixed audit-sample size for dedup_audit — corpus-size-independent
     * by construction (md5-ordered LIMIT). */
   private val AuditSample = 200
-  private val Mod = 4294967296L // 2^32
+  private[operators] val Mod = 4294967296L // 2^32
   // Cap on shingle start positions per doc — MUST match the oracle's
   // generate_series(0, 4095) bound or long docs diverge cross-engine.
   private[operators] val MaxShingleStarts = 4096

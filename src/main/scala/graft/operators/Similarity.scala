@@ -1296,16 +1296,25 @@ object Similarity {
   /** Oracle CTEs shared by the IVF family: float vectors `e`, the
     * fixed-K centroid sample `c`, the nearest-cell assignment `asn`,
     * and the query probe list `qprobe` over `nProbes` cells. */
-  private def ivfCtes(nProbes: Int, withQs: Boolean = true): String = {
+  /** The float-vector / fixed-K-centroid / nearest-cell-assignment CTE
+    * block (`e`, `c`, `asn`) — shared by [[ivfCtes]] and the
+    * `ann_cell_census` oracle so the assignment replay can never drift
+    * between search and census. */
+  private def ivfAsnCtes: String = {
     val qc = quantCos.format("e.v", "c.cv")
-    val qsPrefix = if (withQs) s"$qsCte,\n" else ""
-    s"""${qsPrefix}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT vec_id AS cid, v AS cv FROM e
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NumCentroids),
        |asn AS (SELECT vec_id, cid FROM (
        |   SELECT e.vec_id, c.cid,
        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
-       |   FROM e, c) t WHERE rn = 1),
+       |   FROM e, c) t WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfCtes(nProbes: Int, withQs: Boolean = true): String = {
+    val qc = quantCos.format("e.v", "c.cv")
+    val qsPrefix = if (withQs) s"$qsCte,\n" else ""
+    s"""$qsPrefix$ivfAsnCtes,
        |qprobe AS (SELECT vec_id AS qid, cid FROM (
        |   SELECT e.vec_id, c.cid,
        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $qc DESC, c.cid) AS rn
@@ -1396,6 +1405,39 @@ object Similarity {
          |FROM r WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
       val emb = embV(spark, dir)
       ivfSearch(emb, seedCentroids(emb), defaultQueries(emb))
+    },
+
+    // L51 — IVF cell census: per-cell occupancy of the PRODUCTION
+    // nearest-centroid assignment (assign — the same aggregate path
+    // every IVF search and the persisted index build route through; a
+    // census that re-derived assignment could silently measure a
+    // different index than the one shipping). Cell-size skew is THE
+    // IVF failure mode at scale — a hot cell makes every probe of it
+    // a stage straggler (the reason the cell joins are salted) and a
+    // starved cell wastes its centroid — so occupancy is a dashboard
+    // query an index build gates on, exactly like ann_audit gates
+    // recall. Cost: the N×K assignment scan + ONE mergeable per-cell
+    // count (map-side partials; ≤K rows shuffle); the share division
+    // rides a broadcast 1-row total. Empty cells don't occur by
+    // construction (a centroid is its own nearest cell: cosine(c,c)=1
+    // and ties break by lowest cid, so every seeded cell holds at
+    // least its seed vector — both engines agree on that row).
+    QueryDef(
+      "ann_cell_census",
+      s"""WITH $ivfAsnCtes,
+         |n AS (SELECT COUNT(*) AS total FROM e),
+         |g AS (SELECT cid, COUNT(*) AS n_vecs FROM asn GROUP BY cid)
+         |SELECT g.cid, g.n_vecs,
+         |       ${Portable.Quant6Sql("CAST(g.n_vecs AS DOUBLE) / n.total")} AS share
+         |FROM g, n""".stripMargin) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      val total = emb.agg(count(lit(1)).as("total"))
+      assign(emb, seedCentroids(emb))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(total))
+        .select(col("cid"), col("n_vecs"),
+          Portable.quant6(col("n_vecs").cast("double") / col("total")).as("share"))
     },
 
     // L7d — IVFADC: int8 coarse scan inside probed cells only, exact

@@ -73,6 +73,10 @@ object Web {
       s"CASE WHEN $query = '' THEN '' ELSE '?' || $query END"
   }
 
+  /** MinHash lanes per source sketch — granularity 1/24 on the Jaccard
+    * estimate; sketch state is 24 longs per source at ANY corpus size. */
+  private val SketchHashes = 24
+
   val defs: Seq[QueryDef] = Seq(
 
     // L47 — URL canonicalization + URL-level dedup: normalize, then
@@ -137,5 +141,63 @@ object Web {
       co.join(broadcast(ns.as("na")), col("na.source") === col("source_a"))
         .join(broadcast(ns.as("nb")), col("nb.source") === col("source_b"))
         .select(col("source_a"), col("source_b"), col("n_common"), jac.as("jaccard"))
+    },
+
+    // L52 — MinHash corpus sketch: the AT-SCALE twin of source_overlap
+    // (the text_contamination → _bloom pattern applied to the overlap
+    // matrix). source_overlap's exact Jaccard joins the corpus-shaped
+    // distinct-shingle relation with itself; the sketch never shuffles
+    // more than one CONSTANT-size row per source: each doc folds its
+    // shingle-hash array to [[SketchHashes]] per-doc minima map-side
+    // (Dedup's array_min signature form — no explode, no shuffle), a
+    // mergeable MIN aggregate collapses them to a |sources|×H sketch
+    // table, and the pair matrix is a broadcast self-join of that
+    // dimension-sized table. est_jaccard = fraction of agreeing lanes —
+    // the classic MinHash estimator (E[min_a = min_b] = J); unlike the
+    // exact matrix, EVERY pair appears (agreement 0 is a result, not an
+    // absent row). Hash family shared verbatim with the dedup pipeline
+    // ((h1 + k·h2) mod 2^32 over the shingle md5 words), so the sketch
+    // prices the same shingle universe the dedup family operates on.
+    QueryDef(
+      "source_sketch",
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT source, array_to_string(tk[i.i + 1:i.i + ${Dedup.ShingleLen}], ' ') AS shingle
+         |       FROM t, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
+         |       WHERE i.i <= greatest(len(tk) - ${Dedup.ShingleLen}, 0)),
+         |hw AS (SELECT source,
+         |              CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+         |              CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2 FROM sh),
+         |mins AS (SELECT source, k.k, MIN((h1 + k.k * h2) % ${Dedup.Mod}) AS mn
+         |         FROM hw, generate_series(0, ${SketchHashes - 1}) k(k) GROUP BY 1, 2)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |       ${Portable.Quant6Sql(s"CAST(SUM(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS DOUBLE) / $SketchHashes")} AS est_jaccard
+         |FROM mins a JOIN mins b ON a.k = b.k AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val tok = Dedup.tokenized(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      // per-doc minima as ARRAY EXPRESSIONS over the shared shingle-md5
+      // transform (the bandKeysFrom shape): map-only, never exploded
+      val hsArr = tok
+        .select(col("source"), expr(Dedup.shingleMd5Transform).as("ms"))
+        .select(col("source"),
+          expr("transform(ms, m -> named_struct(" +
+            "'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint), " +
+            "'h2', cast(conv(substring(m, 9, 8), 16, 10) as bigint)))").as("hs"))
+      val perDoc = hsArr.select(
+        col("source") +: (0 until SketchHashes).map(k =>
+          expr(s"array_min(transform(hs, h -> (h.h1 + $k * h.h2) % ${Dedup.Mod}))")
+            .as(s"mh$k")): _*)
+      val minAggs = (0 until SketchHashes).map(k => min(col(s"mh$k")).as(s"mh$k"))
+      val sk = perDoc.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
+      val nAgree = (0 until SketchHashes)
+        .map(k => when(col(s"a.mh$k") === col(s"b.mh$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      // |sources|×H sketch table broadcast against itself: the pair
+      // matrix is domain-bounded, never corpus-bounded
+      sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          nAgree.as("n_agree"),
+          Portable.quant6(nAgree.cast("double") / lit(SketchHashes)).as("est_jaccard"))
     })
 }

@@ -2101,4 +2101,56 @@ class QueriesSpec extends SparkSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("source_sketch matches a driver-side minhash fold, every pair present") {
+    def md5 = graft.functions.Portable.md5Hex _
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val sketches = docs.groupBy(_._1).map { case (src, ds) =>
+      val hw = ds.flatMap { case (_, text) =>
+        val tk = text.split(" ")
+        val starts = math.min(math.max(tk.length - 5, 0), 4095)
+        (0 to starts).map { i =>
+          val h = md5(tk.slice(i, i + 5).mkString(" "))
+          (java.lang.Long.parseLong(h.substring(0, 8), 16),
+            java.lang.Long.parseLong(h.substring(8, 16), 16))
+        }
+      }
+      src -> (0 until 24).map(k =>
+        hw.map { case (h1, h2) => (h1 + k.toLong * h2) % 4294967296L }.min)
+    }
+    val expected = (for {
+      (a, sa) <- sketches; (b, sb) <- sketches if a < b
+      agree = (0 until 24).count(k => sa(k) == sb(k))
+    } yield (a, b) -> ((agree.toLong,
+      math.floor(agree.toDouble / 24 * 1e6) / 1e6))).toMap
+    val got = SparkEntry.queries("source_sketch")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> ((r.getAs[Long]("n_agree"), r.getAs[Double]("est_jaccard")))).toMap
+    assert(got === expected)
+    // unlike the exact matrix, a zero-agreement pair is a RESULT row
+    val ns = sketches.size
+    assert(got.size === ns * (ns - 1) / 2)
+  }
+
+  test("ann_cell_census conserves the corpus and its cells are the seed set") {
+    def md5 = graft.functions.Portable.md5Hex _
+    val got = SparkEntry.queries("ann_cell_census")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("share"))))
+    val ids = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    // every vector lands in exactly one cell
+    assert(got.map(_._2._1).sum === n)
+    got.foreach { case (_, (nv, share)) =>
+      assert(share === math.floor(nv.toDouble / n * 1e6) / 1e6)
+    }
+    // the occupied cells are EXACTLY the md5-order centroid seed: a
+    // centroid is its own nearest cell (cosine(c,c) = 1, lowest-cid
+    // tie-break), so no seeded cell can come back empty
+    val seeds = ids.sortBy(id => (md5(id.toString), id)).take(16).toSet
+    assert(got.map(_._1).toSet === seeds)
+  }
 }
