@@ -125,6 +125,32 @@ class PlanSpec extends SparkSuite {
       "assignment should collapse map-side via a partial max_by aggregate")
   }
 
+  test("ann_cell_census rides the aggregate assignment and a broadcast total") {
+    val p = plan("ann_cell_census")
+    // shares assign(): the N×K scored rows must collapse via the
+    // partial max_by aggregate, never rank in a vec_id-keyed window
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "census assignment must not rank N×K rows in a window")
+    assert(p.contains("partial_max_by"),
+      "census must share the aggregate assignment path")
+    // the share division joins a 1-row total — broadcast, not shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the corpus total should broadcast against the K-row census")
+  }
+
+  test("source_sketch never shuffles the shingle relation") {
+    val p = plan("source_sketch")
+    // per-doc lane minima are array expressions (no explode): the only
+    // shuffles may carry |partitions|×|sources| partial-min rows, and
+    // the pair matrix is a broadcast self-join of the sketch table
+    assert(!p.contains("Generate explode"),
+      "lane minima must fold map-side via array_min, not explode shingles")
+    assert(p.contains("partial_min"),
+      "the per-source sketch must collapse via mergeable partial mins")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the |sources|² pair matrix should be a broadcast self-join")
+  }
+
   test("ann_ivf's centroid table is a fixed-K TakeOrdered, not a corpus fraction") {
     // |centroids| must not grow with the corpus: the deterministic
     // md5-order sample plans as TakeOrderedAndProject(limit=K)
