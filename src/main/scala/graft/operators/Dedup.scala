@@ -240,12 +240,31 @@ object Dedup {
 
   // ---- L2c: incremental near-dedup (delta batch vs screened corpus) ----
 
-  /** Synthetic "arrival" split for the oracle-checked query: docs with
-    * doc_id % DeltaMod == 0 are the newly-arrived DELTA batch, the rest
-    * are the already-screened corpus. A real deployment passes its own
-    * delta (yesterday's crawl) — the split is harness scaffolding, the
-    * plan shape is the product. */
-  private[operators] val DeltaMod = 5
+  /** Synthetic "arrival" split for the oracle-checked query: a
+    * FIXED-SIZE md5-order sample of doc_ids is the newly-arrived DELTA
+    * batch, the rest are the already-screened corpus. Fixed at every
+    * corpus size (SURVEY §5 — the pre-r14 `doc_id % 5` split was a 20%
+    * corpus fraction, so the "delta", and with it the signature work
+    * the incremental path exists to bound, grew with N); 100 = that
+    * split's size at the sf0.01 oracle gate, so the gate workload is
+    * unchanged. The md5 key is 'd'-prefixed (the Similarity sample-key
+    * convention). A real deployment passes its own delta (yesterday's
+    * crawl) — the split is harness scaffolding, the plan shape is the
+    * product. */
+  private[graft] val DeltaSample = 100
+
+  /** The fixed delta doc_id sample over a documents relation — a
+    * distributed TakeOrdered, O(DeltaSample) rows at any corpus size,
+    * provably bounded so its joins may broadcast. */
+  private[graft] def deltaIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .orderBy(md5(concat(lit("d"), col("doc_id").cast("string"))), col("doc_id"))
+      .limit(DeltaSample)
+
+  /** Oracle CTE mirroring [[deltaIds]] — `ds(doc_id)`. */
+  private val dsCte: String =
+    s"""ds AS (SELECT doc_id FROM documents
+       |       ORDER BY md5('d' || CAST(doc_id AS VARCHAR)), doc_id LIMIT $DeltaSample)""".stripMargin
 
   /** BUILD-ONCE side of the incremental lifecycle: persist the screened
     * corpus's LSH band keys as the dedup index. At 100 TB this is what
@@ -297,9 +316,9 @@ object Dedup {
     // The partner's indexed-vs-delta provenance rides along as
     // `da_is_new` (from the SAME is_new bit the pair predicate used):
     // the verdict's "indexed partner first" rule needs the real flag,
-    // not an arithmetic shadow of the oracle harness's synthetic
-    // %DeltaMod split — screenDelta serves arbitrary deltas whose ids
-    // carry no such structure
+    // not a shadow of the oracle harness's synthetic deltaIds sample —
+    // screenDelta serves arbitrary deltas whose ids carry no such
+    // structure
     val flags = allc.select(col("doc_id").as("da"), col("is_new").as("da_is_new"))
       .distinct()
     verifiedPairs(cand, tokAll).join(flags, "da")
@@ -327,11 +346,13 @@ object Dedup {
     * and the only text ever re-read from the old corpus is the
     * candidate docs' (for the exact verify). */
   def incrementalFromIndex(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
-    val tokAll = tokenized(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tokAll = tokenized(docs).cache()
     incrementalVerdict(incrementalPairs(
       spark.read.parquet(indexPath), tokAll,
-      tokAll.filter(col("doc_id") % DeltaMod === 0)))
+      // the delta id set is DeltaSample rows by construction —
+      // broadcast is provably safe (§5 bounded-set rule)
+      tokAll.join(broadcast(deltaIds(docs)), Seq("doc_id"), "left_semi")))
   }
 
   /** Public delta-screening entry (the continuous-ingestion building
@@ -751,9 +772,9 @@ object Dedup {
     },
 
     // L2c — incremental near-dedup: the daily-ingestion shape. The
-    // delta batch (doc_id % 5 == 0 here; a real run passes its own) is
-    // screened against the already-deduplicated corpus via the
-    // persisted band-key index — signature work ∝ DELTA, candidate
+    // delta batch (the fixed deltaIds sample here; a real run passes
+    // its own) is screened against the already-deduplicated corpus via
+    // the persisted band-key index — signature work ∝ DELTA, candidate
     // join ∝ index size, verify ∝ duplicate mass; the corpus text is
     // never re-tokenized except for candidate docs. Oracle: the full-
     // corpus pair relation restricted to delta-involving pairs with
@@ -761,26 +782,39 @@ object Dedup {
     QueryDef(
       "dedup_incremental",
       s"""WITH $pairsCtes,
+         |$dsCte,
          |dup AS (
          |  SELECT db AS doc_id, da AS dup_of, n_common, jaccard
-         |  FROM pairs WHERE db % $DeltaMod = 0
+         |  FROM pairs WHERE db IN (SELECT doc_id FROM ds)
          |  UNION ALL
          |  SELECT da AS doc_id, db AS dup_of, n_common, jaccard
-         |  FROM pairs WHERE da % $DeltaMod = 0 AND db % $DeltaMod <> 0),
+         |  FROM pairs WHERE da IN (SELECT doc_id FROM ds)
+         |    AND db NOT IN (SELECT doc_id FROM ds)),
          |r AS (SELECT doc_id, dup_of, n_common, jaccard,
          |        ROW_NUMBER() OVER (PARTITION BY doc_id
-         |          ORDER BY CASE WHEN dup_of % $DeltaMod = 0 THEN 1 ELSE 0 END, dup_of) AS rn
+         |          ORDER BY CASE WHEN dup_of IN (SELECT doc_id FROM ds) THEN 1 ELSE 0 END,
+         |                   dup_of) AS rn
          |      FROM dup)
          |SELECT doc_id, dup_of, n_common, jaccard FROM r WHERE rn = 1""".stripMargin) {
       (spark, dir) =>
-        // inline twin of [[incrementalFromIndex]]: identical plan from
-        // the band keys down — the index scan is simply replaced by
-        // computing the corpus keys in place (no persisted state in
-        // the driver's query contract)
-        val tokAll = tokenized(
-          Tables.documents(spark, dir).select(col("doc_id"), col("text"))).cache()
-        incrementalVerdict(incrementalPairs(
-          bandKeysFrom(tokAll.filter(col("doc_id") % DeltaMod =!= 0)), tokAll,
-          tokAll.filter(col("doc_id") % DeltaMod === 0)))
+        // PERSISTED-INDEX seat (the ann_pq treatment — r13 verdict
+        // task 4: the former inline twin re-keyed the FULL corpus per
+        // execution, the exact O(corpus) rebuild the PQ seats retired).
+        // The O(corpus × shingles) tokenize + signature work is paid
+        // ONCE per (corpus fingerprint, JVM) by buildDedupIndex — the
+        // bench warm-up pays it — and every invocation then prices what
+        // daily ingestion actually costs: delta signatures
+        // (∝ DeltaSample), the candidate join against the index scan,
+        // and the exact-Jaccard verify (∝ duplicate mass).
+        // incrementalFromIndex is output-identical to the inline
+        // recomputation (DedupIncrementalSpec), so the oracle hash is
+        // unchanged by the staging.
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val root = Staging.ensureBuilt(spark,
+          Staging.stagedRoot(spark, dir, "dedup", "documents.parquet"))(r =>
+          buildDedupIndex(
+            docs.join(broadcast(deltaIds(docs)), Seq("doc_id"), "left_anti"),
+            s"$r/keys"))
+        incrementalFromIndex(spark, dir, s"$root/keys")
     })
 }

@@ -103,6 +103,18 @@ object Similarity {
     * would BE the centroid vectors. */
   private[graft] val QuerySample = 20
 
+  /** Size of the deterministic assignment-audit sample — FIXED at
+    * every corpus size (SURVEY §5: oracle-harness workloads are never
+    * corpus fractions; the pre-r14 `vec_id % 5` sample was 20% of the
+    * corpus, making the audit's exact baseline |sample|·K ∝ N·K —
+    * quadratic once K = dynCentroids ∝ N). 100 = that sample's size at
+    * the sf0.01 oracle gate, so the gate workload is unchanged. The
+    * md5 key is 's'-prefixed — distinct from the query batch ('q'),
+    * the centroid seed (''), the residual book ('r') and the recall
+    * gate ('anngate'), so the audited vectors are independent of all
+    * of them. */
+  private[graft] val AuditSample = 100
+
   /** The deterministic query sample the oracle-checked queries use —
     * harness scaffolding for the DuckDB twin, NOT part of the operator:
     * a real caller passes its own bounded query batch. A fixed-size
@@ -952,64 +964,14 @@ object Similarity {
       targetBytes: Long = 128L << 20): Warehouse.CompactReport =
     Warehouse.compactPartitionedSmallFiles(spark, s"$path/cells", smallBytes, targetBytes)
 
-  /** Lifecycle-seat scratch roots deleted at JVM exit (plain
-    * java.nio, not Hadoop — the FileSystem cache has its own shutdown
-    * hook and may already be closed when ours runs). Registered once;
-    * the set is concurrent because Spark tests share one JVM. */
-  private val lifecycleRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val lifecycleHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      lifecycleRoots.forEach { r =>
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        try rm(new java.io.File(r)) catch { case _: Exception => }
-      }))
-  private def lifecycleCleanupAtExit(root: String): Unit = {
-    lifecycleHook
-    lifecycleRoots.add(root); ()
-  }
+  /** Per-JVM staged-index root over `dir`'s embeddings — the shared
+    * [[Staging]] machinery (fingerprint + appId keying, JVM-exit
+    * sweep), embeddings-keyed for the ANN seats. */
+  private def stagedRoot(spark: SparkSession, dir: String, kind: String): String =
+    Staging.stagedRoot(spark, dir, kind, "embeddings.parquet")
 
-  /** Cheap content fingerprint of the corpus behind a staged-index
-    * root (r12 advice): file count + total bytes of the embeddings
-    * table. Keying the root by it means a fixture dir REWRITTEN within
-    * one application rebuilds instead of silently reusing a stale
-    * index — without paying a data scan for the check. */
-  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val sum = p.getFileSystem(spark.sessionState.newHadoopConf()).getContentSummary(p)
-    Portable.md5Hex(sum.getFileCount + "_" + sum.getLength).take(8)
-  }
-
-  /** Scratch root for a per-JVM staged index over `dir`'s corpus,
-    * keyed by md5(dir) + content fingerprint + application id (two
-    * JVMs on the same dir never race; a rewritten dir never reuses),
-    * registered for deletion at JVM exit. */
-  private def stagedRoot(spark: SparkSession, dir: String, kind: String): String = {
-    val root = s"/tmp/graft_ann_${kind}_" + Portable.md5Hex(dir).take(12) +
-      "_" + corpusFingerprint(spark, dir) + "_" + spark.sparkContext.applicationId
-    lifecycleCleanupAtExit(root)
-    root
-  }
-
-  /** Build-once guard for a staged root: `build` runs only when the
-    * `_built` marker is absent (a markerless root is half-built debris
-    * from a died build and is cleared first). Queries run sequentially
-    * in Verify, Bench, and the suite — single-writer per JVM by
-    * construction, same as the lifecycle seat. */
-  private def ensureBuilt(spark: SparkSession, root: String)(build: String => Unit): String = {
-    val conf = spark.sessionState.newHadoopConf()
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    val built = new org.apache.hadoop.fs.Path(s"$root/_built")
-    if (!fs.exists(built)) {
-      fs.delete(rootPath, true)
-      build(root)
-      fs.create(built, true).close()
-    }
-    root
-  }
+  private def ensureBuilt(spark: SparkSession, root: String)(build: String => Unit): String =
+    Staging.ensureBuilt(spark, root)(build)
 
   /** Search a [[buildIvfPqIndex]]-persisted index: identical results
     * to the dynamic [[ivfPqSearch]], no assignment or encode stage in
@@ -1765,10 +1727,14 @@ object Similarity {
     // pattern applied to SemDeDup's routing): assignTwoLevel is
     // APPROXIMATE — a vector's true nearest fine centroid can live
     // under an unprobed coarse group — so the approximation must be
-    // MONITORED per run, not spec-measured once. On a deterministic
-    // 20% sample (vec_id % 5 = 0; assignment is per-vector independent,
-    // so sampling the audited vectors changes nothing about either
-    // path) both assignments run against the SAME full-corpus centroid
+    // MONITORED per run, not spec-measured once. On a FIXED-SIZE
+    // md5-order sample (AuditSample rows, 's'-prefixed key — §5's
+    // workload rule: the pre-r14 `vec_id % 5` sample was a 20% corpus
+    // fraction, so the audit's exact baseline |sample|·K grew ∝ N·K,
+    // quadratic once K = dynCentroids ∝ N; assignment is per-vector
+    // independent, so sampling the audited vectors changes nothing
+    // about either path) both assignments run against the SAME
+    // full-corpus centroid
     // table and the query reports n_vecs / n_agree / agreement (the
     // scale-dependent diagnostic) plus mean_regret (the scale-stable
     // quality: mean quant6-cosine gap flat-best − two-level choice,
@@ -1784,7 +1750,8 @@ object Similarity {
     QueryDef(
       "semantic_assign_audit", {
         s"""WITH $semCtes,
-           |s AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
+           |s AS (SELECT vec_id, v FROM e
+           |      ORDER BY md5('s' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $AuditSample),
            |flat AS (SELECT vec_id, cid AS cid_flat, CAST(floor(sc * 1000000.0 + 0.5) AS BIGINT) AS qf FROM (
            |   SELECT s.vec_id, c.cid, ${quantCos.format("s.v", "c.cv")} AS sc,
            |          ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY ${quantCos.format("s.v", "c.cv")} DESC, c.cid) AS rn
@@ -1808,7 +1775,9 @@ object Similarity {
       val k = dynCentroids(emb.count())
       val g = dynCoarse(k)
       val cent = seedCentroids(emb, k)
-      val sample = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val sample = emb
+        .orderBy(md5(concat(lit("s"), col("vec_id").cast("string"))), col("vec_id"))
+        .limit(AuditSample)
       // the EXACT baseline without a corpus-shaped broadcast (the
       // SURVEY §5 rule the flat `assign` would break at K ∝ N):
       // probing ALL G coarse groups makes the two-level routing
