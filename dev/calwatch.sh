@@ -21,9 +21,12 @@ CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 probe() {
   rm -f /tmp/cal_probe.json
+  # timeout (r13 advice): a probe JVM hung by a severe host burst or a
+  # wedged Spark init would otherwise block the watcher forever; a
+  # timed-out probe reads as cal=9999 (missing json) and keeps cycling
   SPARK_GRAFT_ONLY=date_filter SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
     SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_OUT=/tmp/cal_probe.json \
-    java $ADD_OPENS -Xmx4g -Dspark.ui.enabled=false \
+    timeout 180 java $ADD_OPENS -Xmx4g -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench >/dev/null 2>&1
   python3 -c "import json; print(int(json.load(open('/tmp/cal_probe.json'))['cal']))" 2>/dev/null || echo 9999
 }

@@ -158,9 +158,18 @@ object Web {
     // absent row). Hash family shared verbatim with the dedup pipeline
     // ((h1 + k·h2) mod 2^32 over the shingle md5 words), so the sketch
     // prices the same shingle universe the dedup family operates on.
+    // NULL-text docs contribute no shingles on either side (DuckDB:
+    // no hw rows; Spark: NULL per-doc minima that MIN skips) — but a
+    // source whose docs are ALL NULL used to diverge (r13 advice): the
+    // oracle drops it entirely while the Spark aggregate still emitted
+    // a NULL-lane sketch row and n_agree=0 pairs for it. Filtering the
+    // NULL docs upstream (mirrored in the oracle's t CTE, a no-op on
+    // real rows) makes such a source absent from BOTH engines; the
+    // "every pair present" invariant is over sketchable sources.
     QueryDef(
       "source_sketch",
-      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+         |           WHERE text IS NOT NULL),
          |sh AS (SELECT source, array_to_string(tk[i.i + 1:i.i + ${Dedup.ShingleLen}], ' ') AS shingle
          |       FROM t, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
          |       WHERE i.i <= greatest(len(tk) - ${Dedup.ShingleLen}, 0)),
@@ -175,7 +184,8 @@ object Web {
          |FROM mins a JOIN mins b ON a.k = b.k AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
       val tok = Dedup.tokenized(
-        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+          .filter(col("text").isNotNull))
       // per-doc minima as ARRAY EXPRESSIONS over the shared shingle-md5
       // transform (the bandKeysFrom shape): map-only, never exploded
       val hsArr = tok

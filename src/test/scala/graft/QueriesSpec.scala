@@ -2149,8 +2149,30 @@ class QueriesSpec extends SparkSuite {
     }
     // the occupied cells are EXACTLY the md5-order centroid seed: a
     // centroid is its own nearest cell (cosine(c,c) = 1, lowest-cid
-    // tie-break), so no seeded cell can come back empty
+    // tie-break), so no seeded cell can come back empty. That relies
+    // on a DATA assumption (r13 advice): no two seed vectors may be
+    // quant6-cosine-identical — a duplicate/near-identical embedding
+    // among the seeds would tie at 1.0 and route the higher-cid seed
+    // to the lower cid, emptying its own cell. Assert it explicitly so
+    // a future dataset change fails with a clear message instead of a
+    // baffling set mismatch.
     val seeds = ids.sortBy(id => (md5(id.toString), id)).take(16).toSet
+    val seedVecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id").isin(seeds.toSeq: _*))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def q6cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 1e6) / 1e6
+    }
+    for {
+      (ia, va) <- seedVecs; (ib, vb) <- seedVecs if ia < ib
+    } assert(q6cos(va, vb) < 1.0,
+      s"seed centroids $ia and $ib are quant6-cosine-identical — the " +
+        "seed-set assertion below assumes distinct seeds (dataset changed?)")
     assert(got.map(_._1).toSet === seeds)
   }
 }
