@@ -10,29 +10,44 @@ import org.apache.spark.sql.SparkSession
   * reported at -1 and the process exits non-zero after the JSON line.
   *
   * Next to seconds, the artifact carries per-query SHUFFLE-WRITE and
-  * SPILL megabytes (a listener sums task metrics around each timed
-  * run): seconds say a query got slower, shuffle bytes say WHY — a
-  * plan regression moves bytes (a lost broadcast, a new exchange), box
-  * contention doesn't, so the two failure modes are distinguishable
-  * from the artifact alone. Spill > 0 flags partitions outgrowing
-  * executor memory before any timing shows it. Values are best-effort
-  * (listener events can trail a job by a beat) and informational —
-  * the timing contract is unchanged.
+  * SPILL megabytes plus EXECUTOR CPU seconds (a listener sums task
+  * metrics around each timed run): seconds say a query got slower,
+  * shuffle bytes say WHY — a plan regression moves bytes (a lost
+  * broadcast, a new exchange), box contention doesn't — and CPU
+  * seconds say WHO PAID: a host burst inflates wall-clock but not the
+  * task CPU total, so a wall regression with flat CPU is environmental
+  * drift, not code (r13 lost days adjudicating exactly that class with
+  * interleaved A/Bs; cpu_s makes it readable from two artifacts).
+  * Spill > 0 flags partitions outgrowing executor memory before any
+  * timing shows it. Values are best-effort (listener events can trail
+  * a job by a beat) and informational — the timing contract is
+  * unchanged.
   */
 object Bench {
 
-  /** Running totals of task-level shuffle write + spill bytes. */
+  /** Running totals of task-level shuffle write + spill bytes + CPU ns. */
   private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
+    val cpu = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        cpu.addAndGet(m.executorCpuTime)
       }
     }
   }
+
+  /** One benched query: both timed runs, per-run-mean shuffle/spill
+    * MB, per-run-mean executor CPU seconds. */
+  private final case class QRow(
+      name: String, runs: Seq[Double], shuffleMb: Double, spillMb: Double, cpuS: Double)
+
+  /** The latest committed BENCH_FULL_r<NN>.json, parsed once. */
+  private final case class PrevFull(
+      name: String, qsec: Map[String, Double], cpu: Map[String, Double], sf: Option[String])
 
   /** Pre-bench contention probe (r8 verdict task 4 — three rounds of
     * driver benches in a row were contended, each costing a diagnosis
@@ -117,10 +132,10 @@ object Bench {
     val CalContendedMs = sys.env.get("SPARK_GRAFT_CAL_CONTENDED_MS")
       .map(_.toDouble).getOrElse(550.0)
     val SpreadContended = 3.0
-    def spreadOf(rs: Seq[(String, Seq[Double], Double, Double)]): Double =
-      rs.collect { case (_, r, _, _) if r.min >= 0.5 => r.max / r.min }
+    def spreadOf(rs: Seq[QRow]): Double =
+      rs.collect { case q if q.runs.min >= 0.5 => q.runs.max / q.runs.min }
         .foldLeft(1.0)(math.max)
-    def contendedOf(rs: Seq[(String, Seq[Double], Double, Double)]): Boolean =
+    def contendedOf(rs: Seq[QRow]): Boolean =
       calMs > CalContendedMs || spreadOf(rs) > SpreadContended
     // Prior-round full artifact, parsed ONCE: feeds both the stderr
     // round-diff and the artifact's explicit regression block (r12
@@ -128,7 +143,7 @@ object Bench {
     // silently twice; now the committed artifact itself carries the
     // unadjudicated list, empty or not, so a dangling regression is
     // visible in the tree).
-    val prevFull: Option[(String, Map[String, Double], Option[String])] =
+    val prevFull: Option[PrevFull] =
       try {
         val files = new java.io.File(".").listFiles((_, n) =>
           n.matches("BENCH_FULL_r\\d+\\.json"))
@@ -138,47 +153,70 @@ object Bench {
             "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
           val content = new String(
             java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+          val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
           // whitespace-tolerant: our own artifacts are compact, but a
           // hand-repaired or pretty-printed prior file must still parse
-          val qsec = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+          val qsec = pair
             .findAllMatchIn(content.substring(
               content.indexOf("\"queries\":"), content.indexOf("\"runs\":")))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // per-query CPU seconds (flat map — absent in pre-r14
+          // artifacts, in which case the CPU control simply abstains)
+          val cpuIdx = content.indexOf("\"cpu_s\":")
+          val cpu =
+            if (cpuIdx < 0) Map.empty[String, Double]
+            else pair
+              .findAllMatchIn(content.substring(cpuIdx, content.indexOf("}", cpuIdx) + 1))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
-          Some((latest.getName, qsec, prevSf))
+          Some(PrevFull(latest.getName, qsec, cpu, prevSf))
         }
       } catch { case _: Exception => None }
     // A regression is UNADJUDICATED when this run is slower than the
     // prior committed full artifact by >0.5 s AND >25% (min-of-runs)
     // at the same sf. Only an UNCONTENDED run can accuse — a contended
     // box inflates everything, so the block records the suppression
-    // instead of a false list.
-    def regressionBlock(rs: Seq[(String, Seq[Double], Double, Double)]): String =
+    // instead of a false list. Since r14 per-query EXECUTOR CPU is the
+    // second control (r13 verdict task 5): a host burst inflates wall
+    // but not task CPU, so a wall regression whose CPU grew <= 10% vs
+    // the prior artifact lands in "environmental" (adjudicated by the
+    // artifact itself) instead of "unadjudicated" (demands an A/B).
+    // The control abstains — regression stays unadjudicated — when the
+    // prior artifact has no cpu_s or either CPU reading is ~0.
+    def regressionBlock(rs: Seq[QRow]): String =
       prevFull match {
-        case Some((name, qsec, prevSf)) if prevSf.forall(_ == sfDir) =>
+        case Some(prev) if prev.sf.forall(_ == sfDir) =>
           val suppressed = contendedOf(rs)
-          val regs =
-            if (suppressed) "{}"
-            else rs.collect {
-              case (k, r, _, _) if r.min >= 0 && qsec.getOrElse(k, -1.0) > 0 &&
-                r.min - qsec(k) > 0.5 && r.min / qsec(k) > 1.25 =>
-                "\"" + k + "\":[" + s3(qsec(k)) + "," + s3(r.min) + "]"
-            }.mkString("{", ",", "}")
-          s""","regressions":{"baseline":"$name","rule":"+0.5s and +25%, uncontended",""" +
-            s""""suppressed_contended":$suppressed,"unadjudicated":$regs}"""
+          val cand =
+            if (suppressed) Seq.empty[QRow]
+            else rs.filter { q =>
+              q.runs.min >= 0 && prev.qsec.getOrElse(q.name, -1.0) > 0 &&
+                q.runs.min - prev.qsec(q.name) > 0.5 && q.runs.min / prev.qsec(q.name) > 1.25
+            }
+          val (envQ, unadjQ) = cand.partition { q =>
+            prev.cpu.get(q.name).exists(pc =>
+              pc > 0.05 && q.cpuS > 0 && q.cpuS / pc <= 1.10)
+          }
+          def m(qs: Seq[QRow]): String = qs.map(q =>
+            "\"" + q.name + "\":[" + s3(prev.qsec(q.name)) + "," + s3(q.runs.min) + "]")
+            .mkString("{", ",", "}")
+          s""","regressions":{"baseline":"${prev.name}",""" +
+            s""""rule":"+0.5s and +25%, uncontended; wall up but cpu_s <= +10% => environmental",""" +
+            s""""suppressed_contended":$suppressed,"environmental":${m(envQ)},""" +
+            s""""unadjudicated":${m(unadjQ)}}"""
         case _ => ""
       }
-    def fullJson(rs: Seq[(String, Seq[Double], Double, Double)]): String = {
-      val qs = rs.map { case (k, r, _, _) => "\"" + k + "\":" + s3(r.min) }
+    def fullJson(rs: Seq[QRow]): String = {
+      val qs = rs.map(q => "\"" + q.name + "\":" + s3(q.runs.min)).mkString("{", ",", "}")
+      val rr = rs.map(q => "\"" + q.name + "\":" + q.runs.map(s3).mkString("[", ",", "]"))
         .mkString("{", ",", "}")
-      val rr = rs.map { case (k, r, _, _) =>
-        "\"" + k + "\":" + r.map(s3).mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
-      val sh = rs.map { case (k, _, s, _) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
-      val sp = rs.map { case (k, _, _, s) => "\"" + k + "\":" + mb(s) }.mkString("{", ",", "}")
-      val tot = rs.collect { case (_, r, _, _) if r.min >= 0 => r.min }.sum
+      val sh = rs.map(q => "\"" + q.name + "\":" + mb(q.shuffleMb)).mkString("{", ",", "}")
+      val sp = rs.map(q => "\"" + q.name + "\":" + mb(q.spillMb)).mkString("{", ",", "}")
+      val cp = rs.map(q => "\"" + q.name + "\":" + num(q.cpuS, "%.2f")).mkString("{", ",", "}")
+      val tot = rs.collect { case q if q.runs.min >= 0 => q.runs.min }.sum
       s"""{"metric":"total","value":${s3(tot)},"unit":"sec","queries":$qs,""" +
-        s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cal":${num(calMs, "%.0f")},""" +
+        s""""runs":$rr,"shuffle_mb":$sh,"spill_mb":$sp,"cpu_s":$cp,""" +
+        s""""cal":${num(calMs, "%.0f")},""" +
         s""""spread":${num(spreadOf(rs), "%.2f")},"contended":${contendedOf(rs)},""" +
         s""""sf":"$sfDir"${regressionBlock(rs)}}"""
     }
@@ -191,7 +229,7 @@ object Bench {
     // completed scaled half to a concurrent bench overwriting it
     // between the sweep's last write and its copy step.
     val fullOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    def writeFull(rs: Seq[(String, Seq[Double], Double, Double)], quiet: Boolean): Unit = {
+    def writeFull(rs: Seq[QRow], quiet: Boolean): Unit = {
       val targets = fullOut.map(Seq(_)).getOrElse(
         Seq(sys.props.getOrElse("user.dir", "."), "/tmp")
           .map(d => java.nio.file.Paths.get(d, "bench_full.json").toString))
@@ -206,8 +244,7 @@ object Bench {
       }
     }
     var failed = List.empty[String]
-    val benched = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Seq[Double], Double, Double)]
+    val benched = scala.collection.mutable.ArrayBuffer.empty[QRow]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(_.contains(name)) && !exclude.contains(name)
@@ -235,10 +272,12 @@ object Bench {
         once()
         (System.nanoTime() - t0) / 1e9
       }
-      // metric counters snapshot around the LAST timed run: the delta
-      // attributes that run's shuffle/spill to this query (best-effort
-      // — trailing listener events land on the next query's account)
+      // metric counters snapshot around the timed runs (AFTER warm-up,
+      // so index builds/JIT stay off the books): the per-run-mean delta
+      // attributes shuffle/spill/CPU to this query (best-effort —
+      // trailing listener events land on the next query's account)
       val sw0 = metrics.shuffleWrite.get(); val sp0 = metrics.spill.get()
+      val cp0 = metrics.cpu.get()
       val runs =
         if (!ok) Seq(-1.0)
         else try {
@@ -264,10 +303,11 @@ object Bench {
       val nRuns = math.max(runs.size, 1)
       val shuffleMb = (metrics.shuffleWrite.get() - sw0) / nRuns.toDouble / 1048576.0 // per-run mean
       val spillMb = (metrics.spill.get() - sp0) / nRuns.toDouble / 1048576.0
-      benched += ((name, runs, shuffleMb, spillMb))
+      val cpuS = (metrics.cpu.get() - cp0) / nRuns.toDouble / 1e9
+      benched += QRow(name, runs, shuffleMb, spillMb, cpuS)
       writeFull(benched.toSeq, quiet = true)
     }
-    val firstPass: Seq[(String, Seq[Double], Double, Double)] = benched.toSeq
+    val firstPass: Seq[QRow] = benched.toSeq
     // When the run-to-run spread says the box was contended (>3 —
     // the r6/r7/r8 false-regression class), give the 3 slowest-looking
     // queries ONE more timed attempt at the end of the suite: by then
@@ -278,34 +318,34 @@ object Bench {
     val results =
       if (spreadOf(firstPass) <= 3.0) firstPass
       else {
-        val slow = firstPass.filter(_._2.min >= 0).sortBy(-_._2.min).take(3).map(_._1).toSet
+        val slow = firstPass.filter(_.runs.min >= 0).sortBy(-_.runs.min).take(3).map(_.name).toSet
         System.err.println(s"[bench] spread ${spreadOf(firstPass)} > 3 — re-timing ${slow.mkString(", ")}")
-        firstPass.map { case t @ (name, rs, sh, sp) =>
-          if (!slow.contains(name)) t
+        firstPass.map { q =>
+          if (!slow.contains(q.name)) q
           else {
             val extra =
               try {
                 spark.sharedState.cacheManager.clearCache()
                 val t0 = System.nanoTime()
-                SparkEntry.queries(name)(spark, sfDir)
+                SparkEntry.queries(q.name)(spark, sfDir)
                   .write.format("noop").mode("overwrite").save()
                 Seq((System.nanoTime() - t0) / 1e9)
               } catch { case _: Throwable => Seq.empty[Double] }
-            (name, rs ++ extra, sh, sp)
+            q.copy(runs = q.runs ++ extra)
           }
         }
       }
-    val total = results.collect { case (_, rs, _, _) if rs.min >= 0 => rs.min }.sum
+    val total = results.collect { case q if q.runs.min >= 0 => q.runs.min }.sum
     // Two artifacts (rounds 1–6 proved one is not enough): the driver
     // tail-captures ~2.3 KB of stdout, so the line it must parse has to
     // be SHORT (hard budget: <= 1 KB) and LAST. Embedding the full
     // per-query map (~3 KB at 135 queries) got the line's HEAD — and
     // "value" with it — truncated away in every round so far. stdout
     // therefore carries total + count + the slowest-10 map ONLY; the
-    // full detail (per-query seconds, both runs, shuffle/spill MB)
-    // lives in bench_full.json on disk.
-    val slowTen = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
-      .map { case (k, rs, _, _) => "\"" + k + "\":" + s3(rs.min) }
+    // full detail (per-query seconds, both runs, shuffle/spill MB,
+    // cpu_s) lives in bench_full.json on disk.
+    val slowTen = results.filter(_.runs.min >= 0).sortBy(-_.runs.min).take(10)
+      .map(q => "\"" + q.name + "\":" + s3(q.runs.min))
       .mkString("{", ",", "}")
     // Box-contention flag in the artifact itself: the worst run-to-run
     // ratio across queries ≥0.5 s. ~1.0-1.3 = idle box, trust the
@@ -321,27 +361,29 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"spread":${num(spread, "%.2f")},"cal":${num(calMs, "%.0f")},"contended":$contended,"sf":"$sfDir","slowest":$slowTen}"""
     writeFull(results, quiet = false) // final write includes any re-timed runs
-    val slowest = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
+    val slowest = results.filter(_.runs.min >= 0).sortBy(-_.runs.min).take(10)
     System.err.println(f"[bench] total ${total}%.1fs over ${results.size} queries; slowest 10:")
-    slowest.foreach { case (k, rs, s, _) =>
-      System.err.println(f"[bench]   $k%-24s ${rs.min}%7.2fs  shuffle ${s}%8.1f MB")
+    slowest.foreach { q =>
+      System.err.println(
+        f"[bench]   ${q.name}%-24s ${q.runs.min}%7.2fs  shuffle ${q.shuffleMb}%8.1f MB  cpu ${q.cpuS}%7.2f s")
     }
     // Round-over-round self-comparison (r10 verdict task 7: bench_full
     // is overwritten every run, so the r9-vs-r10 per-query comparison
     // had to be reconstructed from slowest-10 lists): diff this run
     // against the LATEST committed BENCH_FULL_r<NN>.json in cwd, to
-    // stderr only. Purely informational — shuffle-MB deltas in the two
-    // full files stay the ground truth for plan-vs-noise adjudication.
+    // stderr only. Purely informational — shuffle-MB and cpu_s deltas
+    // in the two full files stay the ground truth for plan-vs-noise
+    // adjudication.
     try {
       prevFull match {
-        case Some((name, qsec, prevSf)) if only.isEmpty && prevSf.forall(_ == sfDir) =>
+        case Some(prev) if only.isEmpty && prev.sf.forall(_ == sfDir) =>
           val deltas = results.collect {
-            case (k, rs, _, _) if rs.min >= 0 && qsec.getOrElse(k, -1.0) > 0 =>
-              (k, qsec(k), rs.min, rs.min - qsec(k))
+            case q if q.runs.min >= 0 && prev.qsec.getOrElse(q.name, -1.0) > 0 =>
+              (q, prev.qsec(q.name), q.runs.min, q.runs.min - prev.qsec(q.name))
           }.sortBy(-_._4)
-          System.err.println(s"[bench] vs $name (same sf) — top regressions:")
-          deltas.take(10).filter(_._4 > 0.1).foreach { case (k, p, c, d) =>
-            System.err.println(f"[bench]   $k%-24s $p%7.2fs -> $c%7.2fs  (+$d%.2fs)")
+          System.err.println(s"[bench] vs ${prev.name} (same sf) — top regressions:")
+          deltas.take(10).filter(_._4 > 0.1).foreach { case (q, p, c, d) =>
+            System.err.println(f"[bench]   ${q.name}%-24s $p%7.2fs -> $c%7.2fs  (+$d%.2fs)")
           }
           val totPrev = deltas.map(_._2).sum
           val totCur = deltas.map(_._3).sum
@@ -349,12 +391,18 @@ object Bench {
             f"[bench] common-query total: $totPrev%.1fs -> $totCur%.1fs")
           // the artifact-block twin, loudly: an unadjudicated
           // regression must be impossible to miss in the run log too
-          val unadj = deltas.filter { case (_, p, c, d) => d > 0.5 && c / p > 1.25 }
+          // (CPU-cleared environmental drifts excluded, same as the
+          // artifact's split)
+          val unadj = deltas.filter { case (q, p, c, d) =>
+            d > 0.5 && c / p > 1.25 &&
+              !prev.cpu.get(q.name).exists(pc =>
+                pc > 0.05 && q.cpuS > 0 && q.cpuS / pc <= 1.10)
+          }
           if (!contended && unadj.nonEmpty)
             System.err.println(
               s"[bench] WARNING: UNADJUDICATED regressions (>0.5s and >25% on an " +
-                s"uncontended run) recorded in the artifact: " +
-                unadj.map(_._1).mkString(", ") + " — A/B these before committing claims")
+                s"uncontended run, not CPU-cleared) recorded in the artifact: " +
+                unadj.map(_._1.name).mkString(", ") + " — A/B these before committing claims")
         case _ => ()
       }
     } catch { case e: Exception =>
