@@ -640,9 +640,33 @@ object Similarity {
     * touches only its probed cells' FILES (dynamic partition pruning
     * from the probe join), not just probed cells' rows. Rebuild when
     * the corpus or centroids change; at 100 TB this is the same
-    * build/serve split as the warehouse's bucketed tables. */
-  def buildIvfIndex(emb: DataFrame, cent: DataFrame, path: String): Unit = {
-    quantizedCells(emb, cent)
+    * build/serve split as the warehouse's bucketed tables.
+    *
+    * `twoLevel = Some((fineK, coarseK))` routes the build's assignment
+    * through [[assignTwoLevel]] instead of the flat N×K scan — the
+    * production shape once K = dynCentroids(N) (a K ∝ N table makes
+    * flat assignment Θ(N²/cellSize) and its broadcast corpus-shaped;
+    * two-level costs ~(coarseK + probes·fineK/coarseK) dots per vector
+    * and the fine-table join degrades to a shuffle past
+    * [[MaxBroadcastCentroids]] instead of hard-failing). The search
+    * side ([[searchIvfIndex]]) is unchanged: probe selection is
+    * workload-sized (Q×K) at any K. Two-level assignment is
+    * APPROXIMATE (a vector can land in a near-tie neighbor cell), so a
+    * twoLevel-built index is the monitored production trade — gated by
+    * `semantic_assign_audit`'s regret ceiling and the searches' own
+    * sampled score-recall gate — not bit-identical to a flat build;
+    * the oracle-checked seats keep the flat fixed-K build. Appends
+    * ([[appendToIvfIndex]]) stay flat — O(|delta|·K) is delta-priced
+    * at any realistic delta; pass the same centroid table. */
+  def buildIvfIndex(emb: DataFrame, cent: DataFrame, path: String,
+      twoLevel: Option[(Int, Int)] = None): Unit = {
+    val cells = twoLevel match {
+      case Some((fineK, coarseK)) =>
+        assignTwoLevel(emb, cent, fineK, coarseK)
+          .select(col("vec_id").as("nid"), quantizeExpr(col("v")).as("nv8"), col("cid"))
+      case None => quantizedCells(emb, cent)
+    }
+    cells
       .select(col("nid"), col("nv8"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
