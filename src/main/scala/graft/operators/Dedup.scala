@@ -95,6 +95,19 @@ object Dedup {
     docs.repartition(col("doc_id"))
       .withColumn("tk", split(col("text"), " ")).drop("text")
 
+  /** Split-only tokenization WITHOUT [[tokenized]]'s doc_id
+    * repartition, for relations consumed ONLY through doc_id
+    * semi-joins (the incremental path's verify side): the broadcast
+    * semi filter then runs at scan speed and only the surviving
+    * (candidate) docs ever split/explode — where the repartition form
+    * would shuffle the WHOLE corpus text before the filter, making
+    * every delta run pay an O(corpus) exchange (caught by r14's cpu_s
+    * numbers: the staged dedup_incremental seat still burned
+    * corpus-proportional CPU). The full pipeline keeps [[tokenized]] —
+    * it explodes every doc, so co-partitioning up front is right. */
+  private def tokenizedAtScan(docs: DataFrame): DataFrame =
+    docs.withColumn("tk", split(col("text"), " ")).drop("text")
+
   /** Exploded shingle hash words of `docs` (doc_id, text, …):
     * one row per (doc_id, h1, h2), DISTINCT — the set semantics the
     * exact-Jaccard verify and SimHash bit sums need. Shingles are
@@ -289,7 +302,15 @@ object Dedup {
     * (da = the earlier partner, db = the delta doc). */
   private[operators] def incrementalPairs(
       oldKeys: DataFrame, tokAll: DataFrame, tokDelta: DataFrame): DataFrame = {
-    val newKeys = bandKeysFrom(tokDelta)
+    // staged (localCheckpoint): the delta band-key chain (TakeOrdered
+    // sample → broadcast semi → tokenize → signatures) is referenced
+    // once per copy of `allc`'s plan, and the verify stage references
+    // allc combinatorially (sa/sb × candDocs × pair sides) — without
+    // the cut the STATIC plan held ~60 copies of the TakeOrdered and
+    // ~120 broadcasts, and Catalyst planning (driver-side, invisible
+    // to task CPU) dominated the seat's wall time. 4 band keys ×
+    // DeltaSample rows — the checkpoint is trivially small.
+    val newKeys = bandKeysFrom(tokDelta).stage()
     // the hot-bucket cap counts over the COMBINED key set so the
     // incremental run prunes exactly the buckets the full-corpus
     // pipeline would — the pair sets stay mutually consistent
@@ -308,11 +329,15 @@ object Dedup {
           (!col("a.is_new") || col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // NOT localCheckpoint'd (unlike minhashPairsFrom's cand): the
-    // branches re-read the CACHED allc, and truncating lineage here
-    // would erase the index parquet scan from the final plan — the
-    // evidence DedupIncrementalSpec pins to prove the corpus is never
-    // re-signatured on the incremental path.
+      // staged like minhashPairsFrom's cand: the verify stage
+      // references the candidate set through sa/sb/ns × candDocs, so
+      // an uncut lineage duplicates the whole join subtree ~8× in the
+      // plan (pure Catalyst planning cost — the cached allc already
+      // dedups EXECUTION). The index parquet scan stays visible in the
+      // final plan through the `flags` branch below, which is the
+      // evidence DedupIncrementalSpec pins to prove the corpus is
+      // never re-signatured on the incremental path.
+      .stage()
     // The partner's indexed-vs-delta provenance rides along as
     // `da_is_new` (from the SAME is_new bit the pair predicate used):
     // the verdict's "indexed partner first" rule needs the real flag,
@@ -347,12 +372,14 @@ object Dedup {
     * candidate docs' (for the exact verify). */
   def incrementalFromIndex(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val tokAll = tokenized(docs).cache()
+    // delta docs are filtered BEFORE tokenization (the deltaIds set is
+    // DeltaSample rows by construction — broadcast is provably safe,
+    // §5 bounded-set rule); the verify side is the scan-speed form so
+    // only candidate docs ever tokenize — no corpus-sized cache or
+    // shuffle anywhere in the serving path
     incrementalVerdict(incrementalPairs(
-      spark.read.parquet(indexPath), tokAll,
-      // the delta id set is DeltaSample rows by construction —
-      // broadcast is provably safe (§5 bounded-set rule)
-      tokAll.join(broadcast(deltaIds(docs)), Seq("doc_id"), "left_semi")))
+      spark.read.parquet(indexPath), tokenizedAtScan(docs),
+      tokenized(docs.join(broadcast(deltaIds(docs)), Seq("doc_id"), "left_semi"))))
   }
 
   /** Public delta-screening entry (the continuous-ingestion building
@@ -364,7 +391,9 @@ object Dedup {
     * ever read from it (the semi-join prunes the rest). */
   def screenDelta(oldKeys: DataFrame, corpus: DataFrame, delta: DataFrame): DataFrame = {
     val d = delta.select(col("doc_id"), col("text"))
-    val tokAll = tokenized(corpus.select(col("doc_id"), col("text")).unionByName(d))
+    // scan-speed verify side (see tokenizedAtScan): only candidate
+    // docs' text is ever tokenized from the corpus
+    val tokAll = tokenizedAtScan(corpus.select(col("doc_id"), col("text")).unionByName(d))
     incrementalVerdict(incrementalPairs(oldKeys, tokAll, tokenized(d)))
   }
 
