@@ -33,38 +33,109 @@ object Corpus {
   private val QualityMin = 0.6
   private val Dup2Max = 0.15
 
+  /** The corpus_keep oracle, factored as (CTE chain, final SELECT) so
+    * filter_attribution can wrap the IDENTICAL decision table — one
+    * definition, the two seats cannot drift. */
+  private val keepCtes: String =
+    s"""${Dedup.pairsCtes},
+       |${Dedup.clustersCtes},
+       |${Decontam.contamCtes},
+       |rg AS (SELECT doc_id, tk[i.i + 1] || ' ' || tk[i.i + 2] AS g
+       |       FROM ct, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
+       |       WHERE len(tk) >= 2 AND i.i <= len(tk) - 2),
+       |rc AS (SELECT doc_id, g, COUNT(*) AS c FROM rg GROUP BY doc_id, g),
+       |rep AS (SELECT doc_id,
+       |               floor(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) * 1000000.0) / 1000000.0 AS dup2
+       |        FROM rc GROUP BY doc_id),
+       |flags AS (SELECT doc_id,
+       |                 floor(${TextOps.qualitySqlExpr} * 1000000.0) / 1000000.0 >= $QualityMin AS q_pass,
+       |                 (${TextOps.predictedSqlExpr}) <> 'unknown' AS lang_pass
+       |          FROM documents)""".stripMargin
+
+  private val keepSelect: String =
+    s"""SELECT d.doc_id,
+       |       f.q_pass,
+       |       COALESCE(r.dup2, 0.0) <= $Dup2Max AS rep_pass,
+       |       f.lang_pass,
+       |       (cm.doc_id IS NULL) AS contam_pass,
+       |       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS dedup_keep,
+       |       (f.q_pass AND COALESCE(r.dup2, 0.0) <= $Dup2Max AND f.lang_pass
+       |        AND cm.doc_id IS NULL
+       |        AND COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+       |FROM documents d
+       |JOIN flags f ON f.doc_id = d.doc_id
+       |LEFT JOIN rep r ON r.doc_id = d.doc_id
+       |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
+       |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "corpus_keep",
-      s"""WITH RECURSIVE ${Dedup.pairsCtes},
-         |${Dedup.clustersCtes},
-         |${Decontam.contamCtes},
-         |rg AS (SELECT doc_id, tk[i.i + 1] || ' ' || tk[i.i + 2] AS g
-         |       FROM ct, generate_series(0, ${Dedup.MaxShingleStarts - 1}) i(i)
-         |       WHERE len(tk) >= 2 AND i.i <= len(tk) - 2),
-         |rc AS (SELECT doc_id, g, COUNT(*) AS c FROM rg GROUP BY doc_id, g),
-         |rep AS (SELECT doc_id,
-         |               floor(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) * 1000000.0) / 1000000.0 AS dup2
-         |        FROM rc GROUP BY doc_id),
-         |flags AS (SELECT doc_id,
-         |                 floor(${TextOps.qualitySqlExpr} * 1000000.0) / 1000000.0 >= $QualityMin AS q_pass,
-         |                 (${TextOps.predictedSqlExpr}) <> 'unknown' AS lang_pass
-         |          FROM documents)
-         |SELECT d.doc_id,
-         |       f.q_pass,
-         |       COALESCE(r.dup2, 0.0) <= $Dup2Max AS rep_pass,
-         |       f.lang_pass,
-         |       (cm.doc_id IS NULL) AS contam_pass,
-         |       (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS dedup_keep,
-         |       (f.q_pass AND COALESCE(r.dup2, 0.0) <= $Dup2Max AND f.lang_pass
-         |        AND cm.doc_id IS NULL
-         |        AND COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
-         |FROM documents d
-         |JOIN flags f ON f.doc_id = d.doc_id
-         |LEFT JOIN rep r ON r.doc_id = d.doc_id
-         |LEFT JOIN contam cm ON cm.doc_id = d.doc_id
-         |LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin) { (spark, dir) =>
+      s"""WITH RECURSIVE $keepCtes
+         |$keepSelect""".stripMargin) { (spark, dir) =>
       decide(spark, dir, Broadcast)
+    },
+
+    // L54 — per-rule drop attribution over the SHIPPED corpus_keep
+    // cascade (dbt-test-summary / data-quality-dashboard shape): for
+    // every gate, in the cascade's fixed order, how many docs fail it
+    // INDEPENDENTLY (n_fail — the rule's raw selectivity), how many
+    // are KILLED BY it (n_first_fail — fail it after passing every
+    // earlier gate: each doc is attributed to exactly one rule, so the
+    // column sums with the survivors to the corpus), and how many
+    // survive the cascade so far (n_surviving — monotone). This is the
+    // question a filter-threshold change actually asks ("how much
+    // corpus does rule 3 cost us?") and the raw corpus_keep table
+    // can't answer without a client-side pass. Runs the IDENTICAL
+    // decide() plan corpus_keep ships (shared Scala + shared oracle
+    // CTEs — the composite cannot drift from the attribution), then
+    // ONE mergeable aggregate to a single row and a 5-row stack
+    // unpivot: a constant-size report at any corpus size.
+    QueryDef(
+      "filter_attribution",
+      s"""WITH RECURSIVE $keepCtes,
+         |dec AS ($keepSelect),
+         |agg AS (SELECT
+         |  COUNT(*) FILTER (WHERE NOT q_pass) AS f1,
+         |  COUNT(*) FILTER (WHERE NOT rep_pass) AS f2,
+         |  COUNT(*) FILTER (WHERE NOT lang_pass) AS f3,
+         |  COUNT(*) FILTER (WHERE NOT contam_pass) AS f4,
+         |  COUNT(*) FILTER (WHERE NOT dedup_keep) AS f5,
+         |  COUNT(*) FILTER (WHERE q_pass AND NOT rep_pass) AS ff2,
+         |  COUNT(*) FILTER (WHERE q_pass AND rep_pass AND NOT lang_pass) AS ff3,
+         |  COUNT(*) FILTER (WHERE q_pass AND rep_pass AND lang_pass AND NOT contam_pass) AS ff4,
+         |  COUNT(*) FILTER (WHERE q_pass AND rep_pass AND lang_pass AND contam_pass AND NOT dedup_keep) AS ff5,
+         |  COUNT(*) FILTER (WHERE q_pass) AS s1,
+         |  COUNT(*) FILTER (WHERE q_pass AND rep_pass) AS s2,
+         |  COUNT(*) FILTER (WHERE q_pass AND rep_pass AND lang_pass) AS s3,
+         |  COUNT(*) FILTER (WHERE q_pass AND rep_pass AND lang_pass AND contam_pass) AS s4,
+         |  COUNT(*) FILTER (WHERE keep) AS s5
+         |  FROM dec)
+         |SELECT CAST(1 AS BIGINT) AS rule_no, 'quality' AS rule, f1 AS n_fail, f1 AS n_first_fail, s1 AS n_surviving FROM agg
+         |UNION ALL SELECT 2, 'repetition', f2, ff2, s2 FROM agg
+         |UNION ALL SELECT 3, 'langid', f3, ff3, s3 FROM agg
+         |UNION ALL SELECT 4, 'contamination', f4, ff4, s4 FROM agg
+         |UNION ALL SELECT 5, 'dedup', f5, ff5, s5 FROM agg""".stripMargin) { (spark, dir) =>
+      val dec = decide(spark, dir, Broadcast)
+      def cw(c: org.apache.spark.sql.Column) = count(when(c, 1))
+      val q = col("q_pass"); val r = col("rep_pass"); val l = col("lang_pass")
+      val cm = col("contam_pass"); val dk = col("dedup_keep")
+      dec.agg(
+        cw(!q).as("f1"), cw(!r).as("f2"), cw(!l).as("f3"),
+        cw(!cm).as("f4"), cw(!dk).as("f5"),
+        cw(q && !r).as("ff2"), cw(q && r && !l).as("ff3"),
+        cw(q && r && l && !cm).as("ff4"),
+        cw(q && r && l && cm && !dk).as("ff5"),
+        cw(q).as("s1"), cw(q && r).as("s2"), cw(q && r && l).as("s3"),
+        cw(q && r && l && cm).as("s4"), cw(col("keep")).as("s5"))
+        .selectExpr(
+          """stack(5,
+            |  CAST(1 AS BIGINT), 'quality',       f1, f1,  s1,
+            |  CAST(2 AS BIGINT), 'repetition',    f2, ff2, s2,
+            |  CAST(3 AS BIGINT), 'langid',        f3, ff3, s3,
+            |  CAST(4 AS BIGINT), 'contamination', f4, ff4, s4,
+            |  CAST(5 AS BIGINT), 'dedup',         f5, ff5, s5
+            |) AS (rule_no, rule, n_fail, n_first_fail, n_surviving)""".stripMargin)
     },
 
     // L36 — line-level dedup with document RECOMPOSITION (the

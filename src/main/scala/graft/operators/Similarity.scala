@@ -1898,6 +1898,61 @@ object Similarity {
             / (col("n_vecs") * lit(1000000)).cast("double")).as("mean_val"))
     },
 
+    // L53 — embedding-version drift report: per-component exact means
+    // of two corpus halves and their difference — the monitoring query
+    // an embedding-model upgrade or a re-embedding backfill gates on
+    // (events_ks_drift watches a VALUE distribution; this watches the
+    // vector space itself, where a silent encoder change shifts
+    // component means long before any downstream metric moves). The
+    // halves here are a deterministic md5 split of vec_id (harness
+    // scaffolding, the defaultQueries rule — a real caller passes two
+    // corpus versions). Portability is label_centroids' exactly: a
+    // float mean is an order-dependent double sum, so values are
+    // micro-quantized to BIGINTs first (exact, order-independent), one
+    // double division per mean at the end, and the drift difference is
+    // ONE fixed-order expression quantized once. Scale: one scan,
+    // posexplode fans ×dims map-side, partial agg collapses every task
+    // to ≤ dims rows before the single tiny-key shuffle — the
+    // constant-size-report shape at any corpus.
+    QueryDef(
+      "embed_drift",
+      s"""WITH e AS (SELECT substr(md5('h' || CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS in_a,
+         |                  CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q, j
+         |           FROM (SELECT vec_id, unnest(embedding) AS x,
+         |                        generate_subscripts(embedding, 1) AS j
+         |                 FROM embeddings)),
+         |g AS (SELECT CAST(j AS BIGINT) AS component,
+         |             COUNT(*) FILTER (WHERE in_a) AS n_a,
+         |             COUNT(*) FILTER (WHERE NOT in_a) AS n_b,
+         |             SUM(CASE WHEN in_a THEN q ELSE 0 END) AS sa,
+         |             SUM(CASE WHEN NOT in_a THEN q ELSE 0 END) AS sb
+         |      FROM e GROUP BY j)
+         |SELECT component, n_a, n_b,
+         |       ${Portable.Quant6Sql("CAST(sa AS DOUBLE) / (n_a * 1000000.0)")} AS mean_a,
+         |       ${Portable.Quant6Sql("CAST(sb AS DOUBLE) / (n_b * 1000000.0)")} AS mean_b,
+         |       ${Portable.Quant6Sql(
+              "CAST(sa AS DOUBLE) / (n_a * 1000000.0) - CAST(sb AS DOUBLE) / (n_b * 1000000.0)")} AS drift
+         |FROM g""".stripMargin) { (spark, dir) =>
+      val meanA = col("sa").cast("double") / (col("n_a") * lit(1000000)).cast("double")
+      val meanB = col("sb").cast("double") / (col("n_b") * lit(1000000)).cast("double")
+      Tables.embeddings(spark, dir)
+        .select(
+          (substring(md5(concat(lit("h"), col("vec_id").cast("string"))), 1, 1) < "8")
+            .as("in_a"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("in_a"), (col("pos") + 1).cast("long").as("component"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("q"))
+        .groupBy(col("component"))
+        .agg(count(when(col("in_a"), 1)).as("n_a"),
+          count(when(!col("in_a"), 1)).as("n_b"),
+          sum(when(col("in_a"), col("q")).otherwise(0L)).as("sa"),
+          sum(when(!col("in_a"), col("q")).otherwise(0L)).as("sb"))
+        .select(col("component"), col("n_a"), col("n_b"),
+          Portable.quant6(meanA).as("mean_a"),
+          Portable.quant6(meanB).as("mean_b"),
+          Portable.quant6(meanA - meanB).as("drift"))
+    },
+
     // L37 — hard-negative mining for contrastive training: for each
     // label's EXACT centroid, the top-5 nearest vectors carrying a
     // DIFFERENT label — the "confusable" examples a contrastive or

@@ -2175,4 +2175,64 @@ class QueriesSpec extends SparkSuite {
         "seed-set assertion below assumes distinct seeds (dataset changed?)")
     assert(got.map(_._1).toSet === seeds)
   }
+
+  test("embed_drift matches a driver-side exact recomputation and conserves the corpus") {
+    def md5 = graft.functions.Portable.md5Hex _
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val dims = vecs.head._2.length
+    def q(x: Float): Long = math.floor(x.toDouble * 1000000).toLong
+    val expected = (1 to dims).map { j =>
+      val (a, b) = vecs.partition { case (id, _) => md5("h" + id).charAt(0) < '8' }
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val sa = a.map(v => q(v._2(j - 1))).sum
+      val sb = b.map(v => q(v._2(j - 1))).sum
+      val ma = sa.toDouble / (na * 1000000L).toDouble
+      val mb = sb.toDouble / (nb * 1000000L).toDouble
+      def q6(x: Double) = math.floor(x * 1e6) / 1e6
+      j.toLong -> ((na, nb, q6(ma), q6(mb), q6(ma - mb)))
+    }.toMap
+    val got = SparkEntry.queries("embed_drift")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("mean_a"),
+          r.getAs[Double]("mean_b"), r.getAs[Double]("drift")))).toMap
+    assert(got === expected)
+    assert(got.size === dims)
+    // both halves populated and conserving: n_a + n_b = corpus size
+    got.values.foreach { case (na, nb, _, _, _) =>
+      assert(na > 0 && nb > 0 && na + nb === vecs.length.toLong)
+    }
+  }
+
+  test("filter_attribution is the exact census of corpus_keep's own flags") {
+    val flags = SparkEntry.queries("corpus_keep")(spark, sf0001).collect()
+      .map(r => (r.getAs[Boolean]("q_pass"), r.getAs[Boolean]("rep_pass"),
+        r.getAs[Boolean]("lang_pass"), r.getAs[Boolean]("contam_pass"),
+        r.getAs[Boolean]("dedup_keep")))
+    val n = flags.length.toLong
+    def c(p: ((Boolean, Boolean, Boolean, Boolean, Boolean)) => Boolean) =
+      flags.count(p).toLong
+    val expected = Map[Long, (String, Long, Long, Long)](
+      1L -> (("quality", c(!_._1), c(!_._1), c(_._1))),
+      2L -> (("repetition", c(!_._2), c(f => f._1 && !f._2), c(f => f._1 && f._2))),
+      3L -> (("langid", c(!_._3), c(f => f._1 && f._2 && !f._3),
+        c(f => f._1 && f._2 && f._3))),
+      4L -> (("contamination", c(!_._4), c(f => f._1 && f._2 && f._3 && !f._4),
+        c(f => f._1 && f._2 && f._3 && f._4))),
+      5L -> (("dedup", c(!_._5), c(f => f._1 && f._2 && f._3 && f._4 && !f._5),
+        c(f => f._1 && f._2 && f._3 && f._4 && f._5))))
+    val got = SparkEntry.queries("filter_attribution")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("rule_no") ->
+        ((r.getAs[String]("rule"), r.getAs[Long]("n_fail"),
+          r.getAs[Long]("n_first_fail"), r.getAs[Long]("n_surviving")))).toMap
+    assert(got === expected)
+    // attribution partitions the corpus: every doc is killed by
+    // exactly one rule or survives the whole cascade
+    assert(got.values.map(_._3).sum + got(5L)._4 === n)
+    // survivors are monotone down the cascade
+    val surv = (1L to 5L).map(got(_)._4)
+    assert(surv === surv.sorted.reverse)
+  }
 }
