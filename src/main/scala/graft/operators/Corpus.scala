@@ -90,12 +90,15 @@ object Corpus {
     // decide() plan corpus_keep ships (shared Scala + shared oracle
     // CTEs — the composite cannot drift from the attribution), then
     // ONE mergeable aggregate to a single row and a 5-row stack
-    // unpivot: a constant-size report at any corpus size.
+    // unpivot: a constant-size report at any corpus size. The oracle's
+    // agg CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, so the 5 UNION branches re-ran the whole recursive
+    // corpus_keep pipeline 5× (19.6s → 0.86s at sf0.01, same rows).
     QueryDef(
       "filter_attribution",
       s"""WITH RECURSIVE $keepCtes,
          |dec AS ($keepSelect),
-         |agg AS (SELECT
+         |agg AS MATERIALIZED (SELECT
          |  COUNT(*) FILTER (WHERE NOT q_pass) AS f1,
          |  COUNT(*) FILTER (WHERE NOT rep_pass) AS f2,
          |  COUNT(*) FILTER (WHERE NOT lang_pass) AS f3,
