@@ -115,6 +115,13 @@ object Similarity {
     * of them. */
   private[graft] val AuditSample = 100
 
+  /** Power-iteration count for `embed_pca` — FIXED, like
+    * trade_pagerank's 5: both engines run the same steps, so the
+    * count trades accuracy, never parity. 10 from all-ones separates
+    * the top component adequately even on the near-isotropic random
+    * test vectors (the spec's Rayleigh-dominance check measures it). */
+  private val PcaIters = 10
+
   /** The deterministic query sample the oracle-checked queries use —
     * harness scaffolding for the DuckDB twin, NOT part of the operator:
     * a real caller passes its own bounded query batch. A fixed-size
@@ -1951,6 +1958,134 @@ object Similarity {
           Portable.quant6(meanA).as("mean_a"),
           Portable.quant6(meanB).as("mean_b"),
           Portable.quant6(meanA - meanB).as("drift"))
+    },
+
+    // L55 — top principal component by fixed power iteration (the
+    // whitening / dominant-drift-direction primitive: embed_drift says
+    // WHETHER the space moved per component, this says WHICH direction
+    // carries the most variance — the axis you monitor, whiten, or
+    // project out). Two stages with very different scale shapes:
+    //  1. DISTRIBUTED second moments — the only corpus-sized work. The
+    //     upper-triangle products q_i·q_j of the micro-quantized
+    //     components (exact BIGINTs, the label_centroids rule — a
+    //     float covariance is an order-dependent double sum) are built
+    //     per row from the vector's OWN array (a map-side ×dims²/2
+    //     fan-out, no self-join) and collapse map-side to ≤ dims²/2
+    //     DECIMAL sums; the scaled covariance C = n·M − S·Sᵀ is then
+    //     EXACT integer arithmetic (positive scaling never changes
+    //     eigenvectors, so no division touches the matrix).
+    //  2. BOUNDED iteration — C is dims² values, DOMAIN-bounded like
+    //     seedCentroids' K rows, so it legally collects to the driver
+    //     (the §5 bounded-set rule); 10 power iterations with max-abs
+    //     renormalization run as plain ascending-index double loops,
+    //     which DuckDB replays bit-for-bit via list_inner_product /
+    //     list_transform (element-order iteration — the bucketCtes
+    //     parity rule); sign anchored at component 1, final loading =
+    //     v/‖v‖, var_share = Rayleigh(l)/trace(C). Fixed iterations,
+    //     like trade_pagerank: both engines run the SAME 10 steps, so
+    //     convergence is a quality knob, never a parity question. The
+    //     oracle's DECIMAL(18) terms bound it to the oracle-gate
+    //     corpus sizes; the Spark side's BigDecimal math is unbounded.
+    QueryDef(
+      "embed_pca", {
+        val iters = (1 to PcaIters).map { t =>
+          s"""p$t AS (SELECT C, list_transform(w, x -> x / mx) AS v FROM (
+             |  SELECT C, w, list_max(list_transform(w, y -> abs(y))) AS mx FROM (
+             |    SELECT C, list_transform(generate_series(1, $Dims), i -> list_inner_product(C[i], v)) AS w
+             |    FROM p${t - 1})))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+           |                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+           |           FROM embeddings),
+           |n AS (SELECT COUNT(*) AS n FROM e),
+           |m AS (SELECT i.i, j.j,
+           |             CAST(SUM(CAST(q[i.i] * q[j.j] AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS m
+           |      FROM e, generate_series(1, $Dims) i(i), generate_series(1, $Dims) j(j)
+           |      WHERE j.j >= i.i GROUP BY i.i, j.j),
+           |s AS (SELECT i.i, CAST(SUM(CAST(q[i.i] AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS s
+           |      FROM e, generate_series(1, $Dims) i(i) GROUP BY i.i),
+           |cu AS (SELECT m.i, m.j,
+           |              CAST(CAST(n.n AS DECIMAL(18,0)) * m.m - sa.s * sb.s AS DOUBLE) AS c
+           |       FROM m, n
+           |       JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
+           |cf AS (SELECT i, j, c FROM cu
+           |       UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
+           |cm AS (SELECT list(lc ORDER BY i) AS C FROM (
+           |        SELECT i, list(c ORDER BY j) AS lc FROM cf GROUP BY i)),
+           |p0 AS (SELECT C, list_transform(generate_series(1, $Dims), x -> 1.0) AS v FROM cm),
+           |$iters,
+           |fin AS (SELECT C, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS l0
+           |        FROM p$PcaIters),
+           |sg AS (SELECT C, CASE WHEN l0[1] < 0 THEN list_transform(l0, x -> -x) ELSE l0 END AS l
+           |       FROM fin),
+           |ray AS (SELECT l,
+           |          list_inner_product(l, list_transform(generate_series(1, $Dims),
+           |            i -> list_inner_product(C[i], l))) AS lam,
+           |          list_inner_product(
+           |            list_transform(generate_series(1, $Dims), i -> C[i][i]),
+           |            list_transform(generate_series(1, $Dims), i -> 1.0)) AS tr
+           |        FROM sg)
+           |SELECT CAST(i.i AS BIGINT) AS component,
+           |       ${Portable.Quant6Sql("l[i.i]")} AS loading,
+           |       ${Portable.Quant6Sql("lam / tr")} AS var_share
+           |FROM ray, generate_series(1, $Dims) i(i)""".stripMargin
+      }) { (spark, dir) =>
+      val emb = embV(spark, dir)
+      val qArr = emb.select(
+        expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
+      // upper-triangle products from the row's own array — map-side
+      // fan-out, partial agg collapses to <= dims^2/2 rows per task
+      val mRows = qArr.select(posexplode(expr(
+        s"""flatten(transform(sequence(1, $Dims), i ->
+           |  transform(sequence(i, $Dims), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'p', element_at(q, i) * element_at(q, j)))))""".stripMargin))
+        .as(Seq("pos", "t")))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p").cast("decimal(38,0)")).as("m"))
+        .collect()
+      val sRows = qArr.select(posexplode(col("q")).as(Seq("pos", "qi")))
+        .groupBy((col("pos") + 1).as("i"))
+        .agg(sum(col("qi").cast("decimal(38,0)")).as("s"))
+        .collect()
+      val n = emb.count()
+      // exact scaled covariance C = n·M − S·Sᵀ in BigDecimal, then one
+      // correctly-rounded conversion to double per cell — identical to
+      // the oracle's DECIMAL-to-DOUBLE cast
+      val sV = Array.fill(Dims)(BigDecimal(0))
+      sRows.foreach(r => sV(r.getAs[Int]("i") - 1) = BigDecimal(r.getAs[java.math.BigDecimal]("s")))
+      val c = Array.ofDim[Double](Dims, Dims)
+      val nB = BigDecimal(n)
+      mRows.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i") - 1, r.getAs[Int]("j") - 1)
+        val v = (nB * BigDecimal(r.getAs[java.math.BigDecimal]("m")) - sV(i) * sV(j)).toDouble
+        c(i)(j) = v; c(j)(i) = v
+      }
+      // ascending-index double loops — the exact op order the oracle's
+      // list_inner_product element iteration replays
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var k = 0
+        while (k < Dims) { s += a(k) * b(k); k += 1 }
+        s
+      }
+      var v = Array.fill(Dims)(1.0)
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(Dims)(i => dot(c(i), v))
+        val mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      val nrm = math.sqrt(dot(v, v))
+      val l0 = v.map(_ / nrm)
+      val l = if (l0(0) < 0) l0.map(-_) else l0
+      val lam = dot(l, Array.tabulate(Dims)(i => dot(c(i), l)))
+      val ones = Array.fill(Dims)(1.0)
+      val tr = dot(Array.tabulate(Dims)(i => c(i)(i)), ones)
+      val share = lam / tr
+      def q6(x: Double): Double = math.floor(x * 1e6) / 1e6
+      import spark.implicits._
+      (1 to Dims).map(i => (i.toLong, q6(l(i - 1)), q6(share)))
+        .toDF("component", "loading", "var_share")
     },
 
     // L37 — hard-negative mining for contrastive training: for each

@@ -2206,6 +2206,43 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("embed_pca returns a unit top-direction that dominates random probes") {
+    val rows = SparkEntry.queries("embed_pca")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Double]("loading"),
+        r.getAs[Double]("var_share"))).sortBy(_._1)
+    assert(rows.length === 64)
+    val l = rows.map(_._2)
+    // unit vector up to the 1e-6 quantization; sign anchored at
+    // component 1 (non-negative by construction)
+    assert(math.abs(l.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(l(0) >= 0.0)
+    // var_share is one constant in (0, 1]
+    val shares = rows.map(_._3).distinct
+    assert(shares.length === 1 && shares(0) > 0.0 && shares(0) <= 1.0)
+    // the returned direction must carry more variance than ANY of 32
+    // md5-seeded random unit probes — the "top component" property,
+    // measured on the raw data rather than trusted from the algorithm
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def variance(dir: Array[Double]): Double = {
+      val proj = vecs.map(v => v.indices.map(i => v(i) * dir(i)).sum)
+      val m = proj.sum / proj.length
+      proj.map(p => (p - m) * (p - m)).sum / proj.length
+    }
+    val got = variance(l)
+    val rnd = (0 until 32).map { s =>
+      val raw = Array.tabulate(64)(i =>
+        java.lang.Long.parseLong(
+          graft.functions.Portable.md5Hex(s"pca_$s" + "_" + i).substring(0, 6), 16)
+          .toDouble / 16777216.0 - 0.5)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    rnd.foreach(p => assert(variance(p) < got,
+      f"a random probe carries ${variance(p)}%.4f variance >= the returned direction's $got%.4f"))
+  }
+
   test("filter_attribution is the exact census of corpus_keep's own flags") {
     val flags = SparkEntry.queries("corpus_keep")(spark, sf0001).collect()
       .map(r => (r.getAs[Boolean]("q_pass"), r.getAs[Boolean]("rep_pass"),
