@@ -2034,33 +2034,43 @@ object Similarity {
       val qArr = emb.select(
         expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
       // upper-triangle products from the row's own array — map-side
-      // fan-out, partial agg collapses to <= dims^2/2 rows per task
-      val mRows = qArr.select(posexplode(expr(
-        s"""flatten(transform(sequence(1, $Dims), i ->
-           |  transform(sequence(i, $Dims), j ->
-           |    named_struct('i', i, 'j', j,
-           |      'p', element_at(q, i) * element_at(q, j)))))""".stripMargin))
+      // fan-out, partial agg collapses to <= dims^2/2 rows per task.
+      // The component sums S (sentinel rows j=0) and the row count
+      // (sentinel (0,0,1)) ride the SAME explode + aggregate, so the
+      // whole moment stage is ONE scan, ONE shuffle, ONE bounded
+      // collect — not three separate Spark jobs.
+      val rows = qArr.select(posexplode(expr(
+        s"""concat(
+           |  array(named_struct('i', 0, 'j', 0, 'p', CAST(1 AS BIGINT))),
+           |  transform(sequence(1, $Dims), i ->
+           |    named_struct('i', i, 'j', 0, 'p', element_at(q, i))),
+           |  flatten(transform(sequence(1, $Dims), i ->
+           |    transform(sequence(i, $Dims), j ->
+           |      named_struct('i', i, 'j', j,
+           |        'p', element_at(q, i) * element_at(q, j))))))""".stripMargin))
         .as(Seq("pos", "t")))
         .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
         .groupBy(col("i"), col("j"))
         .agg(sum(col("p").cast("decimal(38,0)")).as("m"))
         .collect()
-      val sRows = qArr.select(posexplode(col("q")).as(Seq("pos", "qi")))
-        .groupBy((col("pos") + 1).as("i"))
-        .agg(sum(col("qi").cast("decimal(38,0)")).as("s"))
-        .collect()
-      val n = emb.count()
       // exact scaled covariance C = n·M − S·Sᵀ in BigDecimal, then one
       // correctly-rounded conversion to double per cell — identical to
       // the oracle's DECIMAL-to-DOUBLE cast
       val sV = Array.fill(Dims)(BigDecimal(0))
-      sRows.foreach(r => sV(r.getAs[Int]("i") - 1) = BigDecimal(r.getAs[java.math.BigDecimal]("s")))
+      var nB = BigDecimal(0)
+      rows.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        if (i == 0 && j == 0) nB = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+        else if (j == 0) sV(i - 1) = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+      }
       val c = Array.ofDim[Double](Dims, Dims)
-      val nB = BigDecimal(n)
-      mRows.foreach { r =>
-        val (i, j) = (r.getAs[Int]("i") - 1, r.getAs[Int]("j") - 1)
-        val v = (nB * BigDecimal(r.getAs[java.math.BigDecimal]("m")) - sV(i) * sV(j)).toDouble
-        c(i)(j) = v; c(j)(i) = v
+      rows.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        if (i >= 1 && j >= 1) {
+          val v = (nB * BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+            - sV(i - 1) * sV(j - 1)).toDouble
+          c(i - 1)(j - 1) = v; c(j - 1)(i - 1) = v
+        }
       }
       // ascending-index double loops — the exact op order the oracle's
       // list_inner_product element iteration replays
