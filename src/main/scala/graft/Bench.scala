@@ -47,7 +47,22 @@ object Bench {
 
   /** The latest committed BENCH_FULL_r<NN>.json, parsed once. */
   private final case class PrevFull(
-      name: String, qsec: Map[String, Double], cpu: Map[String, Double], sf: Option[String])
+      name: String, qsec: Map[String, Double], cpu: Map[String, Double],
+      shuffle: Map[String, Double], sf: Option[String]) {
+    /** The cpu_flat control (r14 advice: "environmental" was too
+      * conclusive a name for a cpu-only signal — driver-side plan
+      * blowups inflate wall without touching executor CPU): a wall
+      * regression is auto-classified cpu_flat only with BOTH
+      * corroborating signals — executor CPU grew <= 10% AND shuffle
+      * bytes are unchanged (<= 10% relative or <= 0.2 MB absolute —
+      * a lost broadcast / new exchange moves bytes). Abstains (the
+      * regression stays unadjudicated) when the prior artifact lacks
+      * either metric or a reading is ~0. */
+    def cpuFlat(q: QRow): Boolean =
+      cpu.get(q.name).exists(pc => pc > 0.05 && q.cpuS > 0 && q.cpuS / pc <= 1.10) &&
+        shuffle.get(q.name).exists(ps =>
+          math.abs(q.shuffleMb - ps) <= math.max(0.2, 0.10 * math.max(ps, 0.0)))
+  }
 
   /** Pre-bench contention probe (r8 verdict task 4 — three rounds of
     * driver benches in a row were contended, each costing a diagnosis
@@ -162,27 +177,31 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           // per-query CPU seconds (flat map — absent in pre-r14
           // artifacts, in which case the CPU control simply abstains)
-          val cpuIdx = content.indexOf("\"cpu_s\":")
-          val cpu =
-            if (cpuIdx < 0) Map.empty[String, Double]
+          def flatMapAt(key: String): Map[String, Double] = {
+            val idx = content.indexOf("\"" + key + "\":")
+            if (idx < 0) Map.empty[String, Double]
             else pair
-              .findAllMatchIn(content.substring(cpuIdx, content.indexOf("}", cpuIdx) + 1))
+              .findAllMatchIn(content.substring(idx, content.indexOf("}", idx) + 1))
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
           val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
-          Some(PrevFull(latest.getName, qsec, cpu, prevSf))
+          Some(PrevFull(latest.getName, qsec,
+            flatMapAt("cpu_s"), flatMapAt("shuffle_mb"), prevSf))
         }
       } catch { case _: Exception => None }
     // A regression is UNADJUDICATED when this run is slower than the
     // prior committed full artifact by >0.5 s AND >25% (min-of-runs)
     // at the same sf. Only an UNCONTENDED run can accuse — a contended
     // box inflates everything, so the block records the suppression
-    // instead of a false list. Since r14 per-query EXECUTOR CPU is the
-    // second control (r13 verdict task 5): a host burst inflates wall
-    // but not task CPU, so a wall regression whose CPU grew <= 10% vs
-    // the prior artifact lands in "environmental" (adjudicated by the
-    // artifact itself) instead of "unadjudicated" (demands an A/B).
+    // instead of a false list. Since r14 per-query EXECUTOR CPU is a
+    // second control (r13 verdict task 5), and since r15 the bucket is
+    // named for what it MEASURES, not a conclusion (r14 advice): a
+    // wall regression with flat executor CPU (<= +10%) AND unchanged
+    // shuffle bytes lands in "cpu_flat" — the signature of host/fs
+    // drift, but also of a driver-side planning blowup, so cpu_flat
+    // entries still get a stderr nudge rather than silent clearance.
     // The control abstains — regression stays unadjudicated — when the
-    // prior artifact has no cpu_s or either CPU reading is ~0.
+    // prior artifact lacks cpu_s/shuffle_mb or a reading is ~0.
     def regressionBlock(rs: Seq[QRow]): String =
       prevFull match {
         case Some(prev) if prev.sf.forall(_ == sfDir) =>
@@ -193,16 +212,14 @@ object Bench {
               q.runs.min >= 0 && prev.qsec.getOrElse(q.name, -1.0) > 0 &&
                 q.runs.min - prev.qsec(q.name) > 0.5 && q.runs.min / prev.qsec(q.name) > 1.25
             }
-          val (envQ, unadjQ) = cand.partition { q =>
-            prev.cpu.get(q.name).exists(pc =>
-              pc > 0.05 && q.cpuS > 0 && q.cpuS / pc <= 1.10)
-          }
+          val (flatQ, unadjQ) = cand.partition(prev.cpuFlat)
           def m(qs: Seq[QRow]): String = qs.map(q =>
             "\"" + q.name + "\":[" + s3(prev.qsec(q.name)) + "," + s3(q.runs.min) + "]")
             .mkString("{", ",", "}")
           s""","regressions":{"baseline":"${prev.name}",""" +
-            s""""rule":"+0.5s and +25%, uncontended; wall up but cpu_s <= +10% => environmental",""" +
-            s""""suppressed_contended":$suppressed,"environmental":${m(envQ)},""" +
+            s""""rule":"+0.5s and +25%, uncontended; cpu_s <= +10% and shuffle unchanged => cpu_flat (likely environmental; verify driver-side)",""" +
+            s""""cpu_flat":${m(flatQ)},""" +
+            s""""suppressed_contended":$suppressed,""" +
             s""""unadjudicated":${m(unadjQ)}}"""
         case _ => ""
       }
@@ -390,19 +407,23 @@ object Bench {
           System.err.println(
             f"[bench] common-query total: $totPrev%.1fs -> $totCur%.1fs")
           // the artifact-block twin, loudly: an unadjudicated
-          // regression must be impossible to miss in the run log too
-          // (CPU-cleared environmental drifts excluded, same as the
-          // artifact's split)
-          val unadj = deltas.filter { case (q, p, c, d) =>
-            d > 0.5 && c / p > 1.25 &&
-              !prev.cpu.get(q.name).exists(pc =>
-                pc > 0.05 && q.cpuS > 0 && q.cpuS / pc <= 1.10)
-          }
+          // regression must be impossible to miss in the run log too,
+          // and cpu_flat entries get their own non-conclusive nudge
+          // (r14 advice: a driver-side planning blowup has the same
+          // flat-CPU signature as environmental drift)
+          val (cpuFlat, unadj) = deltas
+            .filter { case (_, p, c, d) => d > 0.5 && c / p > 1.25 }
+            .partition { case (q, _, _, _) => prev.cpuFlat(q) }
           if (!contended && unadj.nonEmpty)
             System.err.println(
               s"[bench] WARNING: UNADJUDICATED regressions (>0.5s and >25% on an " +
-                s"uncontended run, not CPU-cleared) recorded in the artifact: " +
+                s"uncontended run, not cpu_flat-cleared) recorded in the artifact: " +
                 unadj.map(_._1.name).mkString(", ") + " — A/B these before committing claims")
+          if (!contended && cpuFlat.nonEmpty)
+            System.err.println(
+              s"[bench] note: cpu_flat regressions (wall up, executor CPU + shuffle flat — " +
+                s"likely environmental, but a driver-side planning regression looks the same): " +
+                cpuFlat.map(_._1.name).mkString(", "))
         case _ => ()
       }
     } catch { case e: Exception =>

@@ -108,7 +108,7 @@ object IvfDynK {
     println(
       s"""{"metric":"ivf_dynk","sf":"$sfDir","n_vectors":$n,"k":$k,"coarse_g":$g,""" +
         f""""build_two_level_sec":$buildTwoSec%.1f,"build_flat_sec":$buildFlatSec%.1f,""" +
-        s""""occupancy":{"cells":$cells,"mean":${n / math.max(cells, 1)},"max":$occMax,""" +
+        f""""occupancy":{"cells":$cells,"mean":${n.toDouble / math.max(cells, 1)}%.1f,"max":$occMax,""" +
         f""""p99":${occ.getAs[Double]("p99")}%.1f,"skew_max_x":$skew%.2f},""" +
         s""""dynk_points":[${dynPoints.mkString(",")}],"k16_baseline":$basePoint}""")
     spark.stop()

@@ -1935,13 +1935,19 @@ object Similarity {
          |             SUM(CASE WHEN NOT in_a THEN q ELSE 0 END) AS sb
          |      FROM e GROUP BY j)
          |SELECT component, n_a, n_b,
-         |       ${Portable.Quant6Sql("CAST(sa AS DOUBLE) / (n_a * 1000000.0)")} AS mean_a,
-         |       ${Portable.Quant6Sql("CAST(sb AS DOUBLE) / (n_b * 1000000.0)")} AS mean_b,
-         |       ${Portable.Quant6Sql(
-              "CAST(sa AS DOUBLE) / (n_a * 1000000.0) - CAST(sb AS DOUBLE) / (n_b * 1000000.0)")} AS drift
+         |       CASE WHEN n_a > 0 THEN ${Portable.Quant6Sql("CAST(sa AS DOUBLE) / (n_a * 1000000.0)")} END AS mean_a,
+         |       CASE WHEN n_b > 0 THEN ${Portable.Quant6Sql("CAST(sb AS DOUBLE) / (n_b * 1000000.0)")} END AS mean_b,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN ${Portable.Quant6Sql(
+              "CAST(sa AS DOUBLE) / (n_a * 1000000.0) - CAST(sb AS DOUBLE) / (n_b * 1000000.0)")} END AS drift
          |FROM g""".stripMargin) { (spark, dir) =>
-      val meanA = col("sa").cast("double") / (col("n_a") * lit(1000000)).cast("double")
-      val meanB = col("sb").cast("double") / (col("n_b") * lit(1000000)).cast("double")
+      // empty-half guard (r14 advice): a degenerate corpus where one
+      // md5 half is empty must yield NULL identically in both engines,
+      // not engine-specific ÷0 semantics (ANSI Spark throws, DuckDB
+      // floats to inf) — NULL means "no basis for a mean", loudly
+      val meanA = when(col("n_a") > 0,
+        col("sa").cast("double") / (col("n_a") * lit(1000000)).cast("double"))
+      val meanB = when(col("n_b") > 0,
+        col("sb").cast("double") / (col("n_b") * lit(1000000)).cast("double"))
       Tables.embeddings(spark, dir)
         .select(
           (substring(md5(concat(lit("h"), col("vec_id").cast("string"))), 1, 1) < "8")
@@ -1984,8 +1990,11 @@ object Similarity {
     //     v/‖v‖, var_share = Rayleigh(l)/trace(C). Fixed iterations,
     //     like trade_pagerank: both engines run the SAME 10 steps, so
     //     convergence is a quality knob, never a parity question. The
-    //     oracle's DECIMAL(18) terms bound it to the oracle-gate
-    //     corpus sizes; the Spark side's BigDecimal math is unbounded.
+    //     oracle accumulates in HUGEINT (128-bit exact — r14 advice:
+    //     the original DECIMAL(18,0) terms overflowed around ~1e6
+    //     rows while the Spark side's BigDecimal math is unbounded;
+    //     HUGEINT matches it to ~1e38, far past any real corpus, and
+    //     avoids DuckDB's 38-digit decimal-multiply width cap).
     QueryDef(
       "embed_pca", {
         val iters = (1 to PcaIters).map { t =>
@@ -1999,13 +2008,13 @@ object Similarity {
            |           FROM embeddings),
            |n AS (SELECT COUNT(*) AS n FROM e),
            |m AS (SELECT i.i, j.j,
-           |             CAST(SUM(CAST(q[i.i] * q[j.j] AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS m
+           |             SUM(CAST(q[i.i] * q[j.j] AS HUGEINT)) AS m
            |      FROM e, generate_series(1, $Dims) i(i), generate_series(1, $Dims) j(j)
            |      WHERE j.j >= i.i GROUP BY i.i, j.j),
-           |s AS (SELECT i.i, CAST(SUM(CAST(q[i.i] AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS s
+           |s AS (SELECT i.i, SUM(CAST(q[i.i] AS HUGEINT)) AS s
            |      FROM e, generate_series(1, $Dims) i(i) GROUP BY i.i),
            |cu AS (SELECT m.i, m.j,
-           |              CAST(CAST(n.n AS DECIMAL(18,0)) * m.m - sa.s * sb.s AS DOUBLE) AS c
+           |              CAST(CAST(n.n AS HUGEINT) * m.m - sa.s * sb.s AS DOUBLE) AS c
            |       FROM m, n
            |       JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
            |cf AS (SELECT i, j, c FROM cu
@@ -2031,27 +2040,75 @@ object Similarity {
            |FROM ray, generate_series(1, $Dims) i(i)""".stripMargin
       }) { (spark, dir) =>
       val emb = embV(spark, dir)
-      val qArr = emb.select(
-        expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
-      // upper-triangle products from the row's own array — map-side
-      // fan-out, partial agg collapses to <= dims^2/2 rows per task.
-      // The component sums S (sentinel rows j=0) and the row count
-      // (sentinel (0,0,1)) ride the SAME explode + aggregate, so the
-      // whole moment stage is ONE scan, ONE shuffle, ONE bounded
-      // collect — not three separate Spark jobs.
-      val rows = qArr.select(posexplode(expr(
-        s"""concat(
-           |  array(named_struct('i', 0, 'j', 0, 'p', CAST(1 AS BIGINT))),
-           |  transform(sequence(1, $Dims), i ->
-           |    named_struct('i', i, 'j', 0, 'p', element_at(q, i))),
-           |  flatten(transform(sequence(1, $Dims), i ->
-           |    transform(sequence(i, $Dims), j ->
-           |      named_struct('i', i, 'j', j,
-           |        'p', element_at(q, i) * element_at(q, j))))))""".stripMargin))
-        .as(Seq("pos", "t")))
-        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      import spark.implicits._
+      // per-partition moment accumulator (r14 verdict task 3: the old
+      // ×(dims²/2 + dims + 1) per-row struct explode materialized
+      // ~2,145 rows per VECTOR before the hash aggregate — 76.5 s at
+      // 100×; the moments are classic per-partition imperative state,
+      // the Misra-Gries mapPartitions escape hatch). Each task folds
+      // its rows into ONE fixed (1 + dims + dims·(dims+1)/2)-slot
+      // array — count, component sums S, upper-triangle products M —
+      // accumulating in Long and flushing into exact BigIntegers every
+      // 4096 rows (|q| ≤ 1e6 ⇒ |q_i·q_j| ≤ 1e12; 4096·1e12 ≈ 4e15, a
+      // 2000× margin under Long.Max — so the fold is overflow-proof at
+      // ANY corpus size while staying integer-exact). Every task then
+      // emits its ≤ 2,145 partials ONCE (as decimal strings — exact,
+      // and independent of the encoder's default decimal scale), and
+      // the same tiny-key aggregate + bounded collect follow: the
+      // shuffle now carries tasks·dims²/2 rows instead of N·dims²/2.
+      val nTri = Dims * (Dims + 1) / 2
+      val rows = emb
+        .select(expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
+        .as[Seq[Long]]
+        .mapPartitions { it =>
+          val slots = 1 + Dims + nTri
+          val acc = Array.fill(slots)(java.math.BigInteger.ZERO)
+          val run = new Array[Long](slots)
+          var pending = 0
+          def flush(): Unit = {
+            var k = 0
+            while (k < slots) {
+              if (run(k) != 0L) {
+                acc(k) = acc(k).add(java.math.BigInteger.valueOf(run(k)))
+                run(k) = 0L
+              }
+              k += 1
+            }
+            pending = 0
+          }
+          while (it.hasNext) {
+            val q = it.next().toArray
+            run(0) += 1L
+            var i = 0
+            while (i < Dims) { run(1 + i) += q(i); i += 1 }
+            var idx = 1 + Dims
+            i = 0
+            while (i < Dims) {
+              val qi = q(i)
+              var j = i
+              while (j < Dims) { run(idx) += qi * q(j); idx += 1; j += 1 }
+              i += 1
+            }
+            pending += 1
+            if (pending >= 4096) flush()
+          }
+          flush()
+          val out = Array.newBuilder[(Int, Int, String)]
+          out += ((0, 0, acc(0).toString))
+          var i = 1
+          while (i <= Dims) { out += ((i, 0, acc(i).toString)); i += 1 }
+          var idx = 1 + Dims
+          i = 1
+          while (i <= Dims) {
+            var j = i
+            while (j <= Dims) { out += ((i, j, acc(idx).toString)); idx += 1; j += 1 }
+            i += 1
+          }
+          out.result().iterator
+        }
+        .toDF("i", "j", "ms")
         .groupBy(col("i"), col("j"))
-        .agg(sum(col("p").cast("decimal(38,0)")).as("m"))
+        .agg(sum(col("ms").cast("decimal(38,0)")).as("m"))
         .collect()
       // exact scaled covariance C = n·M − S·Sᵀ in BigDecimal, then one
       // correctly-rounded conversion to double per cell — identical to

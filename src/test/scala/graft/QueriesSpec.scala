@@ -182,6 +182,17 @@ class QueriesSpec extends SparkSuite {
       "bloom strategy should gate the gram stream with the bloom probe")
   }
 
+  test("staged decision table serves exactly the inline decide() rows") {
+    // corpus_keep/filter_attribution serve from the per-JVM staged
+    // parquet (r14 verdict task 2); the staged table must be
+    // indistinguishable from running the pipeline inline
+    val staged = SparkEntry.queries("corpus_keep")(spark, sf0001)
+    val inline = graft.operators.Corpus.decide(spark, sf0001, graft.operators.Corpus.Broadcast)
+    assert(staged.count() === 500)
+    assert(staged.exceptAll(inline).count() === 0)
+    assert(inline.exceptAll(staged).count() === 0)
+  }
+
   test("text_lm_score covers the corpus with probabilities in (0, 1]") {
     val df = SparkEntry.queries("text_lm_score")(spark, sf0001).cache()
     assert(df.count() === 500)
