@@ -122,6 +122,211 @@ object Similarity {
     * test vectors (the spec's Rayleigh-dominance check measures it). */
   private val PcaIters = 10
 
+  /** Principal components kept by `embed_pca_topk`'s deflation chain
+    * — enough axes for a whitening/monitoring story, small enough
+    * that the oracle's unrolled iteration CTEs stay readable. */
+  private val PcaTopK = 3
+
+  // ---- shared PCA machinery (embed_pca / embed_pca_topk /
+  // embed_axis_drift) — ONE definition of the moment scan, the
+  // covariance arithmetic, the power iteration and the deflation on
+  // both engines, so the three seats can never drift. ----
+
+  /** DISTRIBUTED exact scaled covariance C = n·M − S·Sᵀ over the
+    * micro-quantized components — the only corpus-sized stage of the
+    * PCA family. Per-partition moment accumulator (r14 verdict task
+    * 3: the old ×(dims²/2 + dims + 1) per-row struct explode
+    * materialized ~2,145 rows per VECTOR before the hash aggregate —
+    * 76.5 s at 100×; the moments are classic per-partition imperative
+    * state, the Misra-Gries mapPartitions escape hatch). Each task
+    * folds its rows into ONE fixed (1 + dims + dims·(dims+1)/2)-slot
+    * array — count, component sums S, upper-triangle products M —
+    * accumulating in Long and flushing into exact BigIntegers every
+    * 4096 rows (|q| ≤ 1e6 ⇒ |q_i·q_j| ≤ 1e12; 4096·1e12 ≈ 4e15, a
+    * 2000× margin under Long.Max — so the fold is overflow-proof at
+    * ANY corpus size while staying integer-exact). Every task then
+    * emits its ≤ 2,145 partials ONCE (as decimal strings — exact, and
+    * independent of the encoder's default decimal scale); a tiny-key
+    * aggregate and a dims²-bounded driver collect follow (the §5
+    * bounded-set rule, the seedCentroids class). The covariance is
+    * assembled in BigDecimal with ONE correctly-rounded conversion to
+    * double per cell — identical to the oracle's HUGEINT-to-DOUBLE
+    * cast. Positive scaling never changes eigenvectors, so no
+    * division touches the matrix. */
+  private def pcaCovariance(emb: DataFrame): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nTri = Dims * (Dims + 1) / 2
+    val rows = emb
+      .select(expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        val slots = 1 + Dims + nTri
+        val acc = Array.fill(slots)(java.math.BigInteger.ZERO)
+        val run = new Array[Long](slots)
+        var pending = 0
+        def flush(): Unit = {
+          var k = 0
+          while (k < slots) {
+            if (run(k) != 0L) {
+              acc(k) = acc(k).add(java.math.BigInteger.valueOf(run(k)))
+              run(k) = 0L
+            }
+            k += 1
+          }
+          pending = 0
+        }
+        while (it.hasNext) {
+          val q = it.next().toArray
+          run(0) += 1L
+          var i = 0
+          while (i < Dims) { run(1 + i) += q(i); i += 1 }
+          var idx = 1 + Dims
+          i = 0
+          while (i < Dims) {
+            val qi = q(i)
+            var j = i
+            while (j < Dims) { run(idx) += qi * q(j); idx += 1; j += 1 }
+            i += 1
+          }
+          pending += 1
+          if (pending >= 4096) flush()
+        }
+        flush()
+        val out = Array.newBuilder[(Int, Int, String)]
+        out += ((0, 0, acc(0).toString))
+        var i = 1
+        while (i <= Dims) { out += ((i, 0, acc(i).toString)); i += 1 }
+        var idx = 1 + Dims
+        i = 1
+        while (i <= Dims) {
+          var j = i
+          while (j <= Dims) { out += ((i, j, acc(idx).toString)); idx += 1; j += 1 }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("i", "j", "ms")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ms").cast("decimal(38,0)")).as("m"))
+      .collect()
+    val sV = Array.fill(Dims)(BigDecimal(0))
+    var nB = BigDecimal(0)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      if (i == 0 && j == 0) nB = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+      else if (j == 0) sV(i - 1) = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+    }
+    val c = Array.ofDim[Double](Dims, Dims)
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      if (i >= 1 && j >= 1) {
+        val v = (nB * BigDecimal(r.getAs[java.math.BigDecimal]("m"))
+          - sV(i - 1) * sV(j - 1)).toDouble
+        c(i - 1)(j - 1) = v; c(j - 1)(i - 1) = v
+      }
+    }
+    c
+  }
+
+  /** Ascending-index double dot — the exact op order the oracle's
+    * list_inner_product element iteration replays. */
+  private def pcaDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var k = 0
+    while (k < Dims) { s += a(k) * b(k); k += 1 }
+    s
+  }
+
+  /** [[PcaIters]] fixed power iterations from all-ones with max-abs
+    * renormalization, sign anchored at component 1, unit loading, and
+    * the Rayleigh quotient — plain ascending-index double loops that
+    * DuckDB replays bit-for-bit via list_inner_product/list_transform
+    * (element-order iteration — the bucketCtes parity rule). Fixed
+    * iteration count, like trade_pagerank: both engines run the SAME
+    * steps, so convergence is a quality knob, never parity. Returns
+    * (loading, λ). */
+  private def pcaPower(c: Array[Array[Double]]): (Array[Double], Double) = {
+    var v = Array.fill(Dims)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(Dims)(i => pcaDot(c(i), v))
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val nrm = math.sqrt(pcaDot(v, v))
+    val l0 = v.map(_ / nrm)
+    val l = if (l0(0) < 0) l0.map(-_) else l0
+    (l, pcaDot(l, Array.tabulate(Dims)(i => pcaDot(c(i), l))))
+  }
+
+  private def pcaTrace(c: Array[Array[Double]]): Double =
+    pcaDot(Array.tabulate(Dims)(i => c(i)(i)), Array.fill(Dims)(1.0))
+
+  /** Hotelling deflation C' = C − λ·l·lᵀ — exact same association
+    * order as the oracle's `C[i][j] - lam * l[i] * l[j]` (both are
+    * left-associated (λ·l_i)·l_j), so the next component's iteration
+    * starts from bit-identical doubles in both engines. */
+  private def pcaDeflate(c: Array[Array[Double]], l: Array[Double],
+      lam: Double): Array[Array[Double]] =
+    Array.tabulate(Dims, Dims)((i, j) => c(i)(j) - lam * l(i) * l(j))
+
+  /** Oracle twin of [[pcaCovariance]]: CTEs ending at `cm(C)` (the
+    * dims×dims scaled covariance as a list of row lists) plus the
+    * trace `tr(tr)`. HUGEINT accumulation (128-bit exact — r14
+    * advice: DECIMAL(18,0) overflowed around ~1e6 rows while the
+    * Spark side's BigDecimal is unbounded; HUGEINT matches it to
+    * ~1e38 and avoids DuckDB's 38-digit decimal-multiply width
+    * cap). */
+  private val pcaBaseCtes: String =
+    s"""e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+       |               x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |      FROM embeddings),
+       |n AS (SELECT COUNT(*) AS n FROM e),
+       |m AS (SELECT i.i, j.j,
+       |             SUM(CAST(q[i.i] * q[j.j] AS HUGEINT)) AS m
+       |      FROM e, generate_series(1, $Dims) i(i), generate_series(1, $Dims) j(j)
+       |      WHERE j.j >= i.i GROUP BY i.i, j.j),
+       |s AS (SELECT i.i, SUM(CAST(q[i.i] AS HUGEINT)) AS s
+       |      FROM e, generate_series(1, $Dims) i(i) GROUP BY i.i),
+       |cu AS (SELECT m.i, m.j,
+       |              CAST(CAST(n.n AS HUGEINT) * m.m - sa.s * sb.s AS DOUBLE) AS c
+       |       FROM m, n
+       |       JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
+       |cf AS (SELECT i, j, c FROM cu
+       |       UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
+       |cm AS (SELECT list(lc ORDER BY i) AS C FROM (
+       |        SELECT i, list(c ORDER BY j) AS lc FROM cf GROUP BY i)),
+       |tr AS (SELECT list_inner_product(
+       |         list_transform(generate_series(1, $Dims), i -> C[i][i]),
+       |         list_transform(generate_series(1, $Dims), i -> 1.0)) AS tr
+       |       FROM cm)""".stripMargin
+
+  /** Oracle twin of [[pcaPower]]: the unrolled iteration chain from a
+    * one-row matrix table `src(C)` to `ray$tag(C, l, lam)`. */
+  private def pcaChainCtes(tag: String, src: String): String = {
+    val iters = (1 to PcaIters).map { t =>
+      s"""p${tag}_$t AS (SELECT C, list_transform(w, x -> x / mx) AS v FROM (
+         |  SELECT C, w, list_max(list_transform(w, y -> abs(y))) AS mx FROM (
+         |    SELECT C, list_transform(generate_series(1, $Dims), i -> list_inner_product(C[i], v)) AS w
+         |    FROM p${tag}_${t - 1})))""".stripMargin
+    }.mkString(",\n")
+    s"""p${tag}_0 AS (SELECT C, list_transform(generate_series(1, $Dims), x -> 1.0) AS v FROM $src),
+       |$iters,
+       |fin$tag AS (SELECT C, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS l0
+       |        FROM p${tag}_$PcaIters),
+       |sg$tag AS (SELECT C, CASE WHEN l0[1] < 0 THEN list_transform(l0, x -> -x) ELSE l0 END AS l
+       |       FROM fin$tag),
+       |ray$tag AS (SELECT C, l,
+       |          list_inner_product(l, list_transform(generate_series(1, $Dims),
+       |            i -> list_inner_product(C[i], l))) AS lam
+       |        FROM sg$tag)""".stripMargin
+  }
+
+  /** Oracle twin of [[pcaDeflate]]: `df$tag(C)` from `ray$tag`. */
+  private def pcaDeflateCte(tag: String): String =
+    s"""df$tag AS (SELECT list_transform(generate_series(1, $Dims), i ->
+       |             list_transform(generate_series(1, $Dims), j -> C[i][j] - lam * l[i] * l[j])) AS C
+       |           FROM ray$tag)""".stripMargin
+
   /** The deterministic query sample the oracle-checked queries use —
     * harness scaffolding for the DuckDB twin, NOT part of the operator:
     * a real caller passes its own bounded query batch. A fixed-size
@@ -613,18 +818,30 @@ object Similarity {
 
   /** The IVFADC search from a materialized (nid, cid, nv8) cell table
     * on — shared by the dynamic path ([[ivfSq8Search]]) and the
-    * persisted index ([[searchIvfIndex]]). */
+    * persisted index ([[searchIvfIndex]]).
+    *
+    * `rerankK` is the coarse-survivor width the exact rerank pays for
+    * — THE recall lever on clustered corpora (the PqRerank lesson,
+    * re-measured at dyn K in r15): a tight cluster puts hundreds of
+    * candidates within ~2% cosine of each other, which is inside the
+    * int8 coarse scan's quantization noise, so the true top-k is
+    * frequently outside a 4·k coarse cut while trivially inside a
+    * 64-128 wide one — and rerank cost is Q·rerankK exact cosines,
+    * workload-sized, never corpus-sized. The oracle-checked seats
+    * keep the default (bit-parity with the DuckDB twin's crn cut). */
   private def sq8SearchCells(
       cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
-      queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame =
+      queries: DataFrame, nProbes: Int, excludeSelf: Boolean,
+      rerankK: Int = RerankK): DataFrame =
     gateSampledRecall(
-      sq8SearchCellsRaw(cellTable, emb, cent, queries, nProbes, excludeSelf),
+      sq8SearchCellsRaw(cellTable, emb, cent, queries, nProbes, excludeSelf, rerankK),
       emb, queries, excludeSelf, "ann_ivf_sq8")(
-      s => sq8SearchCellsRaw(cellTable, emb, cent, s, nProbes, excludeSelf))
+      s => sq8SearchCellsRaw(cellTable, emb, cent, s, nProbes, excludeSelf, rerankK))
 
   private def sq8SearchCellsRaw(
       cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
-      queries: DataFrame, nProbes: Int, excludeSelf: Boolean): DataFrame = {
+      queries: DataFrame, nProbes: Int, excludeSelf: Boolean,
+      rerankK: Int = RerankK): DataFrame = {
     val cells = cellTable.withColumn("__cs",
       pmod(col("nid"), lit(CellSalt)).cast("int"))
     val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq8"))
@@ -634,7 +851,7 @@ object Similarity {
     val coarse = dropSelf(cells.join(probes, Seq("cid", "__cs")), excludeSelf, "qid", "nid")
       .select(col("qid"), col("nid"),
         call_function("vec_dot_i8", col("nv8"), col("qq8")).as("cscore"))
-    rerank(saltedTopK(coarse, col("cscore"), RerankK).select(col("qid"), col("nid")),
+    rerank(saltedTopK(coarse, col("cscore"), rerankK).select(col("qid"), col("nid")),
       emb, queries)
   }
 
@@ -664,19 +881,46 @@ object Similarity {
     * sampled score-recall gate — not bit-identical to a flat build;
     * the oracle-checked seats keep the flat fixed-K build. Appends
     * ([[appendToIvfIndex]]) stay flat — O(|delta|·K) is delta-priced
-    * at any realistic delta; pass the same centroid table. */
+    * at any realistic delta; pass the same centroid table.
+    *
+    * `refineIters > 0` (two-level builds only) runs that many
+    * [[refineCentroidsTwoLevel]] Lloyd steps over the seed sample
+    * before assignment — the production dyn-K shape (r14 verdict
+    * task 1; see the refinement's Scaladoc for the measured why). The
+    * refined table is WRITTEN FIRST and read back for the cell
+    * assignment: one materialization cuts the K-row lineage out of
+    * the N-row build plan, and the cells are assigned against
+    * byte-for-byte the centroids every later search will probe.
+    *
+    * The cell write repartitions on cid: straight off the assignment
+    * aggregate every one of the shuffle's tasks writes a file into
+    * each `cid=` dir it touches — tasks×K tiny files (≈20k at the
+    * tile set's K=625: the 'dynK search wall' in IVF_DYNK_R14 was
+    * mostly per-file listing/open overhead, and at a real 100 TB
+    * index a million-file layout is an operational bug). Hashing on
+    * cid lands each cell in exactly one task → one file per cell,
+    * for one extra N-row exchange at build time. */
   def buildIvfIndex(emb: DataFrame, cent: DataFrame, path: String,
-      twoLevel: Option[(Int, Int)] = None): Unit = {
+      twoLevel: Option[(Int, Int)] = None, refineIters: Int = 0): Unit = {
+    require(refineIters == 0 || twoLevel.isDefined,
+      "refineIters is the dyn-K production knob — flat fixed-K builds refine via refineCentroids")
+    val cFinal = twoLevel match {
+      case Some((fineK, coarseK)) if refineIters > 0 =>
+        refineCentroidsTwoLevel(emb, cent, fineK, coarseK, refineIters)
+      case _ => cent
+    }
+    cFinal.write.mode("overwrite").parquet(s"$path/centroids")
+    val centR = emb.sparkSession.read.parquet(s"$path/centroids")
     val cells = twoLevel match {
       case Some((fineK, coarseK)) =>
-        assignTwoLevel(emb, cent, fineK, coarseK)
+        assignTwoLevel(emb, centR, fineK, coarseK)
           .select(col("vec_id").as("nid"), quantizeExpr(col("v")).as("nv8"), col("cid"))
-      case None => quantizedCells(emb, cent)
+      case None => quantizedCells(emb, centR)
     }
     cells
       .select(col("nid"), col("nv8"), col("cid"))
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** INCREMENTAL index maintenance — the ANN twin of
@@ -695,6 +939,7 @@ object Similarity {
     val cent = spark.read.parquet(s"$path/centroids")
     quantizedCells(embDelta, cent)
       .select(col("nid"), col("nv8"), col("cid"))
+      .repartition(col("cid")) // one delta file per touched cell, as at build
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
@@ -705,10 +950,12 @@ object Similarity {
     * runtime partition filter on the index scan. */
   def searchIvfIndex(
       spark: SparkSession, path: String, emb: DataFrame, queries: DataFrame,
-      nProbes: Int = SqNumProbes, excludeSelf: Boolean = true): DataFrame = {
+      nProbes: Int = SqNumProbes, excludeSelf: Boolean = true,
+      rerankK: Int = RerankK): DataFrame = {
     ensureRegistered(spark)
     val cent = spark.read.parquet(s"$path/centroids")
-    sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries, nProbes, excludeSelf)
+    sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries,
+      nProbes, excludeSelf, rerankK)
   }
 
   /** PQ geometry: M subspaces × Cn codes. 64 dims / 16 = 4-dim
@@ -1105,19 +1352,51 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cid"), col("v")), bestCent).as("a"))
         .select(col("a.cid").as("cid"), col("a.v").as("v"))
-      val means = asn
-        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cid"), col("i"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
-        .select(col("cid"), expr("transform(ms, e -> e.m)").as("mean_v"))
-      // a centroid whose cell attracted no vectors has no mean row —
-      // KEEP its previous position (the standard empty-cluster rule)
-      // so the table stays exactly K rows across iterations instead of
-      // silently shrinking
-      c = c.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mean_v"), col("cv")).as("cv"))
+      c = lloydMeans(c, asn)
+    }
+    c
+  }
+
+  /** One Lloyd mean step: per-cell component means over an assignment
+    * (cid, v), joined back so a centroid whose cell attracted no
+    * vectors KEEPS its previous position (the standard empty-cluster
+    * rule) — the table stays exactly K rows across iterations instead
+    * of silently shrinking. The mean shuffle is N×dims (cid, i) rows
+    * collapsing map-side to ≤ K×dims partials per task — linear in the
+    * corpus. Shared by the flat and two-level refinement paths so the
+    * empty-cell rule can never drift between them. */
+  private def lloydMeans(cent: DataFrame, asn: DataFrame): DataFrame = {
+    val means = asn
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("cid"), expr("transform(ms, e -> e.m)").as("mean_v"))
+    cent.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mean_v"), col("cv")).as("cv"))
+  }
+
+  /** Lloyd refinement at PRODUCTION K = dynCentroids(N) (r14 verdict
+    * task 1): the flat [[refineCentroids]] scores N×K per iteration —
+    * Θ(N²/cellSize) once K ∝ N — so the production form routes each
+    * iteration's assignment through [[assignTwoLevel]] (~3√K dots per
+    * vector, broadcast-degrading fine join) and shares [[lloydMeans]]
+    * for the mean step. The md5-order seed sample is IVF's weak point
+    * at dyn K — on the 10× tile set it measured 6.0× occupancy skew
+    * (a hot cell is a probe straggler) and recall@5 ≤ 0.43 at ≤10%
+    * probed cells (IVF_DYNK_R14.json); Lloyd steps move centroids to
+    * cell means, which is exactly what evens Voronoi occupancy and
+    * pulls probed-cell recall up. Approximate like its assignment
+    * (monitored by the same regret/score-recall gates); measured in
+    * dev/ivf_dynk.sh and pinned by ScaleSpec's clustered-fixture
+    * contract. */
+  def refineCentroidsTwoLevel(emb: DataFrame, cent: DataFrame,
+      fineK: Int, coarseK: Int, iterations: Int = 1): DataFrame = {
+    var c = cent
+    (0 until iterations).foreach { _ =>
+      c = lloydMeans(c,
+        assignTwoLevel(emb, c, fineK, coarseK).select(col("cid"), col("v")))
     }
     c
   }
@@ -1996,163 +2275,143 @@ object Similarity {
     //     HUGEINT matches it to ~1e38, far past any real corpus, and
     //     avoids DuckDB's 38-digit decimal-multiply width cap).
     QueryDef(
-      "embed_pca", {
-        val iters = (1 to PcaIters).map { t =>
-          s"""p$t AS (SELECT C, list_transform(w, x -> x / mx) AS v FROM (
-             |  SELECT C, w, list_max(list_transform(w, y -> abs(y))) AS mx FROM (
-             |    SELECT C, list_transform(generate_series(1, $Dims), i -> list_inner_product(C[i], v)) AS w
-             |    FROM p${t - 1})))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
-           |                    x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-           |           FROM embeddings),
-           |n AS (SELECT COUNT(*) AS n FROM e),
-           |m AS (SELECT i.i, j.j,
-           |             SUM(CAST(q[i.i] * q[j.j] AS HUGEINT)) AS m
-           |      FROM e, generate_series(1, $Dims) i(i), generate_series(1, $Dims) j(j)
-           |      WHERE j.j >= i.i GROUP BY i.i, j.j),
-           |s AS (SELECT i.i, SUM(CAST(q[i.i] AS HUGEINT)) AS s
-           |      FROM e, generate_series(1, $Dims) i(i) GROUP BY i.i),
-           |cu AS (SELECT m.i, m.j,
-           |              CAST(CAST(n.n AS HUGEINT) * m.m - sa.s * sb.s AS DOUBLE) AS c
-           |       FROM m, n
-           |       JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j),
-           |cf AS (SELECT i, j, c FROM cu
-           |       UNION ALL SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
-           |cm AS (SELECT list(lc ORDER BY i) AS C FROM (
-           |        SELECT i, list(c ORDER BY j) AS lc FROM cf GROUP BY i)),
-           |p0 AS (SELECT C, list_transform(generate_series(1, $Dims), x -> 1.0) AS v FROM cm),
-           |$iters,
-           |fin AS (SELECT C, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS l0
-           |        FROM p$PcaIters),
-           |sg AS (SELECT C, CASE WHEN l0[1] < 0 THEN list_transform(l0, x -> -x) ELSE l0 END AS l
-           |       FROM fin),
-           |ray AS (SELECT l,
-           |          list_inner_product(l, list_transform(generate_series(1, $Dims),
-           |            i -> list_inner_product(C[i], l))) AS lam,
-           |          list_inner_product(
-           |            list_transform(generate_series(1, $Dims), i -> C[i][i]),
-           |            list_transform(generate_series(1, $Dims), i -> 1.0)) AS tr
-           |        FROM sg)
-           |SELECT CAST(i.i AS BIGINT) AS component,
-           |       ${Portable.Quant6Sql("l[i.i]")} AS loading,
-           |       ${Portable.Quant6Sql("lam / tr")} AS var_share
-           |FROM ray, generate_series(1, $Dims) i(i)""".stripMargin
-      }) { (spark, dir) =>
-      val emb = embV(spark, dir)
-      import spark.implicits._
-      // per-partition moment accumulator (r14 verdict task 3: the old
-      // ×(dims²/2 + dims + 1) per-row struct explode materialized
-      // ~2,145 rows per VECTOR before the hash aggregate — 76.5 s at
-      // 100×; the moments are classic per-partition imperative state,
-      // the Misra-Gries mapPartitions escape hatch). Each task folds
-      // its rows into ONE fixed (1 + dims + dims·(dims+1)/2)-slot
-      // array — count, component sums S, upper-triangle products M —
-      // accumulating in Long and flushing into exact BigIntegers every
-      // 4096 rows (|q| ≤ 1e6 ⇒ |q_i·q_j| ≤ 1e12; 4096·1e12 ≈ 4e15, a
-      // 2000× margin under Long.Max — so the fold is overflow-proof at
-      // ANY corpus size while staying integer-exact). Every task then
-      // emits its ≤ 2,145 partials ONCE (as decimal strings — exact,
-      // and independent of the encoder's default decimal scale), and
-      // the same tiny-key aggregate + bounded collect follow: the
-      // shuffle now carries tasks·dims²/2 rows instead of N·dims²/2.
-      val nTri = Dims * (Dims + 1) / 2
-      val rows = emb
-        .select(expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))").as("q"))
-        .as[Seq[Long]]
-        .mapPartitions { it =>
-          val slots = 1 + Dims + nTri
-          val acc = Array.fill(slots)(java.math.BigInteger.ZERO)
-          val run = new Array[Long](slots)
-          var pending = 0
-          def flush(): Unit = {
-            var k = 0
-            while (k < slots) {
-              if (run(k) != 0L) {
-                acc(k) = acc(k).add(java.math.BigInteger.valueOf(run(k)))
-                run(k) = 0L
-              }
-              k += 1
-            }
-            pending = 0
-          }
-          while (it.hasNext) {
-            val q = it.next().toArray
-            run(0) += 1L
-            var i = 0
-            while (i < Dims) { run(1 + i) += q(i); i += 1 }
-            var idx = 1 + Dims
-            i = 0
-            while (i < Dims) {
-              val qi = q(i)
-              var j = i
-              while (j < Dims) { run(idx) += qi * q(j); idx += 1; j += 1 }
-              i += 1
-            }
-            pending += 1
-            if (pending >= 4096) flush()
-          }
-          flush()
-          val out = Array.newBuilder[(Int, Int, String)]
-          out += ((0, 0, acc(0).toString))
-          var i = 1
-          while (i <= Dims) { out += ((i, 0, acc(i).toString)); i += 1 }
-          var idx = 1 + Dims
-          i = 1
-          while (i <= Dims) {
-            var j = i
-            while (j <= Dims) { out += ((i, j, acc(idx).toString)); idx += 1; j += 1 }
-            i += 1
-          }
-          out.result().iterator
-        }
-        .toDF("i", "j", "ms")
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("ms").cast("decimal(38,0)")).as("m"))
-        .collect()
-      // exact scaled covariance C = n·M − S·Sᵀ in BigDecimal, then one
-      // correctly-rounded conversion to double per cell — identical to
-      // the oracle's DECIMAL-to-DOUBLE cast
-      val sV = Array.fill(Dims)(BigDecimal(0))
-      var nB = BigDecimal(0)
-      rows.foreach { r =>
-        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        if (i == 0 && j == 0) nB = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
-        else if (j == 0) sV(i - 1) = BigDecimal(r.getAs[java.math.BigDecimal]("m"))
-      }
-      val c = Array.ofDim[Double](Dims, Dims)
-      rows.foreach { r =>
-        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        if (i >= 1 && j >= 1) {
-          val v = (nB * BigDecimal(r.getAs[java.math.BigDecimal]("m"))
-            - sV(i - 1) * sV(j - 1)).toDouble
-          c(i - 1)(j - 1) = v; c(j - 1)(i - 1) = v
-        }
-      }
-      // ascending-index double loops — the exact op order the oracle's
-      // list_inner_product element iteration replays
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var k = 0
-        while (k < Dims) { s += a(k) * b(k); k += 1 }
-        s
-      }
-      var v = Array.fill(Dims)(1.0)
-      for (_ <- 1 to PcaIters) {
-        val w = Array.tabulate(Dims)(i => dot(c(i), v))
-        val mx = w.map(math.abs).max
-        v = w.map(_ / mx)
-      }
-      val nrm = math.sqrt(dot(v, v))
-      val l0 = v.map(_ / nrm)
-      val l = if (l0(0) < 0) l0.map(-_) else l0
-      val lam = dot(l, Array.tabulate(Dims)(i => dot(c(i), l)))
-      val ones = Array.fill(Dims)(1.0)
-      val tr = dot(Array.tabulate(Dims)(i => c(i)(i)), ones)
-      val share = lam / tr
+      "embed_pca",
+      s"""WITH $pcaBaseCtes,
+         |${pcaChainCtes("1", "cm")}
+         |SELECT CAST(i.i AS BIGINT) AS component,
+         |       ${Portable.Quant6Sql("l[i.i]")} AS loading,
+         |       ${Portable.Quant6Sql("lam / tr")} AS var_share
+         |FROM ray1, tr, generate_series(1, $Dims) i(i)""".stripMargin) { (spark, dir) =>
+      val c = pcaCovariance(embV(spark, dir))
+      val (l, lam) = pcaPower(c)
+      val share = lam / pcaTrace(c)
       def q6(x: Double): Double = math.floor(x * 1e6) / 1e6
       import spark.implicits._
       (1 to Dims).map(i => (i.toLong, q6(l(i - 1)), q6(share)))
         .toDF("component", "loading", "var_share")
+    },
+
+    // L56 — top-K principal components by Hotelling DEFLATION (r14
+    // verdict task 7a): after extracting (λ₁, l₁), the next power
+    // iteration runs on C − λ₁·l₁·l₁ᵀ — the rank-1 update that zeroes
+    // the found eigenvalue and leaves every other eigenpair intact —
+    // so the whitening story gets [[PcaTopK]] axes instead of one.
+    // Same two-stage scale shape as embed_pca (the covariance is
+    // computed ONCE; deflation and the extra iterations are pure
+    // dims²-bounded driver arithmetic — more components cost zero
+    // additional Spark work), and the oracle replays each deflation
+    // step with the identical left-associated `C[i][j] − lam·l[i]·l[j]`
+    // so every chain starts from bit-identical doubles. var_share is
+    // each λ over the ORIGINAL trace (deflation preserves the
+    // remaining spectrum exactly), so shares are comparable and
+    // descending — the spec pins both that and pairwise
+    // orthogonality.
+    QueryDef(
+      "embed_pca_topk", {
+        val chains = (1 to PcaTopK).map { pc =>
+          val src = if (pc == 1) "cm" else s"df${pc - 1}"
+          pcaChainCtes(pc.toString, src) +
+            (if (pc < PcaTopK) ",\n" + pcaDeflateCte(pc.toString) else "")
+        }.mkString(",\n")
+        val branches = (1 to PcaTopK).map { pc =>
+          s"""SELECT CAST($pc AS BIGINT) AS pc, CAST(i.i AS BIGINT) AS component,
+             |       ${Portable.Quant6Sql("l[i.i]")} AS loading,
+             |       ${Portable.Quant6Sql("lam / tr")} AS var_share
+             |FROM ray$pc, tr, generate_series(1, $Dims) i(i)""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH $pcaBaseCtes,
+           |$chains
+           |$branches""".stripMargin
+      }) { (spark, dir) =>
+      val c0 = pcaCovariance(embV(spark, dir))
+      val tr = pcaTrace(c0)
+      def q6(x: Double): Double = math.floor(x * 1e6) / 1e6
+      var c = c0
+      val rows = (1 to PcaTopK).flatMap { pc =>
+        val (l, lam) = pcaPower(c)
+        if (pc < PcaTopK) c = pcaDeflate(c, l, lam)
+        (1 to Dims).map(i => (pc.toLong, i.toLong, q6(l(i - 1)), q6(lam / tr)))
+      }
+      import spark.implicits._
+      rows.toDF("pc", "component", "loading", "var_share")
+    },
+
+    // L57 — distribution drift ALONG the dominant axis (r14 verdict
+    // task 7b): embed_drift watches per-component means, embed_pca
+    // finds the direction that carries the variance — this composes
+    // them with events_ks_drift's exact-integer KS machinery into the
+    // monitor a re-embedding backfill actually wants: "did the
+    // distribution shift along the direction that matters?". Stage
+    // shapes: the covariance + power iteration produce the axis
+    // (driver-side, dims²-bounded); ONE more corpus scan projects
+    // every vector onto it (vec_dot — the ordered fold
+    // list_inner_product replays) and micro-quantizes the projection
+    // (exact BIGINT group keys — float keys would need bit-equal
+    // grouping across engines); the two md5 halves' ECDFs meet in the
+    // integer KS statistic max|ca·nb − cb·na| (DECIMAL(30,0) exact —
+    // the events_ks_drift shape: the running sum rides the
+    // value-domain aggregate, ≤|distinct projections| rows, via
+    // Distributed.globalRunning, never a corpus-sized window), with
+    // ONE double division at the end. Ties at the max break to the
+    // smallest axis position; the ÷0 guard (one half empty) yields
+    // NULL identically in both engines (the embed_drift rule).
+    QueryDef(
+      "embed_axis_drift",
+      s"""WITH $pcaBaseCtes,
+         |${pcaChainCtes("1", "cm")},
+         |pr AS (SELECT substr(md5('h' || CAST(e0.vec_id AS VARCHAR)), 1, 1) < '8' AS in_a,
+         |              CAST(floor(list_inner_product(CAST(e0.embedding AS DOUBLE[]), sg1.l)
+         |                         * 1000000) AS BIGINT) AS p
+         |       FROM embeddings e0, sg1),
+         |nn AS (SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |              CAST(COUNT(*) - SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |       FROM pr),
+         |g AS (SELECT p, CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |             CAST(COUNT(*) - SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM pr GROUP BY p),
+         |r AS (SELECT p,
+         |             SUM(CAST(ca AS DECIMAL(30,0)) * nb - CAST(cb AS DECIMAL(30,0)) * na)
+         |               OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dsum
+         |      FROM g, nn),
+         |mx AS (SELECT MAX(ABS(dsum)) AS mxd FROM r)
+         |SELECT nn.na AS n_a, nn.nb AS n_b,
+         |       CASE WHEN nn.na > 0 AND nn.nb > 0 THEN
+         |         ${Portable.Quant6Sql(
+              "CAST(mx.mxd AS DOUBLE) / (CAST(nn.na AS DOUBLE) * CAST(nn.nb AS DOUBLE))")}
+         |       END AS ks_stat,
+         |       CAST((SELECT MIN(p) FROM r WHERE ABS(dsum) = mx.mxd) AS BIGINT) AS ks_at_micro
+         |FROM mx, nn""".stripMargin) { (spark, dir) =>
+      ensureRegistered(spark)
+      val emb = embV(spark, dir)
+      val (l, _) = pcaPower(pcaCovariance(emb))
+      val axis = array(l.toIndexedSeq.map(lit): _*)
+      val pr = emb.select(
+        (substring(md5(concat(lit("h"), col("vec_id").cast("string"))), 1, 1) < "8")
+          .as("in_a"),
+        floor(call_function("vec_dot", col("v"), axis) * lit(1000000))
+          .cast("long").as("p"))
+      val cAll = Portable.countAll
+      val n = pr.agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        (cAll - sum(when(col("in_a"), 1L).otherwise(0L))).as("nb"))
+      val g = pr.groupBy(col("p"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+          (cAll - sum(when(col("in_a"), 1L).otherwise(0L))).as("cb"))
+      val d = g.crossJoin(broadcast(n))
+        .select(lit(1L).as("grp"), col("p"),
+          (col("ca").cast("decimal(30,0)") * col("nb")
+            - col("cb").cast("decimal(30,0)") * col("na")).as("d"))
+      val ranked = Distributed.globalRunning(d, Seq("grp"), Seq("p"), Some("d"))
+        .select(col("p"), col("g_run").as("dsum"))
+      val m = ranked.agg(max(abs(col("dsum"))).as("mxd"))
+      val at = ranked.crossJoin(broadcast(m))
+        .filter(abs(col("dsum")) === col("mxd"))
+        .agg(min(col("p")).as("ks_at_micro"))
+      m.crossJoin(broadcast(n)).crossJoin(broadcast(at))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          when(col("na") > 0 && col("nb") > 0,
+            Portable.quant6(col("mxd").cast("double")
+              / (col("na").cast("double") * col("nb").cast("double")))).as("ks_stat"),
+          col("ks_at_micro"))
     },
 
     // L37 — hard-negative mining for contrastive training: for each
