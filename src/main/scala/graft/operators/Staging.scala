@@ -64,6 +64,14 @@ private[graft] object Staging {
       }))
       .getOrElse("/tmp")
 
+  /** The staged-root key WITHOUT a filesystem location — for per-JVM
+    * in-MEMORY memos of small deterministic build products (e.g. the
+    * PCA family's dims²-bounded covariance): same rebuild-on-rewrite
+    * and no-cross-JVM-sharing semantics as a staged root, no disk. */
+  def memoKey(spark: SparkSession, dir: String, kind: String, table: String): String =
+    s"${kind}_" + Portable.md5Hex(dir).take(12) +
+      "_" + corpusFingerprint(spark, dir, table) + "_" + spark.sparkContext.applicationId
+
   /** Scratch root for a per-JVM staged index over `dir`'s `table`,
     * keyed as documented on the object, registered for deletion at
     * JVM exit. */
