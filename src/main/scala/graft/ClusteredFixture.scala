@@ -35,9 +35,18 @@ object ClusteredFixture {
       clusters: Int = 400, noise: Double = 0.25): DataFrame = {
     val center = u(s"concat('c_', CAST(vec_id % $clusters AS STRING), '_', CAST(j AS STRING))")
     val jitter = u(s"concat('n_', CAST(vec_id AS STRING), '_', CAST(j AS STRING))")
+    // components stay INSIDE the SQ8 quantizer's design range: center +
+    // noise·jitter spans [-(1+noise), 1+noise], and floor(x·127) clamps
+    // at [-128, 127], so the raw sum would saturate a nontrivial
+    // fraction of components — the clustered recall measurements would
+    // then partly price CLIPPING distortion rather than the near-tie
+    // quantization-noise effect the fixture exists to exercise (r15
+    // advice). Dividing by (1+noise) rescales the whole corpus
+    // uniformly: cosine geometry (cluster structure, near-tie margins
+    // RELATIVE to vector norm) is scale-invariant, saturation is gone.
     spark.range(n)
       .select(col("id").as("vec_id"), (col("id") % clusters).as("label"))
       .withColumn("v",
-        expr(s"transform(sequence(1, $dims), j -> $center + $noise * $jitter)"))
+        expr(s"transform(sequence(1, $dims), j -> ($center + $noise * $jitter) / ${1.0 + noise})"))
   }
 }

@@ -306,7 +306,13 @@ object Corpus {
     * decide() output (ids + booleans — parquet round-trips them
     * exactly), single-writer per JVM, fingerprint-keyed so a
     * rewritten corpus rebuilds, swept at JVM exit; QueriesSpec
-    * asserts staged == inline. */
+    * asserts staged == inline. The fingerprint on documents.parquet
+    * covers EVERY input of decide(): the contamination "benchmark"
+    * is Decontam.isBench — an md5 split of the same documents table,
+    * not a separate file (r15 advice adjudicated) — so a rewrite of
+    * any input is a rewrite of documents.parquet. A caller wiring a
+    * genuinely separate benchmark table through decide() must fold
+    * that table's fingerprint into this key too. */
   private[graft] def decideStaged(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {

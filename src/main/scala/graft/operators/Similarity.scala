@@ -243,10 +243,23 @@ object Similarity {
     * invocation still returns the identical rows. */
   private val pcaCovMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-  private def pcaCovarianceFor(spark: SparkSession, dir: String): Array[Array[Double]] =
-    pcaCovMemo.computeIfAbsent(
-      Staging.memoKey(spark, dir, "pcacov", "embeddings.parquet"),
-      _ => pcaCovariance(embV(spark, dir)))
+  private def pcaCovarianceFor(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    // the distributed moment scan runs OUTSIDE the map operation:
+    // computeIfAbsent would hold the bin lock for the whole Spark job,
+    // serializing concurrent first-touch from parallel suites and
+    // making any re-entrant same-key access throw per the
+    // computeIfAbsent contract (r15 advice). The value is
+    // deterministic from the corpus, so a lost race costs one
+    // duplicate scan and putIfAbsent keeps one winner.
+    val key = Staging.memoKey(spark, dir, "pcacov", "embeddings.parquet")
+    val hit = pcaCovMemo.get(key)
+    if (hit != null) hit
+    else {
+      val built = pcaCovariance(embV(spark, dir))
+      val prev = pcaCovMemo.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Ascending-index double dot — the exact op order the oracle's
     * list_inner_product element iteration replays. */
@@ -475,6 +488,19 @@ object Similarity {
   private val NumCentroids = 16
   private val NumProbes = 4 // IVF cells searched per query (ann_ivf)
   private val RerankK = 4 * TopK // coarse candidates per query kept for exact rerank
+  /** Production rerank width for the IVF×SQ8 seats (`ann_ivf_sq8`,
+    * `ann_index_lifecycle`) — r15's clustered-fixture measurement made
+    * the 4·k cut the bad point on the curve: a tight cluster puts
+    * hundreds of candidates inside the int8 coarse scan's quantization
+    * noise, capping recall@5 at ~0.35, while width 128 measures
+    * 0.84–0.86 at 1–10% probed cells for flat cost (rerank is
+    * Q·rerankK exact cosines — workload-sized, never corpus-sized).
+    * k-scaled so a caller raising TopK keeps a sane cut; the shared
+    * DuckDB oracle (`ivfSq8Sql`) replays the same width, so parity is
+    * regenerated, not broken (r15 verdict task 1). ann_quantized keeps
+    * RerankK: its coarse pass scans the FULL corpus (no cell routing
+    * to lose candidates), measured recall@5 = 1.0 at the 4·k cut. */
+  private[graft] val SqRerankK = math.max(4 * TopK, 128)
   // ann_ivf_sq8 probes more cells than ann_ivf: the int8 coarse pass
   // makes a probed cell ~8× cheaper to scan than the float64 column,
   // so the IVFADC composition spends that saving on recall (>= 0.9
@@ -801,8 +827,8 @@ object Similarity {
     * exact rerank on the survivors). vs `ann_quantized`, the coarse
     * scan shrinks from N to nProbe/K·N rows; vs `ann_ivf`, the in-cell
     * scan reads the 8×-narrower int8 column and pays full-precision
-    * cosine only for RerankK survivors per query, which is what lets
-    * it probe 2.5× more cells for recall at similar cost.
+    * cosine only for [[SqRerankK]] survivors per query, which is what
+    * lets it probe 2.5× more cells for recall at similar cost.
     *
     * Stage shapes: assignment O(N·K) map-side aggregate; ONE keyed
     * join attaches each corpus row's int8 vector to its cell; probes
@@ -846,21 +872,22 @@ object Similarity {
     * int8 coarse scan's quantization noise, so the true top-k is
     * frequently outside a 4·k coarse cut while trivially inside a
     * 64-128 wide one — and rerank cost is Q·rerankK exact cosines,
-    * workload-sized, never corpus-sized. The oracle-checked seats
-    * keep the default (bit-parity with the DuckDB twin's crn cut). */
+    * workload-sized, never corpus-sized. Since r16 the DEFAULT is the
+    * production width [[SqRerankK]] and the shared oracle replays the
+    * same cut; the sq8 gate floor rises with it ([[SqGateFloor]]). */
   private def sq8SearchCells(
       cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
       queries: DataFrame, nProbes: Int, excludeSelf: Boolean,
-      rerankK: Int = RerankK): DataFrame =
+      rerankK: Int = SqRerankK): DataFrame =
     gateSampledRecall(
       sq8SearchCellsRaw(cellTable, emb, cent, queries, nProbes, excludeSelf, rerankK),
-      emb, queries, excludeSelf, "ann_ivf_sq8")(
+      emb, queries, excludeSelf, "ann_ivf_sq8", SqGateFloor)(
       s => sq8SearchCellsRaw(cellTable, emb, cent, s, nProbes, excludeSelf, rerankK))
 
   private def sq8SearchCellsRaw(
       cellTable: DataFrame, emb: DataFrame, cent: DataFrame,
       queries: DataFrame, nProbes: Int, excludeSelf: Boolean,
-      rerankK: Int = RerankK): DataFrame = {
+      rerankK: Int = SqRerankK): DataFrame = {
     val cells = cellTable.withColumn("__cs",
       pmod(col("nid"), lit(CellSalt)).cast("int"))
     val q8 = quantize(queries).select(col("vec_id").as("qid"), col("qv").as("qq8"))
@@ -970,7 +997,7 @@ object Similarity {
   def searchIvfIndex(
       spark: SparkSession, path: String, emb: DataFrame, queries: DataFrame,
       nProbes: Int = SqNumProbes, excludeSelf: Boolean = true,
-      rerankK: Int = RerankK): DataFrame = {
+      rerankK: Int = SqRerankK): DataFrame = {
     ensureRegistered(spark)
     val cent = spark.read.parquet(s"$path/centroids")
     sq8SearchCells(spark.read.parquet(s"$path/cells"), emb, cent, queries,
@@ -1485,6 +1512,16 @@ object Similarity {
     * Tight per-method id-recall floors stay in ScaleSpec where the
     * query population is the full default sample. */
   private[graft] val AnnGateFloor = 0.3
+  /** The sq8 seats' raised collapse floor (r15 verdict task 1): at the
+    * production rerank width [[SqRerankK]] the clustered fixture
+    * measures id-recall@5 0.84–0.86 and score recall strictly above it
+    * (healthy paths measure ≈0.8–1.0 at every tested scale), so 0.6
+    * sits well under the healthy band while a broken candidate route
+    * (≈random-cosine survivors) still pays ≈0. The PQ paths keep
+    * [[AnnGateFloor]] — their 16-code budgets were not re-measured at
+    * a wider width, and a floor above the measured band would turn the
+    * collapse detector into a flaky assertion. */
+  private[graft] val SqGateFloor = 0.6
   private[graft] val GateSampleQ = 8
 
   /** One-row gated score-recall frame over a sampled query batch's
@@ -1494,7 +1531,7 @@ object Similarity {
     * Both inputs carry the search contract's exact `score` column
     * (every path's rerank emits the full-precision quant6 cosine). */
   private[graft] def sampledRecallFrame(brute: DataFrame, approx: DataFrame,
-      query: String): DataFrame = {
+      query: String, gateFloor: Double = AnnGateFloor): DataFrame = {
     def mass(df: DataFrame, as: String) =
       df.agg(coalesce(sum(floor(col("score") * lit(1000000.0) + lit(0.5))
         .cast("long")), lit(0L)).as(as))
@@ -1515,9 +1552,9 @@ object Similarity {
       // read as score_recall > 1 — the division is only trusted for
       // positive brute mass (r11 advice).
       (col("n_baseline") === 0 || col("q_brute") <= 0L
-        || col("score_recall") >= AnnGateFloor,
+        || col("score_recall") >= gateFloor,
         graft.functions.Gates.msg(query, s"sampled score recall@$TopK",
-          AnnGateFloor, col("score_recall"))))
+          gateFloor, col("score_recall"))))
   }
 
   /** Attach the sampled-recall gate to a search result: the gate frame
@@ -1531,14 +1568,15 @@ object Similarity {
     * identical to the main result's, so exchange reuse pays them once
     * — bench-verified, not assumed. */
   private def gateSampledRecall(result: DataFrame, emb: DataFrame,
-      queries: DataFrame, excludeSelf: Boolean, query: String)
+      queries: DataFrame, excludeSelf: Boolean, query: String,
+      gateFloor: Double = AnnGateFloor)
       (approxOf: DataFrame => DataFrame): DataFrame = {
     val sample = queries
       .orderBy(md5(concat(lit("anngate"), col("vec_id").cast("string"))), col("vec_id"))
       .limit(GateSampleQ)
     val frame = sampledRecallFrame(
       bruteForce(emb, sample, broadcastQueries = true, excludeSelf),
-      approxOf(sample), query)
+      approxOf(sample), query, gateFloor)
     result.crossJoin(broadcast(frame.select(lit(1).as("__gate")))).drop("__gate")
   }
 
@@ -1669,7 +1707,7 @@ object Similarity {
        |ck AS (SELECT qid, nid FROM (
        |   SELECT qid, nid,
        |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, nid) AS crn
-       |   FROM co) t WHERE crn <= $RerankK),
+       |   FROM co) t WHERE crn <= $SqRerankK),
        |sc AS (SELECT ck.qid, ck.nid,
        |              ${quantCos.format("eq.v", "en.v")} AS score
        |       FROM ck JOIN e eq ON eq.vec_id = ck.qid JOIN e en ON en.vec_id = ck.nid),

@@ -48,19 +48,29 @@ private[graft] object Staging {
     Portable.md5Hex(s"${sum.getFileCount}_${sum.getLength}").take(8)
   }
 
+  /** Minimum usable space for auto-selecting a tmpfs scratch base.
+    * Containers commonly mount /dev/shm at its 64 MB default, and the
+    * staged roots accumulate until JVM exit (every ANN index + the
+    * dedup band index + the decide table), so a writable-but-tiny shm
+    * would ENOSPC mid-sweep where /tmp kept working — and tmpfs pages
+    * compete with the JVM heap for RAM, so a nearly-full one is a
+    * liability even before the write fails (r15 advice). 2 GiB covers
+    * the quantized-corpus-sized indexes at the 100× sweep scale with
+    * headroom. */
+  private val MinScratchBytes = 2L << 30
+
   /** Scratch base for staged roots: a RAM-backed tmpfs when one
-    * exists (r14 verdict task 5 — the lifecycle seat's
+    * exists WITH space (r14 verdict task 5 — the lifecycle seat's
     * copy/append/compact cycle is fs-bound, and /tmp-on-disk
     * page-cache state made same-code runs oscillate 4.4-5.6 s; index
     * scratch is per-JVM throwaway, exactly what tmpfs is for), else
-    * /tmp. Staged indexes are MBs at bench scale and bounded by the
-    * quantized corpus at sweep scale — far under any real tmpfs.
-    * SPARK_GRAFT_STAGING_DIR overrides on boxes where neither default
-    * fits. */
+    * /tmp. SPARK_GRAFT_STAGING_DIR overrides on boxes where neither
+    * default fits. */
   private lazy val scratchBase: String =
     sys.env.get("SPARK_GRAFT_STAGING_DIR")
       .orElse(Seq("/dev/shm").find(p => {
-        val f = new java.io.File(p); f.isDirectory && f.canWrite
+        val f = new java.io.File(p)
+        f.isDirectory && f.canWrite && f.getUsableSpace >= MinScratchBytes
       }))
       .getOrElse("/tmp")
 

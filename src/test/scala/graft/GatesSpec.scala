@@ -119,6 +119,15 @@ class GatesSpec extends SparkSuite {
     val none = graft.operators.Similarity
       .sampledRecallFrame(brute.limit(0), brute.limit(0), "ann_pq").head
     assert(none.getAs[Long]("n_baseline") === 0L)
+    // the sq8 seats' RAISED floor (r16 — the production rerank width
+    // lifted the healthy band, so their collapse detector tightened
+    // with it): a degradation that would slip past the PQ paths' 0.3
+    // floor still kills the sq8 plan at SqGateFloor = 0.6
+    val halfDead = brute.withColumn("score", lit(0.45)) // 0.45/0.9 = 0.5
+    firesWith("sampled score recall@5 below floor 0.6, got 0.5") {
+      graft.operators.Similarity.sampledRecallFrame(
+        brute, halfDead, "ann_ivf_sq8", graft.operators.Similarity.SqGateFloor).collect()
+    }
     // end-to-end: the gate rides the production query's RETURNED plan
     // (schema and rows byte-identical to the ungated form is asserted
     // by the driver's hash check; here: the gate columns must not leak)
