@@ -177,6 +177,66 @@ case class VecDotI8(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static eval helper for [[Md5Words]] — a top-level object WITHOUT a
+  * companion class, so scalac emits true static forwarders and the
+  * generated Java can call `graft.functions.Md5Hash.words(x)`
+  * directly. One thread-local MessageDigest per executor thread: the
+  * shingle family hashes hundreds of grams per document, and a
+  * per-call getInstance lookup was measurable at that rate. */
+object Md5Hash {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** The first two 32-bit words of md5(s) as [h1, h2] — numerically
+    * identical to `conv(substring(md5(s), 1, 8), 16, 10)` /
+    * `conv(substring(md5(s), 9, 8), 16, 10)` (big-endian unsigned over
+    * digest bytes 0–3 / 4–7), skipping the 32-char hex encode and the
+    * two substring+conv string round-trips. */
+  def words(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val d = md.get(); d.reset()
+    val g = d.digest(s.getBytes)
+    val h1 = ((g(0) & 0xffL) << 24) | ((g(1) & 0xffL) << 16) |
+      ((g(2) & 0xffL) << 8) | (g(3) & 0xffL)
+    val h2 = ((g(4) & 0xffL) << 24) | ((g(5) & 0xffL) << 16) |
+      ((g(6) & 0xffL) << 8) | (g(7) & 0xffL)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(h1, h2))
+  }
+}
+
+/** `md5_words(s)` → ARRAY<BIGINT> [h1, h2]: the two 32-bit md5 words
+  * the whole minhash/shingle family keys on (SURVEY §4's portable-hash
+  * rule derives every LSH key from md5). The composable form —
+  * `conv(substring(md5(s), 1, 8), 16, 10)` — pays a 32-char hex
+  * encode, two substring allocations, and two radix parses per
+  * shingle ON TOP of the digest; at ~500 shingles/doc that round-trip
+  * was the largest CPU line in the r15 suite (text_ngram_jaccard:
+  * 30.9 s executor CPU for 1.9 s wall). This expression digests the
+  * UTF8 bytes and emits the two longs directly; values are
+  * bit-identical to the conv form (spec-asserted), so every consumer
+  * keeps its DuckDB oracle unchanged. */
+case class Md5Words(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_words"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    Md5Hash.words(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash.words($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Words =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   /** Register vec_dot / vec_cosine / vec_dot_i8 in the session's
     * function registry (idempotent) so Column code can reach them via
@@ -193,6 +253,8 @@ object VecExpressions {
       "vec_cosine", exprs => VecCosine(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_i8", exprs => VecDotI8(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_words", exprs => Md5Words(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

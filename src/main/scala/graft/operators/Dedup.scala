@@ -91,9 +91,13 @@ object Dedup {
     * at cluster scale the repartition also decouples parallelism from
     * upstream file layout for what is the most compute-dense map stage
     * in the engine). */
-  private[operators] def tokenized(docs: DataFrame): DataFrame =
+  private[operators] def tokenized(docs: DataFrame): DataFrame = {
+    // md5_words rides every downstream shingle expression — register
+    // it with the session at the scan so tk relations arrive ready
+    graft.functions.VecExpressions.register(docs.sparkSession)
     docs.repartition(col("doc_id"))
       .withColumn("tk", split(col("text"), " ")).drop("text")
+  }
 
   /** Split-only tokenization WITHOUT [[tokenized]]'s doc_id
     * repartition, for relations consumed ONLY through doc_id
@@ -105,8 +109,10 @@ object Dedup {
     * numbers: the staged dedup_incremental seat still burned
     * corpus-proportional CPU). The full pipeline keeps [[tokenized]] —
     * it explodes every doc, so co-partitioning up front is right. */
-  private def tokenizedAtScan(docs: DataFrame): DataFrame =
+  private def tokenizedAtScan(docs: DataFrame): DataFrame = {
+    graft.functions.VecExpressions.register(docs.sparkSession)
     docs.withColumn("tk", split(col("text"), " ")).drop("text")
+  }
 
   /** Exploded shingle hash words of `docs` (doc_id, text, …):
     * one row per (doc_id, h1, h2), DISTINCT — the set semantics the
@@ -118,21 +124,28 @@ object Dedup {
   private def hashWords(docs: DataFrame): DataFrame =
     shingleWords(tokenized(docs))
 
-  /** The per-doc shingle-md5 array expression over a `tk` column — ONE
-    * definition shared by the signature stage and the verify stage (the
-    * oracle mirrors it bit-for-bit, so the two Spark copies must never
-    * drift from each other either). */
-  private[operators] val shingleMd5Transform: String =
+  /** The per-doc shingle hash-WORD array expression over a `tk` column
+    * — ONE definition shared by the signature stage and the verify
+    * stage (the oracle mirrors it bit-for-bit, so the two Spark copies
+    * must never drift from each other either). Each element is the
+    * ARRAY<BIGINT> [h1, h2] of `md5_words` (graft.functions.Md5Words):
+    * numerically identical to the conv(substring(md5(..), …), 16, 10)
+    * pair every oracle replays, WITHOUT the 32-char hex encode and two
+    * substring+conv parses per shingle — that round-trip was the
+    * suite's largest CPU line at ~500 shingles/doc (r15 verdict
+    * task 5; Md5Words' Scaladoc has the numbers). Callers must have
+    * `md5_words` registered — [[tokenized]]/[[tokenizedAtScan]] do it
+    * at the scan, so every tk relation arrives ready. */
+  private[operators] val shingleWordsTransform: String =
     s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
-      s"i -> md5(array_join(slice(tk, i + 1, $ShingleLen), ' ')))"
+      s"i -> md5_words(array_join(slice(tk, i + 1, $ShingleLen), ' ')))"
 
   /** Same, over an already-tokenized (doc_id, tk) relation. */
   private def shingleWords(tok: DataFrame): DataFrame =
     tok
-      .select(col("doc_id"), explode(expr(shingleMd5Transform)).as("m"))
+      .select(col("doc_id"), explode(expr(shingleWordsTransform)).as("w"))
       .select(col("doc_id"),
-        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+        col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
       .distinct()
 
   /** Verified near-duplicate pairs (doc_a < doc_b, jaccard >= 0.7).
@@ -200,14 +213,10 @@ object Dedup {
     * needs from the already-screened corpus. */
   private[operators] def bandKeysFrom(tok: DataFrame): DataFrame = {
     val hsArr = tok
-      .select(col("doc_id"), expr(shingleMd5Transform).as("ms"))
-      .select(col("doc_id"),
-        expr("transform(ms, m -> named_struct(" +
-          "'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint), " +
-          "'h2', cast(conv(substring(m, 9, 8), 16, 10) as bigint)))").as("hs"))
+      .select(col("doc_id"), expr(shingleWordsTransform).as("hs"))
     val sig = hsArr.select(
       col("doc_id") +: (0 until NumHashes).map(k =>
-        expr(s"array_min(transform(hs, h -> (h.h1 + $k * h.h2) % $Mod))").as(s"mh$k")): _*)
+        expr(s"array_min(transform(hs, h -> (h[0] + $k * h[1]) % $Mod))").as(s"mh$k")): _*)
 
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))

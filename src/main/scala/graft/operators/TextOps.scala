@@ -114,13 +114,9 @@ object TextOps {
     * the doc's own shingle count. */
   def ppjoinSorted(docs: DataFrame): DataFrame = {
     val sh = Dedup.tokenized(docs)
+      .select(col("doc_id"), explode(expr(Dedup.shingleWordsTransform)).as("w"))
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, least(greatest(size(tk) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
-            "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+        col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
       .distinct()
     val df_ = sh.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
     sh.join(df_, Seq("h1", "h2"))
@@ -458,12 +454,9 @@ object TextOps {
         val sh = Dedup.tokenized(
           Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
           .select(col("doc_id"), col("source"),
-            explode(expr(
-              s"transform(sequence(0, least(greatest(size(tk) - 5, 0), ${Dedup.MaxShingleStarts - 1})), " +
-                "i -> md5(array_join(slice(tk, i + 1, 5), ' ')))")).as("m"))
+            explode(expr(Dedup.shingleWordsTransform)).as("w"))
           .select(col("doc_id"), col("source"),
-            conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-            conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+            col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
           .distinct()
           .cache()
         // hot-shingle key set is corpus-shaped (∝ N/cap) — no explicit

@@ -122,10 +122,9 @@ object Web {
       val tok = Dedup.tokenized(
         Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
       val sh = tok
-        .select(col("source"), explode(expr(Dedup.shingleMd5Transform)).as("m"))
+        .select(col("source"), explode(expr(Dedup.shingleWordsTransform)).as("w"))
         .select(col("source"),
-          conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("h2"))
+          col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
         .distinct()
       val ns = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val co = sh.as("a")
@@ -189,14 +188,10 @@ object Web {
       // per-doc minima as ARRAY EXPRESSIONS over the shared shingle-md5
       // transform (the bandKeysFrom shape): map-only, never exploded
       val hsArr = tok
-        .select(col("source"), expr(Dedup.shingleMd5Transform).as("ms"))
-        .select(col("source"),
-          expr("transform(ms, m -> named_struct(" +
-            "'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint), " +
-            "'h2', cast(conv(substring(m, 9, 8), 16, 10) as bigint)))").as("hs"))
+        .select(col("source"), expr(Dedup.shingleWordsTransform).as("hs"))
       val perDoc = hsArr.select(
         col("source") +: (0 until SketchHashes).map(k =>
-          expr(s"array_min(transform(hs, h -> (h.h1 + $k * h.h2) % ${Dedup.Mod}))")
+          expr(s"array_min(transform(hs, h -> (h[0] + $k * h[1]) % ${Dedup.Mod}))")
             .as(s"mh$k")): _*)
       val minAggs = (0 until SketchHashes).map(k => min(col(s"mh$k")).as(s"mh$k"))
       val sk = perDoc.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
