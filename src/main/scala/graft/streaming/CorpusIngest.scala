@@ -181,6 +181,69 @@ object CorpusIngest {
     }.foreach(p => fs.delete(p, true))
   }
 
+  /** Heal-only pass: run [[recoverSwaps]] under every state table root
+    * without rebuilding anything — the cheap guard a maintenance pass
+    * runs before ANY state read when the previous invocation may have
+    * died mid-swap (the dot-prefixed tmp is invisible to parquet
+    * readers, but a crash mid-DELETE leaves a partially-removed old
+    * set that a raw read would silently miss rows from). */
+  private[graft] def recoverState(
+      spark: org.apache.spark.sql.SparkSession, statePath: String): Unit =
+    Seq("corpus", "index", "dups").foreach { sub =>
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) recoverSwaps(fs, root)
+    }
+
+  /** One maintained micro-batch — the streaming closure of the index
+    * MAINTENANCE lifecycle (r15 verdict task 6): the maintenance that
+    * a long-running ingestion otherwise defers to a separate nightly
+    * job runs BETWEEN micro-batches, inside the same foreachBatch
+    * replay domain, in strict heal-read order:
+    *
+    *  1. every `compactEvery`-th batch, [[compactState]] collapses the
+    *     committed `batch_id` partitions (≤ batchId − 1 — batchId
+    *     itself is uncommitted, so a replay still reads exactly the
+    *     state its first attempt saw);
+    *  2. other batches heal interrupted swaps ([[recoverState]]) and
+    *     bin-pack the small files INSIDE each live partition via the
+    *     journaled [[graft.sources.Warehouse.compactPartitionedSmallFiles]]
+    *     — the `Similarity.compactIndex` discipline applied to the
+    *     dedup-index layout (partition set unchanged, per-dir swap
+    *     journal, content-preserving);
+    *  3. only THEN does [[ingestBatch]] read prior state.
+    *
+    * Replay safety is the composition of each step's own contract:
+    * maintenance precedes every read and each maintenance op recovers
+    * its own journal first, so a crash at ANY fs mutation — mid-pack,
+    * mid-collapse, mid-ingest — leaves a state the replayed invocation
+    * first heals and then reads bit-identically (CorpusIngestSpec
+    * sweeps every crash point mechanically, the CrashPointSpec
+    * injection). */
+  def maintainThenIngest(batch: DataFrame, batchId: Long, statePath: String,
+      compactEvery: Int = 4, targetFiles: Int = 1,
+      packSmallBytes: Long = 4L << 20): Unit = {
+    val spark = batch.sparkSession
+    if (batchId > 0) {
+      if (batchId % compactEvery == 0) {
+        // compactState runs recoverSwaps itself before touching olds
+        compactState(spark, statePath, upTo = batchId - 1, targetFiles)
+      } else {
+        recoverState(spark, statePath)
+        Seq("corpus", "index", "dups").foreach { sub =>
+          val root = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(root)) {
+            graft.sources.Warehouse.compactPartitionedSmallFiles(
+              spark, s"$statePath/$sub", packSmallBytes)
+            ()
+          }
+        }
+      }
+    }
+    ingestBatch(batch, batchId, statePath)
+  }
+
   /** Start the ingestion stream over a (doc_id, text) source. */
   def start(docs: DataFrame, statePath: String, checkpoint: String): StreamingQuery =
     docs.writeStream
@@ -188,6 +251,23 @@ object CorpusIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, statePath)
+      }
+      .start()
+
+  /** Bounded MAINTAINED ingestion run — `Trigger.AvailableNow` drains
+    * the backlog in rate-limited micro-batches through
+    * [[maintainThenIngest]] and self-terminates; the next invocation
+    * resumes from the checkpoint (the cron-shaped backfill mode of
+    * [[EventsStreaming.backfillAvailableNow]], here carrying the index
+    * maintenance between its micro-batches as well). */
+  def maintainAvailableNow(docs: DataFrame, statePath: String, checkpoint: String,
+      compactEvery: Int = 4): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainThenIngest(batch, batchId, statePath, compactEvery)
       }
       .start()
 }

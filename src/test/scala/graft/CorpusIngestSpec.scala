@@ -249,6 +249,139 @@ class CorpusIngestSpec extends SparkSuite {
     assert(dups === Map(5L -> 2L, 6L -> 1L))
   }
 
+  test("AvailableNow maintained ingestion drains, compacts between batches, self-terminates, resumes") {
+    // r15 verdict task 6: the maintenance a long-running ingest defers
+    // to a nightly job runs BETWEEN micro-batches instead —
+    // Trigger.AvailableNow drains the drop-zone one file per batch,
+    // maintainThenIngest collapses committed batch partitions every
+    // compactEvery-th batch and bin-packs live partitions otherwise,
+    // and a later invocation resumes from the checkpoint.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_mnt").toString
+    val st = s"$root/state"
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def addFile(rows: (Long, String)*): Unit =
+      docsDf(rows: _*).repartition(1).write.mode("append").parquet(s"$root/drop")
+    def run(): Unit = {
+      val q = CorpusIngest.maintainAvailableNow(
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/drop"),
+        st, s"$root/ck", compactEvery = 2)
+      q.awaitTermination() // AvailableNow self-terminates at the drain
+    }
+    addFile(1L -> texts(1), 2L -> texts(2)) // batch 0: novel
+    addFile(3L -> texts(3), 5L -> texts(2)) // batch 1: 3 novel, 5 dups 2
+    addFile(4L -> texts(4))                 // batch 2: novel (compacts 0..1)
+    run()
+    val corpus = readState(st, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus === Set(1L, 2L, 3L, 4L))
+    assert(readState(st, "dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(5L -> 2L))
+    // batch 2's pass collapsed batches 0..1 into batch_id=1
+    def dirs(sub: String) = new java.io.File(s"$st/$sub").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(Seq("corpus", "index", "dups").map(dirs) === Seq(2, 2, 2),
+      "batches 0..1 must have collapsed during the drain")
+    // resume: new backlog, new invocation, same checkpoint
+    addFile(6L -> texts(1), 7L -> texts(7)) // batch 3: 6 dups 1, 7 novel
+    run()
+    assert(readState(st, "corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 7L))
+    assert(readState(st, "dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(5L -> 2L, 6L -> 1L))
+    val idx = readState(st, "index")
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(idx.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 7L))
+    assert(idx.forall(_.getLong(1) === 4L))
+  }
+
+  test("maintained batch: an injected crash between batch and compaction replays safely at EVERY fs mutation") {
+    // the CrashPointSpec injection applied to the streaming-side
+    // composition (r15 verdict task 6): one maintained micro-batch =
+    // maintenance (heal -> collapse/pack) + ingest in one foreachBatch
+    // replay domain. FailingRawFs counts the composed op's fs
+    // mutations, then a crash is injected after EVERY prefix — covering
+    // every window between the previous batch's writes and this one's
+    // compaction, inside the compaction, and inside the ingest — and
+    // the foreachBatch REPLAY (same rows, same batchId) must converge
+    // to the crash-free state with no debris.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failing.impl", classOf[FailingRawFs].getName)
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete()
+    }
+    def resetWork(template: String, work: String): Unit = {
+      rmrf(new java.io.File(work))
+      val src = java.nio.file.Paths.get(template)
+      val dst = java.nio.file.Paths.get(work)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val template = java.nio.file.Files.createTempDirectory("graft_mnt_tpl").toString
+    rmrf(new java.io.File(template))
+    FailingRawFs.reset(Long.MaxValue)
+    // batches 0..1 land unmaintained (many per-batch dirs and small
+    // files for batch 2's maintenance to work on)
+    CorpusIngest.ingestBatch(
+      docsDf(1L -> texts(1), 2L -> texts(2)), 0L, s"failing://$template")
+    CorpusIngest.ingestBatch(
+      docsDf(3L -> texts(3), 5L -> texts(2)), 1L, s"failing://$template")
+    val batch2 = docsDf(4L -> texts(4), 6L -> texts(1))
+
+    def content(root: String, sub: String) =
+      spark.read.parquet(s"$root/$sub").drop("batch_id")
+        .collect().map(_.toSeq).toSet
+    // crash-free twin fixes the expected rows AND the mutation budget
+    val clean = java.nio.file.Files.createTempDirectory("graft_mnt_cln").toString
+    resetWork(template, clean)
+    FailingRawFs.reset(Long.MaxValue)
+    CorpusIngest.maintainThenIngest(batch2, 2L, s"failing://$clean", compactEvery = 2)
+    val m = FailingRawFs.mutations
+    assert(m > 20, s"expected a rich mutation trace to sweep, got $m")
+    val expected = Seq("corpus", "index", "dups").map(s => s -> content(clean, s))
+    assert(expected.forall(_._2.nonEmpty))
+    assert(content(clean, "dups").map(_.take(2)) ===
+      Set(Seq(5L, 2L), Seq(6L, 1L)))
+
+    val work = java.nio.file.Files.createTempDirectory("graft_mnt_wrk").toString
+    for (k <- 0L until m) {
+      resetWork(template, work)
+      FailingRawFs.reset(k)
+      val died =
+        try {
+          CorpusIngest.maintainThenIngest(batch2, 2L, s"failing://$work", compactEvery = 2)
+          false
+        } catch {
+          case t: Throwable =>
+            val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+              .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+            assert(chain.contains(FailingRawFs.CrashMessage),
+              s"crash point $k/$m failed for a non-injected reason: $chain")
+            true
+        }
+      assert(died, s"crash point $k/$m: budget $k did not fire")
+      // the foreachBatch replay: same rows, same batchId, full budget
+      FailingRawFs.reset(Long.MaxValue)
+      CorpusIngest.maintainThenIngest(batch2, 2L, s"failing://$work", compactEvery = 2)
+      expected.foreach { case (sub, want) =>
+        assert(content(work, sub) === want,
+          s"crash point $k/$m: $sub rows diverged after replay")
+        val debris = new java.io.File(s"$work/$sub").listFiles().map(_.getName)
+          .filter(n => n.startsWith(".compact_tmp") || n.startsWith(".compact_commit")
+            || n.contains("_swap_journal"))
+        assert(debris.isEmpty, s"crash point $k/$m: $sub debris ${debris.mkString(",")}")
+      }
+    }
+    rmrf(new java.io.File(template)); rmrf(new java.io.File(clean))
+    rmrf(new java.io.File(work))
+  }
+
   test("the streaming wiring drives the same per-batch path end-to-end") {
     val st = state()
     implicit val sqlCtx = spark.sqlContext
