@@ -158,37 +158,51 @@ object Bench {
     // silently twice; now the committed artifact itself carries the
     // unadjudicated list, empty or not, so a dangling regression is
     // visible in the tree).
-    val prevFull: Option[PrevFull] =
+    def parseArtifact(f: java.io.File): Option[PrevFull] =
       try {
-        val files = new java.io.File(".").listFiles((_, n) =>
-          n.matches("BENCH_FULL_r\\d+\\.json"))
-        if (files == null || files.isEmpty) None
-        else {
-          val latest = files.maxBy(f =>
-            "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
-          val content = new String(
-            java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
-          val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
-          // whitespace-tolerant: our own artifacts are compact, but a
-          // hand-repaired or pretty-printed prior file must still parse
-          val qsec = pair
-            .findAllMatchIn(content.substring(
-              content.indexOf("\"queries\":"), content.indexOf("\"runs\":")))
+        val content = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+        // whitespace-tolerant: our own artifacts are compact, but a
+        // hand-repaired or pretty-printed prior file must still parse
+        val qsec = pair
+          .findAllMatchIn(content.substring(
+            content.indexOf("\"queries\":"), content.indexOf("\"runs\":")))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // per-query CPU seconds (flat map — absent in pre-r14
+        // artifacts, in which case the CPU control simply abstains)
+        def flatMapAt(key: String): Map[String, Double] = {
+          val idx = content.indexOf("\"" + key + "\":")
+          if (idx < 0) Map.empty[String, Double]
+          else pair
+            .findAllMatchIn(content.substring(idx, content.indexOf("}", idx) + 1))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          // per-query CPU seconds (flat map — absent in pre-r14
-          // artifacts, in which case the CPU control simply abstains)
-          def flatMapAt(key: String): Map[String, Double] = {
-            val idx = content.indexOf("\"" + key + "\":")
-            if (idx < 0) Map.empty[String, Double]
-            else pair
-              .findAllMatchIn(content.substring(idx, content.indexOf("}", idx) + 1))
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }
-          val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
-          Some(PrevFull(latest.getName, qsec,
-            flatMapAt("cpu_s"), flatMapAt("shuffle_mb"), prevSf))
         }
+        val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(content).map(_.group(1))
+        Some(PrevFull(f.getName, qsec,
+          flatMapAt("cpu_s"), flatMapAt("shuffle_mb"), prevSf))
       } catch { case _: Exception => None }
+    val committedFulls: Seq[PrevFull] = {
+      val files = new java.io.File(".").listFiles((_, n) =>
+        n.matches("BENCH_FULL_r\\d+\\.json"))
+      if (files == null) Seq.empty
+      else files.toSeq.sortBy(f =>
+        "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+        .flatMap(parseArtifact)
+    }
+    val prevFull: Option[PrevFull] = committedFulls.lastOption
+    // Per-query historical MAX wall across EVERY committed same-sf
+    // artifact — the band that closes the r15 bpe_merges adjudication
+    // class mechanically: a sub-2s seat whose generated-code JIT state
+    // dominates its wall oscillates across same-code rounds
+    // (bpe_merges r11-r15: 1.52/1.38/1.23/0.88/1.42), so a "regression"
+    // that lands at or under its own committed history is the seat
+    // re-visiting its band, not a change — classified "within_band",
+    // never silently: the bucket is in the committed artifact.
+    val histMax: Map[String, Double] = committedFulls
+      .filter(p => p.sf.forall(_ == sfDir))
+      .flatMap(_.qsec)
+      .groupMapReduce(_._1)(_._2)(math.max)
     // A regression is UNADJUDICATED when this run is slower than the
     // prior committed full artifact by >0.5 s AND >25% (min-of-runs)
     // at the same sf. Only an UNCONTENDED run can accuse — a contended
@@ -212,12 +226,22 @@ object Bench {
               q.runs.min >= 0 && prev.qsec.getOrElse(q.name, -1.0) > 0 &&
                 q.runs.min - prev.qsec(q.name) > 0.5 && q.runs.min / prev.qsec(q.name) > 1.25
             }
-          val (flatQ, unadjQ) = cand.partition(prev.cpuFlat)
+          // band first: a seat at-or-under its committed multi-round
+          // max is oscillation, whatever its CPU did (JIT state is
+          // part of what oscillates on sub-2s seats)
+          val (bandQ, rest) = cand.partition(q =>
+            histMax.get(q.name).exists(h => q.runs.min <= h * 1.05))
+          val (flatQ, unadjQ) = rest.partition(prev.cpuFlat)
           def m(qs: Seq[QRow]): String = qs.map(q =>
             "\"" + q.name + "\":[" + s3(prev.qsec(q.name)) + "," + s3(q.runs.min) + "]")
             .mkString("{", ",", "}")
+          def mBand(qs: Seq[QRow]): String = qs.map(q =>
+            "\"" + q.name + "\":[" + s3(prev.qsec(q.name)) + "," + s3(q.runs.min) +
+              "," + s3(histMax.getOrElse(q.name, -1.0)) + "]")
+            .mkString("{", ",", "}")
           s""","regressions":{"baseline":"${prev.name}",""" +
-            s""""rule":"+0.5s and +25%, uncontended; cpu_s <= +10% and shuffle unchanged => cpu_flat (likely environmental; verify driver-side)",""" +
+            s""""rule":"+0.5s and +25%, uncontended; at or under the committed multi-round max (x1.05) => within_band [prev,cur,band_max]; else cpu_s <= +10% and shuffle unchanged => cpu_flat (likely environmental; verify driver-side)",""" +
+            s""""within_band":${mBand(bandQ)},""" +
             s""""cpu_flat":${m(flatQ)},""" +
             s""""suppressed_contended":$suppressed,""" +
             s""""unadjudicated":${m(unadjQ)}}"""

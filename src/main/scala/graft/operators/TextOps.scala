@@ -317,6 +317,67 @@ object TextOps {
           expr("g_run div 4096").cast("long").as("sample_idx"))
     },
 
+    // L29b — RECENCY-weighted PPS sampling: the freshness knob real
+    // training mixes carry (r15 verdict task 7b) on L29's systematic
+    // machinery — selection probability ∝ tokens × a per-SOURCE age
+    // decay, so a fresh crawl snapshot is oversampled against a stale
+    // one at the same length. The decay is EXACT RATIONAL arithmetic,
+    // never a float pow(): age buckets into weeks, the half-life-1-week
+    // factor 2^(−weeks) becomes an integer effective weight in
+    // EIGHTH-tokens, ew = w · (8 >> min(weeks, 3)) — the whole
+    // cumulative line stays in BIGINT and the stride comparison cannot
+    // drift between engines (the events_ks_drift rule). The per-source
+    // age is synthesized from md5(source) because documents carries no
+    // crawl-date column (the url_canonical scaffolding rule — the
+    // decay pipeline is the product; a real caller joins a snapshot
+    // table). Stride 32768 eighth-tokens = 4096 effective tokens, so
+    // the zero-decay case degenerates to exactly L29's selection.
+    QueryDef(
+      "text_recency_sample",
+      """WITH d AS (SELECT doc_id, lang, source,
+        |                  len(string_split(text, ' ')) AS w,
+        |                  CAST('0x' || substr(md5('age_' || source), 1, 2) AS BIGINT) % 28 AS age_days,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS m
+        |           FROM documents),
+        |e AS (SELECT doc_id, lang, source, w, age_days,
+        |             w * (CASE age_days // 7 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                                     WHEN 2 THEN 2 ELSE 1 END) AS ew, m
+        |      FROM d),
+        |c AS (SELECT doc_id, lang, source, w, age_days, ew,
+        |             SUM(ew) OVER (ORDER BY m, doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |      FROM e)
+        |SELECT doc_id, lang, source, CAST(w AS BIGINT) AS n_tokens,
+        |       CAST(age_days AS BIGINT) AS age_days,
+        |       CAST(ew AS BIGINT) AS eff_w8,
+        |       CAST(c AS BIGINT) AS cum_w8,
+        |       CAST(c // 32768 AS BIGINT) AS sample_idx
+        |FROM c WHERE c // 32768 > (c - ew) // 32768""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val age = conv(substring(md5(concat(lit("age_"), col("source"))), 1, 2), 16, 10)
+        .cast("long") % 28
+      // passenger columns (lang, source, …) join back by doc_id per
+      // the globalRunning single-range-shuffle contract (the L29 rule)
+      val base = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tokens"), age.as("age_days"))
+      val d = base.select(
+        lit("all").as("g"),
+        md5(col("doc_id").cast("string")).as("m"),
+        col("doc_id"),
+        (col("n_tokens") * when(col("age_days") < 7, 8L)
+          .when(col("age_days") < 14, 4L)
+          .when(col("age_days") < 21, 2L)
+          .otherwise(1L)).as("w"))
+      Distributed.globalRunning(d, grp = Seq("g"), ord = Seq("m", "doc_id"),
+          valueCol = Some("w"))
+        .filter(expr("g_run div 32768 > (g_run - w) div 32768"))
+        .join(base, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("age_days"), col("w").as("eff_w8"),
+          col("g_run").cast("long").as("cum_w8"),
+          expr("g_run div 32768").cast("long").as("sample_idx"))
+    },
+
     // L30 — training-mix construction to TOKEN BUDGETS: each language
     // contributes documents, in deterministic md5-shuffled order, until
     // its token budget is exhausted (en is upsampled 2×: 8192 tokens

@@ -136,6 +136,78 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("A14e: per-day KLL sketches union to global quantiles within the rank bound") {
+    // the A14c pattern applied to PERCENTILES (r15 verdict task 7a):
+    // one fixed-size Datasketches KLL per day partition, any
+    // cross-partition percentile answered by UNIONING the stored
+    // sketches — raw events never re-scanned. KLL's guarantee is on
+    // RANK (±1.65% at k=200, 99% confidence), so the check is on the
+    // estimate's TRUE rank, not its value — a value-epsilon would be
+    // meaningless on an arbitrary distribution.
+    graft.functions.QuantileSketch.register(spark)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull).cache()
+    val n = ev.count().toDouble
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("kll_agg(value)").as("sk"))
+    assert(daily.count() > 1, "the rollup is vacuous with a single partition")
+    def trueRank(v: Double): Double =
+      ev.filter(col("value") <= v).count() / n
+    Seq(0.5, 0.95).foreach { q =>
+      val est = daily
+        .agg(expr(s"kll_quantile(kll_union_agg(sk), ${q}d)").as("est"))
+        .collect()(0).getDouble(0)
+      val direct = ev
+        .agg(expr(s"kll_quantile(kll_agg(value), ${q}d)").as("est"))
+        .collect()(0).getDouble(0)
+      assert(math.abs(trueRank(est) - q) < 0.03,
+        s"q=$q: union estimate $est sits at rank ${trueRank(est)}")
+      assert(math.abs(trueRank(direct) - q) < 0.03,
+        s"q=$q: direct estimate $direct sits at rank ${trueRank(direct)}")
+    }
+    ev.unpersist(); ()
+  }
+
+  test("A14f: trailing-7-slot p90 via KLL-union over the daily sketch table") {
+    // the sketch twin of events_wau applied to quantiles: every
+    // window-end's trailing percentile comes from merging the ~7
+    // covering DAILY sketches — each daily partial fans out to the
+    // window ends it covers (the cover-set trick ON THE TINY AGGREGATE,
+    // |days|×7 rows total) and one mergeable kll_union_agg GROUP BY
+    // collapses them; raw events are read exactly once. Frame = the
+    // last 7 PRESENT days (the A14d semantics; zero-event days carry
+    // no sketch row).
+    graft.functions.QuantileSketch.register(spark)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("kll_agg(value)").as("sk"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .cache()
+    val ends = daily.select(col("rn").as("end_rn"), col("day").as("end_day"))
+    val est = daily.join(ends,
+        col("end_rn").between(col("rn"), col("rn") + 6))
+      .groupBy(col("end_day"))
+      .agg(expr("kll_quantile(kll_union_agg(sk), 0.9d)").as("p90"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getDouble(1)).toMap
+    // driver-side truth over the same last-7-present-days frame: the
+    // estimate's rank within the frame's values must sit near 0.9
+    val rows = ev.select(to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val presentDays = rows.map(_._1).distinct.sorted((a: java.time.LocalDate,
+      b: java.time.LocalDate) => a.compareTo(b))
+    assert(est.size === presentDays.length)
+    est.foreach { case (d, e) =>
+      val frame = presentDays.filter(!_.isAfter(d)).takeRight(7).toSet
+      val vals = rows.filter(x => frame.contains(x._1)).map(_._2)
+      val rank = vals.count(_ <= e).toDouble / vals.length
+      assert(math.abs(rank - 0.9) < 0.04,
+        s"day $d: trailing p90 estimate $e sits at rank $rank over ${vals.length} values")
+    }
+    daily.unpersist(); ()
+  }
+
   test("A14b: count_min_sketch bounds heavy-hitter token counts") {
     // the frequency sketch beside A14's cardinality sketch: CMS merges
     // map-side in FIXED space (width x depth counters), so per-token

@@ -309,8 +309,8 @@ class PlanSpec extends SparkSuite {
     // separate range exchanges they could draw different bounds and
     // disagree on __pid. Exchange reuse must collapse them.
     Seq("events_quantiles", "text_pack", "events_ntile", "events_winsor",
-        "events_concurrency", "text_pps_sample", "text_mixture",
-        "events_interarrival", "pareto_class", "weighted_median",
+        "events_concurrency", "text_pps_sample", "text_recency_sample",
+        "text_mixture", "events_interarrival", "pareto_class", "weighted_median",
         "events_percentile", "events_ks_drift", "embed_outliers").foreach { q =>
       val finalPlan = plan(q).split("== Initial Plan ==")(0)
       val lines = finalPlan.split("\n")

@@ -749,6 +749,48 @@ class QueriesSpec extends SparkSuite {
     assert(truth.values.map(_._3).toSeq.distinct.size === truth.size)
   }
 
+  test("text_recency_sample matches a driver-side decayed walk and oversamples fresh sources") {
+    val got = SparkEntry.queries("text_recency_sample")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("age_days"),
+          r.getAs[Long]("eff_w8"), r.getAs[Long]("cum_w8"),
+          r.getAs[Long]("sample_idx")))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val src = r.getAs[String]("source")
+        val age = java.lang.Long.parseLong(
+          graft.functions.Portable.md5Hex(s"age_$src").take(2), 16) % 28
+        val w = r.getAs[String]("text").split(" ", -1).length.toLong
+        val ew = w * (8L >> math.min(age / 7, 3L).toInt)
+        (r.getAs[Long]("doc_id"), age, w, ew)
+      }
+      .sortBy { case (id, _, _, _) => (graft.functions.Portable.md5Hex(id.toString), id) }
+    var c = 0L
+    val truth = docs.flatMap { case (id, age, w, ew) =>
+      val lo = c; c += ew
+      if (c / 32768 > lo / 32768) Some(id -> ((w, age, ew, c, c / 32768))) else None
+    }.toMap
+    assert(got === truth)
+    assert(truth.nonEmpty)
+    // the decay is LIVE: at least two distinct decay factors occur in
+    // the corpus (else the fixture degenerated to plain PPS and the
+    // freshness knob measures nothing)
+    assert(docs.map(d => d._4 / d._3).distinct.length > 1,
+      "fixture must span more than one age bucket")
+    // fresh sources are oversampled: a selected doc's expected spacing
+    // is one per 32768 eighth-token stride, so the per-age-bucket
+    // selection RATE (selected / total docs) must not increase with
+    // age — verified on the two extreme buckets present
+    val byDecay = docs.groupBy(d => d._4 / d._3)
+    val rates = byDecay.map { case (k, ds) =>
+      k -> (ds.count(d => truth.contains(d._1)).toDouble / ds.length) }
+    val freshest = rates(byDecay.keys.max)
+    val stalest = rates(byDecay.keys.min)
+    assert(freshest > stalest,
+      s"fresh docs must be selected at a higher rate: fresh=$freshest stale=$stalest")
+  }
+
   test("minhash pairs are ordered and above threshold") {
     val bad = SparkEntry.queries("dedup_minhash")(spark, sf0001)
       .filter(col("doc_a") >= col("doc_b") || col("jaccard") < 0.7)
