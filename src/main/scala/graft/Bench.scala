@@ -183,11 +183,21 @@ object Bench {
           flatMapAt("cpu_s"), flatMapAt("shuffle_mb"), prevSf))
       } catch { case _: Exception => None }
     val committedFulls: Seq[PrevFull] = {
+      // Never read THIS run's own output path as a "committed" prior:
+      // a stale artifact left at SPARK_GRAFT_BENCH_OUT by a killed run
+      // (r16: the session died mid-bench, leaving a partial
+      // BENCH_FULL_r16.json) would otherwise become both the baseline
+      // (self-comparison against half-timed numbers) and a pollutant
+      // in the historical band.
+      val ownOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(p => new java.io.File(p).getCanonicalPath)
       val files = new java.io.File(".").listFiles((_, n) =>
         n.matches("BENCH_FULL_r\\d+\\.json"))
       if (files == null) Seq.empty
-      else files.toSeq.sortBy(f =>
-        "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+      else files.toSeq
+        .filterNot(f => ownOut.contains(f.getCanonicalPath))
+        .sortBy(f =>
+          "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
         .flatMap(parseArtifact)
     }
     val prevFull: Option[PrevFull] = committedFulls.lastOption
