@@ -147,9 +147,25 @@ object Bench {
     val CalContendedMs = sys.env.get("SPARK_GRAFT_CAL_CONTENDED_MS")
       .map(_.toDouble).getOrElse(550.0)
     val SpreadContended = 3.0
+    // Per-query trust statistic: the ratio of the two SMALLEST runs —
+    // does a second quiet measurement corroborate the min we report?
+    // The old max/min form contradicted the retry-until-stable design:
+    // the extra run exists to REJECT a one-off burst by min-of-three,
+    // yet the rejected outlier stayed in the max and permanently
+    // flagged the artifact. On this VM's quasi-periodic burst cadence
+    // that made every ~80-min 100× sweep contended by construction
+    // (r13/r15/r16: ann_ivf [5.2, 23.3, 2.3] and, an hour later,
+    // [3.5, 22.7, 2.5] — the min corroborated within 10% both times,
+    // the artifact flagged anyway). A burst that covers BOTH runs of
+    // one query escapes either form equally — that window is what the
+    // cal probe and the committed multi-round bands cover. All raw
+    // runs stay in the artifact, so the rejected outliers remain
+    // visible, not laundered.
     def spreadOf(rs: Seq[QRow]): Double =
-      rs.collect { case q if q.runs.min >= 0.5 => q.runs.max / q.runs.min }
-        .foldLeft(1.0)(math.max)
+      rs.collect { case q if q.runs.min >= 0.5 =>
+        val sorted = q.runs.sorted
+        if (sorted.size < 2) 1.0 else sorted(1) / sorted(0)
+      }.foldLeft(1.0)(math.max)
     def contendedOf(rs: Seq[QRow]): Boolean =
       calMs > CalContendedMs || spreadOf(rs) > SpreadContended
     // Prior-round full artifact, parsed ONCE: feeds both the stderr
@@ -332,18 +348,26 @@ object Bench {
       val runs =
         if (!ok) Seq(-1.0)
         else try {
-          val two = Seq(timedOnce(), timedOnce())
           // Retry-until-stable (r7: a contended driver box made four
           // queries look 3-6× regressed and cost a full diagnosis
-          // cycle): when the two runs disagree by >30%, take a third —
-          // min-of-three rejects a one-off GC pause / noisy neighbor
-          // that min-of-two can't if the quiet run was the one hit.
-          // The extra run is best-effort: if it throws (most likely on
-          // exactly the contended box that triggered it), keep the two
-          // GOOD measurements instead of reporting a phantom failure.
-          if (two.max / two.min > 1.30 && two.min > 0.2)
-            try two :+ timedOnce() catch { case _: Throwable => two }
-          else two
+          // cycle): while the two SMALLEST runs disagree by >30%, take
+          // another (two smallest, not max/min, since r16 — the whole
+          // point of the retry is that an outlier run is rejected, so
+          // stability is judged on the runs that remain) — up to four
+          // total, so a burst window gets at most two extra chances to
+          // produce the corroborating quiet measurement. Extra runs are
+          // best-effort: if one throws (most likely on exactly the
+          // contended box that triggered it), keep the GOOD
+          // measurements instead of reporting a phantom failure.
+          var acc = Seq(timedOnce(), timedOnce())
+          def unstable(rs: Seq[Double]): Boolean = {
+            val s = rs.sorted
+            s(1) / s(0) > 1.30 && s(0) > 0.2
+          }
+          try {
+            while (acc.size < 4 && unstable(acc)) acc = acc :+ timedOnce()
+          } catch { case _: Throwable => () }
+          acc
         }
         catch {
           case e: Throwable =>
@@ -364,8 +388,10 @@ object Bench {
     // queries ONE more timed attempt at the end of the suite: by then
     // the contending load has often moved on, and min-of-runs lets a
     // single quiet measurement correct a query that only LOOKED slow.
-    // The extra run also widens that query's reported spread, which is
-    // exactly right — the artifact should say "these runs disagreed".
+    // Under the two-smallest spread (r16) a quiet extra run NARROWS
+    // the query's corroboration ratio — also exactly right: the min
+    // now has a second agreeing measurement behind it, and the
+    // disagreeing outliers stay visible in "runs".
     val results =
       if (spreadOf(firstPass) <= 3.0) firstPass
       else {
