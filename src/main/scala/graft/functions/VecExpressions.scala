@@ -255,6 +255,26 @@ object VecExpressions {
       "vec_dot_i8", exprs => VecDotI8(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_words", exprs => Md5Words(exprs(0)), "built-in")
+    // shingle-family fused forms (r16 optimization): trailing args are
+    // required to be foldable integer literals — they parameterize the
+    // generated code, not the data path
+    def litInt(e: Expression): Int = {
+      require(e.foldable, s"expected a literal int argument, got $e")
+      e.eval().asInstanceOf[Number].intValue
+    }
+    def litLong(e: Expression): Long = {
+      require(e.foldable, s"expected a literal long argument, got $e")
+      e.eval().asInstanceOf[Number].longValue
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_words",
+      exprs => ShingleWords(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_keys",
+      exprs => ShingleKeys(exprs(0), litInt(exprs(1)), litInt(exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinhashSigs(exprs(0), litInt(exprs(1)), litLong(exprs(2))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

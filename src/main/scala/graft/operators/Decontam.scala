@@ -47,10 +47,18 @@ object Decontam {
   /** Same, over a caller-provided (doc_id, tk) relation (corpus_keep
     * shares one tokenized scan; the caller owns caching). */
   private[operators] def gramArraysFrom(tok: DataFrame): DataFrame =
+    // r16 optimization (guide §2.3 "narrower types" + §1.2 step 2):
+    // grams ride as ONE packed 64-bit md5-word key (shingle_keys —
+    // (h1 << 32) | h2, the codegen'd fused form) instead of the
+    // 32-char md5 HEX string built by an interpreted per-element
+    // transform. Every consumer only ever tests gram EQUALITY
+    // (membership joins, distinct, counts), and the packed key is a
+    // bijection of the word pair, so results are unchanged up to a
+    // 64-bit md5-prefix collision — the same accepted class the whole
+    // minhash/shingle family already keys on (Dedup.hashWords).
     tok.select(col("doc_id"),
       array_distinct(expr(
-        s"transform(sequence(0, least(greatest(size(tk) - $GramLen, 0), ${Dedup.MaxShingleStarts - 1})), " +
-          s"i -> md5(array_join(slice(tk, i + 1, $GramLen), ' ')))")).as("gs"))
+        s"shingle_keys(tk, $GramLen, ${Dedup.MaxShingleStarts})")).as("gs"))
 
   /** Non-benchmark doc_ids sharing >= 1 hashed 8-gram with the
     * benchmark split — the flag set corpus_keep gates on. Same plan

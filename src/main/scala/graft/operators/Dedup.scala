@@ -137,8 +137,13 @@ object Dedup {
     * `md5_words` registered — [[tokenized]]/[[tokenizedAtScan]] do it
     * at the scan, so every tk relation arrives ready. */
   private[operators] val shingleWordsTransform: String =
-    s"transform(sequence(0, least(greatest(size(tk) - $ShingleLen, 0), ${MaxShingleStarts - 1})), " +
-      s"i -> md5_words(array_join(slice(tk, i + 1, $ShingleLen), ' ')))"
+    // r16 optimization (guide §1.2 step 2): the fused codegen'd form of
+    //   transform(sequence(0, least(greatest(size(tk) - L, 0), max-1)),
+    //             i -> md5_words(array_join(slice(tk, i + 1, L), ' ')))
+    // — bit-identical values (VectorOpsSpec pins the equality), but one
+    // static call per document instead of ~500 interpreted lambda
+    // dispatches + slice/array_join allocations per shingle.
+    s"shingle_words(tk, $ShingleLen, $MaxShingleStarts)"
 
   /** Same, over an already-tokenized (doc_id, tk) relation. */
   private def shingleWords(tok: DataFrame): DataFrame =
@@ -214,9 +219,13 @@ object Dedup {
   private[operators] def bandKeysFrom(tok: DataFrame): DataFrame = {
     val hsArr = tok
       .select(col("doc_id"), expr(shingleWordsTransform).as("hs"))
-    val sig = hsArr.select(
-      col("doc_id") +: (0 until NumHashes).map(k =>
-        expr(s"array_min(transform(hs, h -> (h[0] + $k * h[1]) % $Mod))").as(s"mh$k")): _*)
+    // r16: ONE fused pass computes all NumHashes minima (bit-identical
+    // to the per-k array_min(transform(...)) forms — VectorOpsSpec)
+    val sig = hsArr
+      .select(col("doc_id"), expr(s"minhash_sigs(hs, $NumHashes, $Mod)").as("sig"))
+      .select(
+        col("doc_id") +: (0 until NumHashes).map(k =>
+          col("sig").getItem(k).as(s"mh$k")): _*)
 
     val bandKeys = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}").cast("string"))

@@ -625,10 +625,16 @@ object TextOps {
            |FROM d""".stripMargin
       }) { (spark, dir) =>
       val k = 8
+      // r16 optimization: window hashes ride as ONE packed 64-bit
+      // md5-word key (codegen'd shingle_keys, maxStarts=MaxValue — this
+      // operator is uncapped) instead of interpreted per-window
+      // transform + 32-char hex strings; wh only ever tests EQUALITY
+      // (group keys, the frequency join), so counts are unchanged up
+      // to the 64-bit-prefix collision class the shingle family
+      // already accepts (Dedup.hashWords).
       val w = Dedup.tokenized(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, greatest(size(tk) - $k, 0)), " +
-            s"i -> md5(array_join(slice(tk, i + 1, $k), ' ')))")).as("wh"))
+          s"shingle_keys(tk, $k, ${Int.MaxValue})")).as("wh"))
       val g = w.groupBy(col("wh"), col("doc_id")).agg(count(lit(1)).as("occ"))
       val dfw = g.groupBy(col("wh")).agg(count(lit(1)).as("ndocs"))
       g.join(dfw, "wh")

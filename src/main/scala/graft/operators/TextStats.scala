@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.Portable.{quant6, Quant6Sql}
+import graft.operators.Distributed.StageSyntax
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -192,25 +193,44 @@ object TextStats {
            |SELECT doc_id, n_terms, floor(score * 1000000.0) / 1000000.0 AS score
            |FROM w ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
       }) { (spark, dir) =>
-      val g = docTerms(Tables.documents(spark, dir)).cache()
-      val dl = g.groupBy(col("doc_id")).agg(sum(col("tf_d")).cast("long").as("dl"))
-      val glob = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
-      val m = g.filter(col("token").isin(Bm25Query: _*)).join(dl, "doc_id")
-      val dft = m.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // r16 optimization (guide §2.3 "aggregate before you shuffle" /
+      // §2.4): the old shape materialized the FULL (doc_id, token)
+      // term-frequency relation (a corpus-sized string-keyed hash
+      // aggregate + cache) only to derive dl = Σ tf_d and then join it
+      // back — 24.5 executor-CPU-s for a 3-term query. But dl is just
+      // the document's token COUNT (size(tk)), and the per-query-term
+      // frequencies collapse in ONE doc_id-keyed conditional aggregate
+      // over the exploded tokens: no (doc, token) group space, no
+      // corpus-sized cache, no dl join. Values are identical by
+      // construction (same integers into the same double expression
+      // tree), so the oracle is untouched.
+      val wide = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          explode(col("tk")).as("token"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"),
+          Bm25Query.map(t =>
+            sum(when(col("token") === t, lit(1L)).otherwise(lit(0L))).as(s"tf_$t")): _*)
+        .stage() // feeds glob, dft, and the scored rows — one pass
+      val glob = wide.agg(count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("tot"))
+      val dftCols = Bm25Query.map(t =>
+        sum(when(col(s"tf_$t") > 0, lit(1L)).otherwise(lit(0L))).as(s"df_$t"))
+      val dft = wide.agg(dftCols.head, dftCols.tail: _*)
       val avgdl = col("tot").cast("double") / col("n_docs")
-      val sc = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
-        (col("tf_d") * lit(22.0)) /
-        (col("tf_d") * lit(10.0) + lit(12.0) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-      val scored = m.join(broadcast(dft), "token")
+      def sc(t: String) = (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) *
+        (col(s"tf_$t") * lit(22.0)) /
+        (col(s"tf_$t") * lit(10.0) + lit(12.0) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      wide
+        .filter(Bm25Query.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+        .crossJoin(broadcast(dft))
         .crossJoin(broadcast(glob))
-        .select(col("doc_id"), col("token"), sc.as("sc"))
-      val perTerm = Bm25Query.map(t =>
-        sum(when(col("token") === t, col("sc"))).as(s"s_$t"))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"), perTerm: _*)
-        .select(col("doc_id"), col("n_terms"),
-          quant6(Bm25Query.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _))
-            .as("score"))
+        .select(col("doc_id") +:
+          (Bm25Query.map(t => (col(s"tf_$t") > 0).cast("long").as(s"m_$t")) ++
+            Bm25Query.map(t => when(col(s"tf_$t") > 0, sc(t)).otherwise(lit(0.0)).as(s"s_$t"))): _*)
+        .select(col("doc_id"),
+          Bm25Query.map(t => col(s"m_$t")).reduce(_ + _).as("n_terms"),
+          quant6(Bm25Query.map(t => col(s"s_$t")).reduce(_ + _)).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(Bm25TopK)
     },
