@@ -30,6 +30,26 @@ import graft.operators.Distributed.StageSyntax
   */
 object Behavior {
 
+  /** The distinct (order, brand) relation every market-basket seat and
+    * graph_triangles joins per-order — REPARTITIONED BY `o` BEFORE the
+    * distinct, then checkpointed (r16 optimization, guide §2.4 "two
+    * operations keyed the same way can share one exchange"): the
+    * distinct's ClusteredDistribution((o, b)) is satisfied by
+    * HashPartitioning(o) ({o} ⊆ {o, b}), and the per-order self-join
+    * and every per-order aggregate then run EXCHANGE-FREE on the
+    * checkpointed layout, where the old per-seat shape paid the
+    * distinct's (o, b) exchange PLUS one fresh o-exchange per
+    * self-join SIDE (two 5.6 MB re-shuffles of the same relation in
+    * the graph_triangles profile). One narrow relation, one shuffle,
+    * all consumers aligned. */
+  private[operators] def orderBrands(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .repartition(col("o"))
+      .distinct()
+      .stage()
+
   /** Funnel definition shared by the query and its oracle. */
   private val FunnelSteps = Seq("signup", "click", "purchase")
 
@@ -204,11 +224,7 @@ object Behavior {
         |SELECT a.b AS brand_a, bb.b AS brand_b, COUNT(*) AS n_orders
         |FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
-      val ob = Tables.lineitem(spark, dir)
-        .join(Tables.part(spark, dir),
-          col("p_partkey") === col("l_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct()
+      val ob = orderBrands(spark, dir)
       ob.as("a").join(ob.as("bb"),
           col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
         .groupBy(col("a.b").as("brand_a"), col("bb.b").as("brand_b"))
@@ -240,10 +256,7 @@ object Behavior {
         |       GROUP BY 1, 2, 3)
         |SELECT tr.brand_a, tr.brand_b, tr.brand_c, tr.n_orders
         |FROM tr, n WHERE 1000 * tr.n_orders >= 5 * n.nt""".stripMargin) { (spark, dir) =>
-      val ob = Tables.lineitem(spark, dir)
-        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().stage()
+      val ob = orderBrands(spark, dir)
       val nt = ob.agg(countDistinct(col("o")).as("nt"))
       // pass 1: frequent pairs at the same relative support (downward
       // closure: any frequent triple's faces are frequent pairs)
@@ -295,10 +308,7 @@ object Behavior {
         |FROM pr
         |JOIN m ma ON ma.b = pr.brand_a
         |JOIN m mb ON mb.b = pr.brand_b""".stripMargin) { (spark, dir) =>
-      val ob = Tables.lineitem(spark, dir)
-        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().stage()
+      val ob = orderBrands(spark, dir)
       val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
       ob.as("a").join(ob.as("bb"),
           col("a.o") === col("bb.o") && col("a.b") < col("bb.b"))
@@ -340,10 +350,7 @@ object Behavior {
         |JOIN m ma ON ma.b = pr.brand_a
         |JOIN m mb ON mb.b = pr.brand_b
         |CROSS JOIN n""".stripMargin) { (spark, dir) =>
-      val ob = Tables.lineitem(spark, dir)
-        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct().stage()
+      val ob = orderBrands(spark, dir)
       val marg = ob.groupBy(col("b")).agg(countAll.as("cb"))
       val n = ob.agg(countDistinct(col("o")).as("n_total"))
       ob.as("a").join(ob.as("bb"),

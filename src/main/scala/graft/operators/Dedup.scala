@@ -56,20 +56,22 @@ object Dedup {
   // combines a neighbor-min step with a pointer-jump (label := my
   // label's own label), so the covered graph distance DOUBLES per
   // round on ascending-id chains (2^r after r rounds = 32 here); the
-  // 5th round is margin for adversarial id layouts where jump targets
-  // zig-zag (DedupClustersSpec exercises a permuted diameter-16 chain,
-  // which 4 rounds do NOT resolve but 5 do). Near-dup clusters are
-  // dense — LSH links most member pairs directly, so real diameters
-  // are 1-2 (the sf0.01 corpus maxes at 2); this is generous headroom
-  // while keeping the common-case iteration count FIXED and the
-  // materialization count LOW (5 checkpoints, vs 8 for linear
-  // propagation — each eager checkpoint is a full job round-trip, and
-  // they dominated dedup_clusters' wall time at bench scale). The
-  // fixed rounds are backstopped by a FIXPOINT CHECK + bounded
-  // adaptive tail in clusterLabels — an outlier component can buy up
-  // to MaxExtraRounds more, and true non-convergence is a loud error,
-  // never silently split clusters.
-  private[operators] val PropagationRounds = 5
+  // r16 optimization (guide §1.2 step 1 — each round is a
+  // duplicate-mass-sized shuffle + eager checkpoint, and the per-round
+  // job round-trip dominated dedup_clusters' wall: 64 jobs at bench
+  // scale): 3 fixed rounds instead of 5. Near-dup clusters are dense —
+  // LSH links most member pairs directly, so real diameters are 1-2
+  // (the sf0.01 corpus maxes at 2) and 2^3 = 8 covers ascending-id
+  // layouts with margin; the adversarial permuted layouts that needed
+  // rounds 4-5 (DedupClustersSpec's diameter-16 zig-zag chain) now buy
+  // them from the FIXPOINT CHECK + bounded adaptive tail in
+  // clusterLabels instead of every corpus paying for them up front —
+  // an outlier component can buy up to MaxExtraRounds more, and true
+  // non-convergence is a loud error, never silently split clusters.
+  // (The fixpoint test is one keyed self-join over the label table —
+  // cheap next to a propagation round; the spec's chains still
+  // resolve, two jobs later, via the tail.)
+  private[operators] val PropagationRounds = 3
 
   /** Shared oracle CTEs: shingles + per-shingle 32-bit hash words. */
   private val shingleCtes =

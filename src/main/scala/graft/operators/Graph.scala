@@ -271,11 +271,12 @@ object Graph {
          |       ${graft.functions.Portable.Quant6Sql(
                "2.0 * COALESCE(tn.n_tri, 0) / nullif(deg.degree * (deg.degree - 1), 0)")} AS clust_coeff
          |FROM deg LEFT JOIN tn ON tn.node = deg.node""".stripMargin) { (spark, dir) =>
-      val ob = Tables.lineitem(spark, dir)
-        .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct()
-        .persist()
+      // shared one-exchange (o, b) relation (r16 — see
+      // Behavior.orderBrands: repartition(o) before the distinct makes
+      // the distinct, the self-join, and the per-order count all run
+      // on a single shuffle; the old persist() still paid a fresh
+      // o-exchange per self-join side)
+      val ob = Behavior.orderBrands(spark, dir)
       val nTotal = ob.select(col("o")).distinct()
         .agg(countAll.cast("long").as("n_total"))
       val edges = ob.as("a").join(ob.as("bb"),

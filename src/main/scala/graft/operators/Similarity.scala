@@ -982,7 +982,19 @@ object Similarity {
     * only when drift erodes the measured recall (dev/recall.sh). */
   def appendToIvfIndex(spark: SparkSession, embDelta: DataFrame, path: String): Unit = {
     ensureRegistered(spark)
-    val cent = spark.read.parquet(s"$path/centroids")
+    appendToIvfIndex(spark, embDelta, path, spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** Same, against a caller-provided centroid relation — the r16
+    * latency fix for multi-delta maintenance (guide §2.4 "remove
+    * [work] outright"): a caller appending several deltas reads and
+    * caches `$path/centroids` ONCE instead of paying a parquet
+    * schema-infer + scan job per delta (the centroid table is frozen
+    * across appends by definition, so the reuse cannot change the
+    * assignment). */
+  def appendToIvfIndex(spark: SparkSession, embDelta: DataFrame, path: String,
+      cent: DataFrame): Unit = {
+    ensureRegistered(spark)
     quantizedCells(embDelta, cent)
       .select(col("nid"), col("nv8"), col("cid"))
       .repartition(col("cid")) // one delta file per touched cell, as at build
@@ -1817,11 +1829,22 @@ object Similarity {
             seedCentroids(emb), b)))
       val work = new org.apache.hadoop.fs.Path(s"$root/work")
       fs.delete(work, true)
-      org.apache.hadoop.fs.FileUtil.copy(fs, base, fs, work, false, conf)
-      Seq(7L, 17L, 27L).foreach { m =>
-        appendToIvfIndex(spark, emb.filter(pmod(col("vec_id"), lit(30)) === m),
-          work.toString)
-      }
+      // r16: hardlink the base instead of copying bytes where the
+      // staging fs allows it (tmpfs/local). Parquet part files are
+      // immutable — appends only ADD files and compaction
+      // rewrite-and-swaps (unlink, never in-place mutation) — so a
+      // linked work tree can never corrupt the base. Byte copy stays
+      // the fallback for non-local staging roots.
+      Staging.linkOrCopyTree(fs, base, work, conf)
+      // centroids are FROZEN across appends — read + cache them once
+      // instead of a schema-infer + scan job per delta (r16)
+      val centW = spark.read.parquet(s"$work/centroids").cache()
+      try {
+        Seq(7L, 17L, 27L).foreach { m =>
+          appendToIvfIndex(spark, emb.filter(pmod(col("vec_id"), lit(30)) === m),
+            work.toString, centW)
+        }
+      } finally centW.unpersist(blocking = false)
       compactIndex(spark, work.toString)
       searchIvfIndex(spark, work.toString, emb, defaultQueries(emb))
     },

@@ -92,6 +92,39 @@ private[graft] object Staging {
     root
   }
 
+  /** Copy a staged directory tree by HARDLINK where the fs allows it
+    * (r16, the lifecycle seat's base→work copy): parquet part files
+    * are immutable — maintenance only ADDS files and rewrite-and-swaps
+    * (unlink, never in-place mutation) — so a linked tree can never
+    * corrupt its source, while the link walk is O(|files|) metadata
+    * ops instead of a byte copy of the whole index. Falls back to the
+    * Hadoop byte copy per file (cross-device links) or for the whole
+    * tree (non-local source/destination). */
+  def linkOrCopyTree(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val local = fs.getScheme == "file"
+    if (!local) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      return
+    }
+    def walk(s: java.io.File, d: java.io.File): Unit = {
+      if (s.isDirectory) {
+        if (!d.mkdirs() && !d.isDirectory)
+          throw new java.io.IOException(s"could not create $d")
+        Option(s.listFiles()).foreach(_.foreach(c => walk(c, new java.io.File(d, c.getName))))
+      } else {
+        try java.nio.file.Files.createLink(d.toPath, s.toPath)
+        catch { case _: java.io.IOException => // cross-device or fs without links
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(s.getAbsolutePath), fs,
+            new org.apache.hadoop.fs.Path(d.getAbsolutePath), false, conf); ()
+        }
+      }
+    }
+    walk(new java.io.File(src.toUri.getPath), new java.io.File(dst.toUri.getPath))
+  }
+
   /** Build-once guard for a staged root: `build` runs only when the
     * `_built` marker is absent (a markerless root is half-built debris
     * from a died build and is cleared first). */

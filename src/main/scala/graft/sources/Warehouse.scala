@@ -501,8 +501,16 @@ object Warehouse {
     // after a failure every in-flight partition job has terminated
     // before this returns, so a caller's recovery re-run never races
     // a straggler thread from the failed attempt.
+    // pool width: at least the historical 8, up to half the box's
+    // cores (r16 — each unit is a tiny Spark job; 16 cells behind an
+    // 8-wide pool left half the lifecycle seat's compaction phase
+    // serialized on a 32-core box, and the per-partition Spark jobs
+    // are scheduler-bound, not core-bound). Still bounded: a
+    // million-partition table queues, it does not fork a million
+    // threads.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parts.size, 8)))
+      math.max(1, math.min(parts.size,
+        math.max(8, Runtime.getRuntime.availableProcessors() / 2))))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     var bodyCompleted = false
