@@ -116,15 +116,16 @@ object Dedup {
     docs.withColumn("tk", split(col("text"), " ")).drop("text")
   }
 
-  /** Exploded shingle hash words of `docs` (doc_id, text, …):
-    * one row per (doc_id, h1, h2), DISTINCT — the set semantics the
-    * exact-Jaccard verify and SimHash bit sums need. Shingles are
-    * joined BY THEIR 64-bit hash words, not the strings: shuffling two
-    * longs beats shuffling 5-token strings, and a collision needs
+  /** Exploded PACKED shingle keys of `docs` (doc_id, text, …): one row
+    * per distinct (doc_id, w), w = (h1 << 32) | h2 — the set semantics
+    * the exact-Jaccard verify and SimHash bit sums need. Shingles are
+    * joined by their 64-bit md5 prefix, not the strings: shuffling one
+    * long beats shuffling 5-token strings, and a collision needs
     * ~2^32 shingles (oracle joins strings — the results agree unless
-    * md5's 64-bit prefix collides). */
-  private def hashWords(docs: DataFrame): DataFrame =
-    shingleWords(tokenized(docs))
+    * md5's 64-bit prefix collides). r16 packs the former (h1, h2)
+    * two-long pair into one (bijective, so joins/counts unchanged). */
+  private def hashKeys(docs: DataFrame): DataFrame =
+    shingleKeySet(tokenized(docs))
 
   /** The per-doc shingle hash-WORD array expression over a `tk` column
     * — ONE definition shared by the signature stage and the verify
@@ -147,12 +148,23 @@ object Dedup {
     // dispatches + slice/array_join allocations per shingle.
     s"shingle_words(tk, $ShingleLen, $MaxShingleStarts)"
 
-  /** Same, over an already-tokenized (doc_id, tk) relation. */
-  private def shingleWords(tok: DataFrame): DataFrame =
+  /** The PACKED form (one (h1 << 32) | h2 long per shingle —
+    * [[graft.functions.ShingleKeys]]): for consumers that only ever
+    * test shingle EQUALITY (exploded membership/self-joins), where one
+    * 8-byte key shuffles and compares for the word pair (r16, guide
+    * §2.3 "narrower types"). Bijective with the pair, so joins,
+    * distincts and counts are unchanged. The ARRAY form above stays
+    * for the signature stages that need h1/h2 separately. */
+  private[operators] val shingleKeysTransform: String =
+    s"shingle_keys(tk, $ShingleLen, $MaxShingleStarts)"
+
+  /** Exploded distinct PACKED shingle keys of a tokenized relation:
+    * one (doc_id, w) row per distinct shingle (r16 — the old
+    * (doc_id, h1, h2) triple carried two longs where the packed
+    * bijection carries one). */
+  private def shingleKeySet(tok: DataFrame): DataFrame =
     tok
-      .select(col("doc_id"), explode(expr(shingleWordsTransform)).as("w"))
-      .select(col("doc_id"),
-        col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
+      .select(col("doc_id"), explode(expr(shingleKeysTransform)).as("w"))
       .distinct()
 
   /** Verified near-duplicate pairs (doc_a < doc_b, jaccard >= 0.7).
@@ -248,15 +260,14 @@ object Dedup {
     // the candidate set corpus-sized)
     val candDocs = cand.select(col("da").as("doc_id"))
       .unionByName(cand.select(col("db").as("doc_id"))).distinct()
-    val shc = shingleWords(tok.join(candDocs, Seq("doc_id"), "left_semi"))
+    val shc = shingleKeySet(tok.join(candDocs, Seq("doc_id"), "left_semi"))
       .cache()
     val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val inter = cand
       .join(shc.as("sa"), col("sa.doc_id") === col("da"))
       .join(shc.as("sb"),
-        col("sb.doc_id") === col("db")
-          && col("sb.h1") === col("sa.h1") && col("sb.h2") === col("sa.h2"))
+        col("sb.doc_id") === col("db") && col("sb.w") === col("sa.w"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_common"))
 
@@ -678,10 +689,10 @@ object Dedup {
         .stage()
       // exact ground truth WITHIN the sample: all-pairs shingle-word
       // join — k² bounded by the fixed sample size
-      val words = shingleWords(tokenized(docs.join(sa, Seq("doc_id"), "left_semi")))
+      val words = shingleKeySet(tokenized(docs.join(sa, Seq("doc_id"), "left_semi")))
       val ns = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val truth = words.as("a").join(words.as("b"),
-          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2")
+          col("a.w") === col("b.w")
             && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("nc"))
@@ -794,9 +805,12 @@ object Dedup {
            |       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
            |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
       }) { (spark, dir) =>
+      // bit b of h1 is bit 32+b of the packed key; unsigned shift +
+      // mask replaces the old double-division floor(h1 / 2^b) % 2 —
+      // exact integer ops in codegen, same value (r16)
       def bitSum(b: Int): Column =
-        sum(lit(2) * (floor(col("h1") / lit((1L << b).toDouble)).cast("long") % 2) - 1).as(s"s$b")
-      val s = hashWords(Tables.documents(spark, dir))
+        sum(lit(2) * shiftrightunsigned(col("w"), 32 + b).bitwiseAND(lit(1L)) - 1).as(s"s$b")
+      val s = hashKeys(Tables.documents(spark, dir))
         .groupBy(col("doc_id"))
         .agg(bitSum(0), (1 until 32).map(bitSum): _*)
       val fpExpr = (0 until 32)

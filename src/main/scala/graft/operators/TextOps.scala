@@ -113,17 +113,25 @@ object TextOps {
     * global (df, h1, h2) ascending-rarity order, arrays bounded by
     * the doc's own shingle count. */
   def ppjoinSorted(docs: DataFrame): DataFrame = {
+    // r16: packed single-long shingle keys (guide §2.3 narrower types —
+    // the rarity order ties now break on the packed key instead of the
+    // (h1, h2) pair; ANY deterministic global order keeps the prefix
+    // theorem's completeness, and the exact verify fixes the pair set,
+    // so the output is unchanged), and ONE exchange for the distinct +
+    // df aggregate + df join-back (guide §2.4): repartition(w) first —
+    // {w} satisfies the distinct's (doc_id, w) clustering, the df
+    // groupBy(w), and the equi-join on w, so only the final per-doc
+    // collect pays a second shuffle.
     val sh = Dedup.tokenized(docs)
-      .select(col("doc_id"), explode(expr(Dedup.shingleWordsTransform)).as("w"))
-      .select(col("doc_id"),
-        col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
-      .distinct()
-    val df_ = sh.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("df"))
-    sh.join(df_, Seq("h1", "h2"))
+      .select(col("doc_id"), explode(expr(Dedup.shingleKeysTransform)).as("w"))
+      .distinct() // free: tokenized's doc_id partitioning satisfies (doc_id, w)
+      .repartition(col("w")) // so the w-exchange carries DISTINCT rows only
+    val df_ = sh.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    sh.join(df_, Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("h1"), col("h2")))).as("st"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("st"))
       .select(col("doc_id"),
-        expr("transform(st, s -> struct(s.h1, s.h2))").as("tks"),
+        expr("transform(st, s -> s.w)").as("tks"),
         size(col("st")).cast("long").as("n"))
   }
 
@@ -141,14 +149,13 @@ object TextOps {
   def ppjoinCandidates(sorted: DataFrame, lengthFilter: Boolean = true): DataFrame = {
     val prefix = sorted.select(col("doc_id"), col("n"),
       explode(expr("slice(tks, 1, cast(n - (7 * n + 9) div 10 + 1 as int))")).as("p"))
-      .select(col("doc_id"), col("n"), col("p.h1").as("ph1"), col("p.h2").as("ph2"))
     val lengthOk =
       if (lengthFilter)
         lit(10) * least(col("a.n"), col("b.n")) >= lit(7) * greatest(col("a.n"), col("b.n"))
       else lit(true)
     prefix.as("a")
       .join(prefix.as("b"),
-        col("a.ph1") === col("b.ph1") && col("a.ph2") === col("b.ph2")
+        col("a.p") === col("b.p")
           && col("a.doc_id") < col("b.doc_id") && lengthOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -512,23 +519,30 @@ object TextOps {
         // collides (~2^32 shingles). Measured at sf0.1: 48 → 20
         // shuffle MB (the byte count is the scale win; local wall
         // time stays at its ~1.7s steady state).
+        // r16: packed single-long shingle keys (half the key bytes
+        // through every shuffle below — guide §2.3) and ONE exchange
+        // for the distinct + hot-key aggregate + anti-join + self-join
+        // (guide §2.4): repartition by the join key (source, w) BEFORE
+        // the distinct — {source, w} satisfies the distinct's
+        // (doc_id, source, w) clustering, and every downstream keyed
+        // op below is on exactly (source, w), so only ns (doc_id) and
+        // the pair aggregate pay their own shuffles.
         val sh = Dedup.tokenized(
           Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
           .select(col("doc_id"), col("source"),
-            explode(expr(Dedup.shingleWordsTransform)).as("w"))
-          .select(col("doc_id"), col("source"),
-            col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
-          .distinct()
+            explode(expr(Dedup.shingleKeysTransform)).as("w"))
+          .distinct() // free under tokenized's doc_id partitioning
+          .repartition(col("source"), col("w")) // distinct rows only
           .cache()
         // hot-shingle key set is corpus-shaped (∝ N/cap) — no explicit
         // broadcast; AQE broadcasts while small (minhash rationale)
-        val hot = sh.groupBy(col("source"), col("h1"), col("h2")).agg(count(lit(1)).as("nd"))
-          .filter(col("nd") > Dedup.MaxBucketDocs).select(col("source"), col("h1"), col("h2"))
-        val shc = sh.join(hot, Seq("source", "h1", "h2"), "left_anti")
+        val hot = sh.groupBy(col("source"), col("w")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") > Dedup.MaxBucketDocs).select(col("source"), col("w"))
+        val shc = sh.join(hot, Seq("source", "w"), "left_anti")
         val ns = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val j = shc.as("a")
           .join(shc.as("b"),
-            col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2")
+            col("a.w") === col("b.w")
               && col("a.source") === col("b.source")
               && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

@@ -121,15 +121,17 @@ object Web {
          |        JOIN ns nb ON nb.source = co.source_b""".stripMargin) { (spark, dir) =>
       val tok = Dedup.tokenized(
         Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      // r16: packed single-long shingle keys; repartition(w) before the
+      // distinct so the distinct and the self-join (equi-key w only —
+      // source is an inequality here) share one exchange (guide §2.4)
       val sh = tok
-        .select(col("source"), explode(expr(Dedup.shingleWordsTransform)).as("w"))
-        .select(col("source"),
-          col("w").getItem(0).as("h1"), col("w").getItem(1).as("h2"))
+        .select(col("source"), explode(expr(Dedup.shingleKeysTransform)).as("w"))
+        .repartition(col("w"))
         .distinct()
       val ns = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val co = sh.as("a")
         .join(sh.as("b"),
-          col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2")
+          col("a.w") === col("b.w")
             && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("n_common"))
@@ -189,10 +191,15 @@ object Web {
       // transform (the bandKeysFrom shape): map-only, never exploded
       val hsArr = tok
         .select(col("source"), expr(Dedup.shingleWordsTransform).as("hs"))
-      val perDoc = hsArr.select(
-        col("source") +: (0 until SketchHashes).map(k =>
-          expr(s"array_min(transform(hs, h -> (h[0] + $k * h[1]) % ${Dedup.Mod}))")
-            .as(s"mh$k")): _*)
+      // r16: ONE fused minhash_sigs pass instead of SketchHashes
+      // interpreted array_min(transform(...)) passes (bit-identical —
+      // VectorOpsSpec)
+      val perDoc = hsArr
+        .select(col("source"),
+          expr(s"minhash_sigs(hs, $SketchHashes, ${Dedup.Mod})").as("sig"))
+        .select(
+          col("source") +: (0 until SketchHashes).map(k =>
+            col("sig").getItem(k).as(s"mh$k")): _*)
       val minAggs = (0 until SketchHashes).map(k => min(col(s"mh$k")).as(s"mh$k"))
       val sk = perDoc.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
       val nAgree = (0 until SketchHashes)
