@@ -21,6 +21,50 @@ import graft.operators.Distributed.StageSyntax
   */
 object Multimodal {
 
+  /** Per-partition REUSED PNG reader/writer (r16 optimization, guide
+    * §4.5 "initialise heavyweight state once per task, not per row"):
+    * `ImageIO.read`/`write` per row pays a plugin-registry scan, a
+    * reader/writer allocation and a stream wrapper per image — at
+    * ~20k tiny images per run that overhead dominated the actual
+    * decode. One instance per partition, `setInput`/`setOutput` per
+    * row, SAME plugin (the registry's PNG reader/writer) and default
+    * params, so bytes and pixels are identical — MultimodalSpec's
+    * golden roundtrips and the media_neardup oracle's arithmetic
+    * replay pin that. NOT thread-safe; construct inside
+    * mapPartitions. */
+  private final class PngIo {
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+    /** Decode or None — same outcomes as ImageIO.read: corrupt/non-PNG
+      * bytes yield None (the forced reader throws where the registry
+      * probe returned null; both land in the caller's fallback). */
+    def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          Option(reader.read(0))
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode with default params — byte-identical to
+      * `ImageIO.write(im, "png", out)`. */
+    def write(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(im)
+        ios.flush()
+      } finally ios.close()
+      bos.toByteArray
+    }
+  }
+
   case class MediaMeta(fmt: String, width: Int, height: Int, n_bytes: Long)
   case class MediaRow(doc_id: Long, payload: Array[Byte], fmt: String, width: Int, height: Int)
   case class DecodedRow(doc_id: Long, fmt: String, width: Int, height: Int,
@@ -214,13 +258,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+      val png = new PngIo // one reader per partition (r16, guide §4.5)
       rows.map { r =>
         val bytes = r.payload
-        val img =
-          if (r.fmt == "png")
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          else None
+        val img = if (r.fmt == "png") png.read(bytes) else None
         img match {
           case Some(im) =>
             val w = im.getWidth
@@ -268,12 +309,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      val png = new PngIo // one reader+writer per partition (r16, guide §4.5)
       rows.map { r =>
-        val img =
-          if (r.fmt == "png")
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          else None
+        val img = if (r.fmt == "png") png.read(r.payload) else None
         img match {
           case Some(im) =>
             val out = new java.awt.image.BufferedImage(
@@ -290,9 +328,7 @@ object Multimodal {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            r.copy(payload = bos.toByteArray, width = tw, height = th)
+            r.copy(payload = png.write(out), width = tw, height = th)
           case None => r
         }
       }
@@ -312,12 +348,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      val png = new PngIo // one reader per partition (r16, guide §4.5)
       rows.flatMap { r =>
-        val img =
-          if (r.fmt == "png")
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          else None
+        val img = if (r.fmt == "png") png.read(r.payload) else None
         img.map { im =>
           val sw = im.getWidth
           val sh = im.getHeight
@@ -549,19 +582,23 @@ object Multimodal {
       .repartition(col("doc_id"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        val png = new PngIo // one writer per partition (r16, guide §4.5)
         rows.map { case (id, h, fmt) =>
           if (fmt == "png")
-            MediaRow(id, encodePatternPng(h), "png", 16, 16)
+            MediaRow(id, png.write(patternImage(h)), "png", 16, 16)
           else
             MediaRow(id, encodeWavPcm16(patternSamples(h), WavRate), "wav", WavRate.toInt, 1)
         }
       }
   }
 
-  /** 16×16 PNG whose 2×2 blocks spell out the 60-bit pattern: block
-    * (x, y) is white iff bit 8y+x of `h` is set (bits 60–63 stay
-    * black, keeping the popcount < 64 the threshold argument needs). */
-  private def encodePatternPng(h: Long): Array[Byte] = {
+  /** 16×16 pattern image whose 2×2 blocks spell out the 60-bit
+    * pattern: block (x, y) is white iff bit 8y+x of `h` is set (bits
+    * 60–63 stay black, keeping the popcount < 64 the threshold
+    * argument needs). Encoded by the caller's per-partition [[PngIo]]
+    * (r16 — the per-call ImageIO.write paid a registry scan + writer
+    * allocation per image). */
+  private def patternImage(h: Long): java.awt.image.BufferedImage = {
     val im = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
@@ -573,9 +610,7 @@ object Multimodal {
       im.setRGB(bx, by + 1, rgb); im.setRGB(bx + 1, by + 1, rgb)
       i += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(im, "png", bos)
-    bos.toByteArray
+    im
   }
 
   /** 512 PCM16 samples in 64 constant segments of 8: amplitudes walk
